@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Every setting here is chosen to survive a 1000-executor cluster, not just
+  * local[N]:
+  *   - AQE on (runtime partition coalescing + skew-join splitting) so the
+  *     static shuffle-partition count only needs to be an upper bound;
+  *   - an explicit broadcast threshold so dimension tables (region, nation,
+  *     customer at small SF) hash-join without a shuffle;
+  *   - UTC session time zone so event-time semantics are deterministic and
+  *     match the DuckDB oracle;
+  *   - TIMESTAMP_MICROS parquet output (the portable representation).
+  */
+object GraftSession {
+  def defaultCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+      // natively; read as long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def apply(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

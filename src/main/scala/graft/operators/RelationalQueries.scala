@@ -1,0 +1,609 @@
+package graft.operators
+
+import graft.api.{Exact, QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational operator surface (SURVEY.md §2.3–§2.7 north-star
+  * inventory): multi-way joins (inner/outer/semi/anti/cross), hash
+  * aggregation, rollup/cube/grouping sets, window functions with explicit
+  * frames, sorts/top-k, set operations, and the scalar function families.
+  *
+  * Every query is declarative DataFrame code — Catalyst handles predicate
+  * pushdown, column pruning, join selection (broadcast for the dimension
+  * tables) and AQE handles runtime skew/coalescing. Determinism rules:
+  * float aggregates via [[Exact]], top-k always carries a unique tiebreak
+  * key, timestamps stringified in final output.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  import Exact.{dsum, davg, sqlSum, sqlAvg}
+
+  def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    // Aggregation: TPC-H Q1-style pricing summary (SURVEY §2.4 A1 analog).
+    // Scan-side filter pushes to parquet; two-key hash agg with partial
+    // (map-side) aggregation — one shuffle on the grouping keys.
+    "rel_q1_pricing_summary" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+              .as("sum_charge"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            davg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               ${sqlSum("l_extendedprice")} AS sum_base_price,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+               ${sqlAvg("l_quantity")} AS avg_qty,
+               ${sqlAvg("l_extendedprice")} AS avg_price,
+               ${sqlAvg("l_discount")} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // 3-way join + agg + deterministic top-k (TPC-H Q3 analog).
+    // customer is small → broadcast side; orders⋈lineitem shuffles on the
+    // order key; top-k is TakeOrderedAndProject (no global sort).
+    "rel_q3_shipping_priority" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .select(
+            $"l_orderkey",
+            $"revenue",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+            $"o_orderpriority")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      oracle = Some(s"""
+        SELECT l_orderkey,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // 6-way join (TPC-H Q5 analog): region/nation/supplier broadcast;
+    // the only large shuffle is lineitem⋈orders.
+    "rel_q5_local_supplier" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT n_name,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Left outer join keeping customers without orders.
+    "rel_join_left_outer" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            dsum($"o_totalprice").as("total_spent"))
+      },
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+               ${sqlSum("o_totalprice")} AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name""")),
+
+    // Full outer join: per-nation customer count vs supplier count.
+    "rel_join_full_outer" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").groupBy($"c_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, dir, "supplier").groupBy($"s_nationkey".as("nk2"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sp, $"nk" === $"nk2", "full")
+          .select(coalesce($"nk", $"nk2").as("nationkey"), $"n_cust", $"n_supp")
+      },
+      oracle = Some("""
+        SELECT COALESCE(c.nk, s.nk2) AS nationkey, n_cust, n_supp
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.nk = s.nk2""")),
+
+    // Semi join: customers that have at least one open order.
+    "rel_join_semi" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(
+            t(s, dir, "orders").filter($"o_orderstatus" === "O"),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""")),
+
+    // Anti join: customers with no order at all.
+    "rel_join_anti" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // Cross join (small × small only — never at fact-table scale).
+    "rel_join_cross" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val r1 = t(s, dir, "region").select($"r_name".as("from_region"))
+        val r2 = t(s, dir, "region").select($"r_name".as("to_region"))
+        r1.crossJoin(r2).filter($"from_region" =!= $"to_region")
+      },
+      oracle = Some("""
+        SELECT r1.r_name AS from_region, r2.r_name AS to_region
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_name <> r2.r_name""")),
+
+    // ------------------------------------------------------------------
+    // Window: ranking family (SURVEY §2.5 W1 analog) with deterministic
+    // row_number tiebreak.
+    "rel_window_rank" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+        val total = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .select(
+            $"o_custkey", $"o_orderkey", $"o_totalprice",
+            rank().over(byPrice).as("rnk"),
+            dense_rank().over(byPrice).as("drnk"),
+            row_number().over(total).as("rn"))
+          .filter($"rnk" <= 3)
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+                 DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rnk <= 3""")),
+
+    // Window: running sum with an explicit rows frame.
+    "rel_window_running_sum" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast("decimal(30,6)")).over(w).cast("double")
+            .as("running_total"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total
+        FROM orders""")),
+
+    // Window: lag/lead navigation.
+    "rel_window_lag_lead" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          lag($"o_orderkey", 1).over(w).as("prev_order"),
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          first($"o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_order"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               LAG(o_orderkey, 1) OVER w AS prev_order,
+               LEAD(o_orderkey, 1) OVER w AS next_order,
+               FIRST_VALUE(o_orderkey) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // Window: numeric RANGE frame (peers within 100.0 of current acctbal).
+    "rel_window_range_frame" -> QuerySpec(
+      fn = (s, dir) => {
+        // The Scala rangeBetween API only takes Long offsets; a fractional
+        // numeric RANGE frame is expressed via Spark SQL.
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql("""
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                                RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+                   AS peers_within_100
+          FROM customer""")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                              RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+                 AS peers_within_100
+        FROM customer""")),
+
+    // ------------------------------------------------------------------
+    // ROLLUP with grouping indicators.
+    "rel_agg_rollup" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping($"l_returnflag").as("g_flag"),
+            grouping($"l_linestatus").as("g_status"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${sqlSum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // CUBE.
+    "rel_agg_cube" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ${sqlSum("o_totalprice")} AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Explicit GROUPING SETS (via Spark SQL).
+    "rel_agg_grouping_sets" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus, ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
+    // Distinct aggregates (two distinct columns → expand-based plan).
+    "rel_agg_distinct" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_suppkey").as("n_supp"),
+            countDistinct($"l_partkey").as("n_part"),
+            count(lit(1)).as("n_rows"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // Moments computed from exact decimal sums (deterministic stddev).
+    "rel_agg_stats" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_linestatus")
+          .agg(
+            min($"l_extendedprice").as("min_price"),
+            max($"l_extendedprice").as("max_price"),
+            count(lit(1)).as("n"),
+            dsum($"l_extendedprice").as("sum_price"),
+            dsum($"l_extendedprice" * $"l_extendedprice").as("sum_sq"))
+          .withColumn("variance",
+            ($"sum_sq" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1))
+          .select($"l_linestatus", $"min_price", $"max_price", $"n",
+            $"sum_price", round(sqrt($"variance"), 4).as("stddev_price"))
+      },
+      oracle = Some(s"""
+        WITH m AS (
+          SELECT l_linestatus,
+                 MIN(l_extendedprice) AS min_price,
+                 MAX(l_extendedprice) AS max_price,
+                 COUNT(*) AS n,
+                 ${sqlSum("l_extendedprice")} AS sum_price,
+                 ${sqlSum("l_extendedprice * l_extendedprice")} AS sum_sq
+          FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus, min_price, max_price, n, sum_price,
+               ROUND(SQRT((sum_sq - sum_price * sum_price / n) / (n - 1)), 4)
+                 AS stddev_price
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic top-k (TakeOrderedAndProject — no full global sort).
+    "rel_sort_topk" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Set operations over aligned schemas.
+    "rel_set_union" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
+          .union(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")).distinct())
+          .distinct()
+      },
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier""")),
+
+    "rel_set_intersect" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+          .intersect(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      },
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier""")),
+
+    "rel_set_except" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+          .except(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+      },
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier""")),
+
+    // ------------------------------------------------------------------
+    // Scalar families (SURVEY §2.7 north-star additions).
+    "rel_scalar_string" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part").select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          lower($"p_brand").as("brand_lower"),
+          substring($"p_name", 1, 5).as("name_pfx"),
+          length($"p_name").as("name_len"),
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", "\\s+", "_").as("name_snake"),
+          regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+          $"p_name".contains("red").cast("int").as("is_red"))
+      },
+      oracle = Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               SUBSTRING(p_name, 1, 5) AS name_pfx,
+               LENGTH(p_name) AS name_len,
+               p_brand || '/' || p_type AS brand_type,
+               REGEXP_REPLACE(p_name, '\s+', '_', 'g') AS name_snake,
+               REGEXP_EXTRACT(p_brand, '#(\d+)', 1) AS brand_num,
+               CAST(CONTAINS(p_name, 'red') AS INT) AS is_red
+        FROM part""")),
+
+    "rel_scalar_date" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dom"),
+          (dayofweek($"o_orderdate") - 1).as("dow_sun0"),
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+          datediff(lit("2000-01-01").cast("date"), $"o_orderdate".cast("date"))
+            .as("days_to_y2k"),
+          date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3mo"))
+      },
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT) AS yr,
+               CAST(MONTH(o_orderdate) AS INT) AS mo,
+               CAST(DAYOFMONTH(o_orderdate) AS INT) AS dom,
+               CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow_sun0,
+               strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+                 AS days_to_y2k,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo
+        FROM orders""")),
+
+    "rel_scalar_math" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").select(
+          $"l_orderkey", $"l_linenumber",
+          abs($"l_discount" - lit(0.05)).as("disc_dev"),
+          round($"l_extendedprice", 1).as("price_r1"),
+          floor($"l_quantity").cast("long").as("qty_floor"),
+          ceil($"l_quantity").cast("long").as("qty_ceil"),
+          sqrt($"l_extendedprice").as("price_sqrt"),
+          pmod($"l_orderkey", lit(97L)).as("key_mod"),
+          greatest($"l_tax", $"l_discount").as("max_rate"),
+          least($"l_tax", $"l_discount").as("min_rate"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05) AS disc_dev,
+               ROUND(l_extendedprice, 1) AS price_r1,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               SQRT(l_extendedprice) AS price_sqrt,
+               l_orderkey % 97 AS key_mod,
+               GREATEST(l_tax, l_discount) AS max_rate,
+               LEAST(l_tax, l_discount) AS min_rate
+        FROM lineitem""")),
+
+    "rel_scalar_case" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .withColumn("bucket",
+            when($"o_totalprice" < 1000, "small")
+              .when($"o_totalprice" < 10000, "medium")
+              .when($"o_totalprice" < 100000, "large")
+              .otherwise("huge"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      },
+      oracle = Some(s"""
+        SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                    WHEN o_totalprice < 10000 THEN 'medium'
+                    WHEN o_totalprice < 100000 THEN 'large'
+                    ELSE 'huge' END AS bucket,
+               COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+        FROM orders GROUP BY 1""")),
+
+    // JSON extraction over events.props.
+    "rel_scalar_json" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(
+            $"event_id",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+          .filter($"k" > 50)
+      },
+      oracle = Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""")),
+
+    // ------------------------------------------------------------------
+    // Subqueries (scalar / IN / correlated) via Spark SQL.
+    "rel_subq_scalar" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM orders)""")
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (
+          SELECT ${sqlSum("o_totalprice")} / COUNT(*) FROM orders)""")),
+
+    "rel_subq_in" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""
+          SELECT c_custkey, c_name FROM customer
+          WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)""")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)""")),
+
+    "rel_subq_correlated" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+            FROM orders i WHERE i.o_custkey = o.o_custkey)""")
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT ${sqlSum("o_totalprice")} / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey)"""))
+  )
+}

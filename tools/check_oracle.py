@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name>/ parquet result (Spark side), runs the matching
+oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf tables,
+canonicalizes both (column-name sort, row sort, float rounding) and compares.
+Driver-side tooling only — the Scala library never depends on this.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.6g}"
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in idx], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [d[0] for d in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            d_cols = [d[0] for d in duck_rel.description]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(s_rows, s_cols)
+        dc, dr = canon(d_rows, d_cols)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+        elif sr != dr:
+            diff_a = [r for r in sr if r not in set(dr)][:3]
+            diff_b = [r for r in dr if r not in set(sr)][:3]
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}\n"
+                  f"  spark-only: {diff_a}\n  duck-only:  {diff_b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
