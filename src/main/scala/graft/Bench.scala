@@ -1,10 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs the headline queries (SparkEntry.benchQueries, or
   * all queries when SPARK_GRAFT_BENCH_ALL=1) against SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with per-query wall-clock seconds.
+  * emits one JSON line with per-query wall-clock seconds.
+  *
+  * Failures are never reported as timings: a failed query records -1 and is
+  * listed under "errors", and the process exits nonzero. The JSON line is
+  * printed to stdout AND (because stdout is interleaved with sbt/log4j
+  * noise) written to the file named by SPARK_GRAFT_BENCH_OUT when set.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,19 +23,45 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
-    // One untimed warm-up action so JIT/codegen + file listing don't land
-    // in the first query's measurement.
-    SparkEntry.entry(spark).count()
+    // Untimed warm-up against the measured dataset so JIT/codegen and file
+    // listing don't land in the first query's measurement.
+    names.headOption.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = results.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + esc(k) + "\":\"" + esc(m) + "\"" }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      Files.writeString(Paths.get(p), json + "\n")
+    }
+    println(json)
     spark.stop()
+    if (ok.size != results.size) sys.exit(1)
   }
 }

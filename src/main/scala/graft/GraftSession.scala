@@ -17,11 +17,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def defaultCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
-    SparkSession
+  /** True when a master was already supplied (spark-submit, system property
+    * or env) — a library factory must not override a real cluster master. */
+  private def masterConfigured: Boolean =
+    sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")
+
+  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
-      .master(s"local[$cores]")
       .appName(appName)
+    if (!masterConfigured) b.master(s"local[$cores]")
+    b
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -33,6 +39,7 @@ object GraftSession {
       // natively; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def apply(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    graft.operators.RelationalQueries)
+    graft.operators.RelationalQueries,
+    graft.pipeline.PipelineQueries)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

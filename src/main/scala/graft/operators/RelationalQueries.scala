@@ -73,8 +73,11 @@ object RelationalQueries extends QueryModule {
           .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
           .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        // No broadcast hint on customer: it grows O(SF), so a forced
+        // broadcast OOMs at 100×. Stats + AQE pick broadcast while it fits
+        // under autoBroadcastJoinThreshold and fall back to shuffle join.
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
           .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
           .select(
@@ -115,9 +118,11 @@ object RelationalQueries extends QueryModule {
           .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
           .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
+        // Hints only on the bounded dimensions (region=5, nation=25 rows at
+        // any SF); customer/supplier grow O(SF) and are left to AQE.
         li.join(ord, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-          .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(cust, $"o_custkey" === $"c_custkey" &&
             $"c_nationkey" === $"s_nationkey")
           .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
@@ -190,17 +195,21 @@ object RelationalQueries extends QueryModule {
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""")),
 
-    // Anti join: customers with no order at all.
+    // Anti join: customers with no completed ('F') order — non-empty at
+    // sf0.01 (71 rows) so the check actually constrains the plan.
     "rel_join_anti" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
         t(s, dir, "customer")
-          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .join(
+            t(s, dir, "orders").filter($"o_orderstatus" === "F"),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .select($"c_custkey", $"c_name")
       },
       oracle = Some("""
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""")),
 
     // Cross join (small × small only — never at fact-table scale).
     "rel_join_cross" -> QuerySpec(
@@ -382,7 +391,7 @@ object RelationalQueries extends QueryModule {
             dsum($"l_extendedprice").as("sum_price"),
             dsum($"l_extendedprice" * $"l_extendedprice").as("sum_sq"))
           .withColumn("variance",
-            ($"sum_sq" - $"sum_price" * $"sum_price" / $"n") / ($"n" - 1))
+            ($"sum_sq" - $"sum_price" * $"sum_price" / $"n") / nullif($"n" - 1, lit(0)))
           .select($"l_linestatus", $"min_price", $"max_price", $"n",
             $"sum_price", round(sqrt($"variance"), 4).as("stddev_price"))
       },
@@ -396,7 +405,7 @@ object RelationalQueries extends QueryModule {
                  ${sqlSum("l_extendedprice * l_extendedprice")} AS sum_sq
           FROM lineitem GROUP BY l_linestatus)
         SELECT l_linestatus, min_price, max_price, n, sum_price,
-               ROUND(SQRT((sum_sq - sum_price * sum_price / n) / (n - 1)), 4)
+               ROUND(SQRT((sum_sq - sum_price * sum_price / n) / NULLIF(n - 1, 0)), 4)
                  AS stddev_price
         FROM m""")),
 
@@ -438,16 +447,20 @@ object RelationalQueries extends QueryModule {
         INTERSECT
         SELECT s_nationkey FROM supplier""")),
 
+    // Nations with a high-balance customer but no high-balance supplier —
+    // non-empty at sf0.01 (18 rows).
     "rel_set_except" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
-          .except(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        t(s, dir, "customer").filter($"c_acctbal" > 9000)
+          .select($"c_nationkey".as("nationkey"))
+          .except(t(s, dir, "supplier").filter($"s_acctbal" > 9000)
+            .select($"s_nationkey".as("nationkey")))
       },
       oracle = Some("""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
         EXCEPT
-        SELECT s_nationkey FROM supplier""")),
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000""")),
 
     // ------------------------------------------------------------------
     // Scalar families (SURVEY §2.7 north-star additions).
@@ -570,13 +583,13 @@ object RelationalQueries extends QueryModule {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
         s.sql("""
           SELECT o_orderkey, o_totalprice FROM orders
-          WHERE o_totalprice > 2 * (
+          WHERE o_totalprice > 1.5 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
             FROM orders)""")
       },
       oracle = Some(s"""
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
           SELECT ${sqlSum("o_totalprice")} / COUNT(*) FROM orders)""")),
 
     "rel_subq_in" -> QuerySpec(

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked entries for the medallion pipeline semantics (VERDICT r1
+  * items 1–2).
+  *
+  * The pipeline's own input is generated activity CSV, which the DuckDB
+  * oracle cannot see — so these entries derive a deterministic raw-activity
+  * feed from the driver-provided `events` table, with identical Spark and
+  * SQL derivations, and then apply the declared bronze/silver/gold
+  * semantics ([[ActivityPipeline]]). Injected defects mirror the generator's
+  * invalid-row variants (FIXTURES.md §A): null log_id / user_id, unparseable
+  * timestamp, null and negative watch time, plus ~5× duplicate log_ids.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Deterministic raw-activity derivation (Spark side). Must stay in exact
+    * lockstep with [[rawSql]]. */
+  def rawActivity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.select(
+      when(col("event_id") % 37 === 0, lit(null))
+        .otherwise(concat(lit("log_"), (col("event_id") % 2000).cast("string")))
+        .as("log_id"),
+      when(col("event_id") % 41 === 0, lit(null))
+        .otherwise(concat(lit("user_"), lpad(col("user_id").cast("string"), 5, "0")))
+        .as("user_id"),
+      when(col("event_id") % 43 === 0, lit("not-a-timestamp"))
+        .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as("timestamp"),
+      concat(
+        when(col("event_id") % 3 === 0, lit("192.168.1."))
+          .when(col("event_id") % 3 === 1, lit("10.0.0."))
+          .otherwise(lit("172.16.0.")),
+        (col("event_id") % 255).cast("string")).as("ip_address"),
+      when(col("event_id") % 47 === 0, lit(-5L))
+        .when(col("event_id") % 53 === 0, lit(null))
+        .otherwise(ceil(col("value")).cast("long"))
+        .as("watch_time(min)"))
+  }
+
+  /** The identical derivation in DuckDB SQL (raw column pre-renamed to
+    * `watch_time_raw` — the SQL analog of the P1 rename). */
+  private val rawSql = """
+    raw AS (
+      SELECT
+        CASE WHEN event_id % 37 = 0 THEN NULL
+             ELSE 'log_' || CAST(event_id % 2000 AS VARCHAR) END AS log_id,
+        CASE WHEN event_id % 41 = 0 THEN NULL
+             ELSE 'user_' || lpad(CAST(user_id AS VARCHAR), 5, '0') END AS user_id,
+        CASE WHEN event_id % 43 = 0 THEN 'not-a-timestamp'
+             ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS timestamp_raw,
+        (CASE WHEN event_id % 3 = 0 THEN '192.168.1.'
+              WHEN event_id % 3 = 1 THEN '10.0.0.'
+              ELSE '172.16.0.' END) || CAST(event_id % 255 AS VARCHAR) AS ip_address,
+        CASE WHEN event_id % 47 = 0 THEN -5
+             WHEN event_id % 53 = 0 THEN NULL
+             ELSE CAST(ceil(value) AS BIGINT) END AS watch_time_raw
+      FROM events)"""
+
+  private val parsedSql = s"""$rawSql,
+    parsed AS (
+      SELECT *,
+             try_cast(timestamp_raw AS TIMESTAMP) AS timestamp_parsed,
+             CAST(watch_time_raw AS DOUBLE) AS watch_time_parsed
+      FROM raw)"""
+
+  private val validWhere = """log_id IS NOT NULL AND user_id IS NOT NULL
+        AND timestamp_parsed IS NOT NULL AND watch_time_parsed IS NOT NULL
+        AND watch_time_parsed >= 0"""
+
+  private val validSql = s"""$parsedSql,
+    valid AS (
+      SELECT log_id, user_id, timestamp_parsed AS "timestamp",
+             ip_address, watch_time_parsed AS watch_time
+      FROM parsed WHERE $validWhere)"""
+
+  private val dedupSql = s"""$validSql,
+    dedup AS (
+      SELECT log_id, user_id, "timestamp", ip_address, watch_time FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY log_id
+          ORDER BY "timestamp", user_id, ip_address, watch_time) AS rn
+        FROM valid) WHERE rn = 1)"""
+
+  private val enrichSql = s"""$dedupSql,
+    dim AS (${IpRegionDim.oracleSql}),
+    enriched AS (
+      SELECT d.log_id, d.user_id, d."timestamp", d.ip_address, d.watch_time,
+             COALESCE(dim.geo_region, 'Unknown') AS geo_region
+      FROM dedup d LEFT JOIN dim ON d.ip_address = dim.ip)"""
+
+  /** Oracle outputs carry TIMESTAMP_NTZ: Spark's UTC-adjusted parquet
+    * timestamps read back tz-aware in DuckDB while the oracle side is
+    * naive; session TZ is pinned UTC so the cast is value-identity. The
+    * pipeline itself keeps TimestampType (watermark-compatible). */
+  private def ntz(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp_ntz")))
+
+  def queries: Map[String, QuerySpec] = Map(
+    // The dimension itself — pins the deterministic seeded map rule.
+    "pipe_region_dim" -> QuerySpec(
+      fn = (s, _) => IpRegionDim.frame(s),
+      oracle = Some(IpRegionDim.oracleSql)),
+
+    // Bronze quality gate, valid branch (P1-P5, P8).
+    "pipe_bronze_gate" -> QuerySpec(
+      fn = (s, dir) =>
+        ntz(ActivityPipeline.bronzeValid(ActivityPipeline.parseRaw(rawActivity(s, dir))),
+          "timestamp"),
+      oracle = Some(s"""WITH $validSql SELECT * FROM valid""")),
+
+    // Quarantine branch (P6-P7) — deterministic subset (no wall-clock col).
+    "pipe_quarantine" -> QuerySpec(
+      fn = (s, dir) =>
+        ntz(ActivityPipeline.bronzeQuarantine(
+          ActivityPipeline.parseRaw(rawActivity(s, dir)), withClock = false),
+          "timestamp_parsed"),
+      oracle = Some(s"""WITH $parsedSql
+        SELECT log_id, user_id, timestamp_raw, ip_address, watch_time_raw,
+               timestamp_parsed, watch_time_parsed,
+               'Failed semantic validation: missing required fields or invalid format'
+                 AS dq_reason
+        FROM parsed WHERE NOT ($validWhere)""")),
+
+    // Silver dedup: deterministic keep-first by log_id (T2 batch analog).
+    "pipe_dedup" -> QuerySpec(
+      fn = (s, dir) =>
+        ntz(ActivityPipeline.dedup(
+          ActivityPipeline.bronzeValid(ActivityPipeline.parseRaw(rawActivity(s, dir)))),
+          "timestamp"),
+      oracle = Some(s"""WITH $dedupSql SELECT * FROM dedup""")),
+
+    // Silver enrichment: broadcast-dim join + Unknown default (U1/P9).
+    "pipe_enrich" -> QuerySpec(
+      fn = (s, dir) =>
+        ntz(ActivityPipeline.enrich(ActivityPipeline.dedup(
+          ActivityPipeline.bronzeValid(ActivityPipeline.parseRaw(rawActivity(s, dir))))),
+          "timestamp"),
+      oracle = Some(s"""WITH $enrichSql SELECT * FROM enriched""")),
+
+    // Gold aggregation, declared semantics (A1+A2+W1, bugs #1/#2 resolved).
+    "pipe_gold" -> QuerySpec(
+      fn = (s, dir) => ActivityPipeline.goldFromRaw(rawActivity(s, dir)),
+      oracle = Some(s"""WITH $enrichSql,
+        byregion AS (
+          SELECT user_id, geo_region,
+                 SUM(CAST(watch_time AS DECIMAL(30, 6))) AS wt
+          FROM enriched GROUP BY user_id, geo_region),
+        ranked AS (
+          SELECT user_id, geo_region, wt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY wt DESC, geo_region ASC) AS rn,
+                 SUM(wt) OVER (PARTITION BY user_id) AS total_dec
+          FROM byregion)
+        SELECT user_id, CAST(total_dec AS DOUBLE) AS total_watch_time, geo_region
+        FROM ranked WHERE rn = 1"""),
+      bench = true))
+}

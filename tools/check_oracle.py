@@ -25,6 +25,8 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
+                elif math.isinf(v):
+                    v = "Inf" if v > 0 else "-Inf"
                 else:
                     v = f"{v:.6g}"
             vals.append(repr(v))
