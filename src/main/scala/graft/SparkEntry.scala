@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
-    graft.pipeline.PipelineQueries)
+    graft.pipeline.PipelineQueries,
+    graft.llm.Dedup)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

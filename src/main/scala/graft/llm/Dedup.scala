@@ -1,0 +1,281 @@
+package graft.llm
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over the
+  * `documents` and `embeddings` fixtures.
+  *
+  * The driver's documents are all distinct, so each query builds a
+  * deterministic duplicate-bearing corpus — identically on the Spark and
+  * DuckDB sides — by unioning the table with exact copies (exact dedup) or
+  * first-word-dropped variants (near-dup, shingle Jaccard ≈ 0.97 to the
+  * original).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - exact dedup: one shuffle on the content digest; no comparisons.
+  *   - MinHash+LSH: signatures are computed per (doc, shingle) row and
+  *     min-aggregated — never a collected set on the driver; candidate pairs
+  *     come from a shuffle join on (band, band-hash); only candidates are
+  *     verified. No all-pairs product anywhere. With r=4 rows × b=32 bands
+  *     (128 perms), P[miss | J≥0.8] ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸.
+  *   - the exact shingle-join Jaccard (`llm_dedup_jaccard`) is the oracle
+  *     *definition* of near-dup; its cost is bounded by shingle document
+  *     frequency and it exists to pin the semantics the LSH path must match.
+  *   - SimHash: near-identical docs agree on one of four 16-bit chunks
+  *     (pigeonhole for hamming ≤ 3 and overwhelmingly for ≤ 6), so
+  *     candidates come from a shuffle join on (chunk index, chunk value).
+  *   - embedding near-dup: random-hyperplane LSH (4 tables × 8 bits, seeded
+  *     by xxhash64 so it is deterministic and needs no driver-side RNG
+  *     state), candidates from a shuffle join on (table, code), exact cosine
+  *     verification on candidates only.
+  */
+object Dedup extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ exact copies (ids offset by 1e6). */
+  private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val exactCorpusSql = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents)"""
+
+  /** documents ∪ near-duplicate variants (first word dropped, lowercased). */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), lower(col("text")).as("text"))
+      .unionAll(d.select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(lower(col("text")), "^\\S+\\s+", "").as("text")))
+  }
+
+  private val nearCorpusSql = """
+    corpus AS (
+      SELECT doc_id, lower(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lower(regexp_replace(text, '^\S+\s+', ''))
+      FROM documents)"""
+
+  /** Distinct word 3-gram shingles, one row per (doc, shingle). */
+  private def shingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(
+        col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(toks) - 2, 1)),
+               i -> concat_ws(' ', slice(toks, i, 3))))""")).as("shingle"))
+
+  private val shinglesSql = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                   for i in generate_series(1, greatest(len(toks) - 2, 1))]))
+               AS shingle
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus))"""
+
+  /** Exact pairwise Jaccard ≥ 0.8 via a shingle join (the oracle-defining
+    * computation; DuckDB runs the identical SQL). */
+  private def exactJaccardPairs(corpus: DataFrame): DataFrame = {
+    val sh = shingles(corpus)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val jaccardOracle = s"""
+    WITH $nearCorpusSql, $shinglesSql,
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8"""
+
+  /** MinHash signatures → banded LSH candidates → exact verification. */
+  private def minhashPairs(corpus: DataFrame): DataFrame = {
+    val sh = shingles(corpus)
+    // 128 permutations approximated by seeded xxhash64 families; min per
+    // (doc, perm) is a plain partial-aggregated shuffle.
+    val mins = sh
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 127), p -> xxhash64(shingle, p))")))
+      .withColumnRenamed("pos", "perm").withColumnRenamed("col", "h")
+      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
+    // r=4 rows per band, b=32 bands; band identity = hash of its 4 mins.
+    val bands = mins
+      .withColumn("band", expr("perm div 4"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("perm"), col("mh"))))))
+        .as("bh"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // Verify candidates only (array intersect over two ~100-element sets).
+    val sets = shingles(corpus).groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens (token hashes via xxhash64). */
+  private def simhashed(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+             acc + CASE WHEN
+               aggregate(toks, 0, (s, tk) ->
+                 s + CASE WHEN (shiftright(xxhash64(tk), b) & 1) = 1
+                     THEN 1 ELSE -1 END) >= 0
+             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
+      .select("doc_id", "simhash")
+
+  /** Embeddings as double arrays (exact copies + perturbed variants). */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("ve", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    e.select(col("vec_id"), col("ve"))
+      .unionAll(e.select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        expr("transform(ve, (x, i) -> CASE WHEN i = 0 THEN x + 0.01 ELSE x END)").as("ve")))
+  }
+
+  private val embCorpusSql = """
+    corpus AS (
+      SELECT vec_id,
+             [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.01
+                   ELSE CAST(embedding[i] AS DOUBLE) END
+              for i in generate_series(1, 64)]
+      FROM embeddings)"""
+
+  /** Sequential-fold cosine between two double-array columns — same
+    * accumulation order as the oracle's list_reduce, so doubles match
+    * bit-for-bit. */
+  private def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"""
+      aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+      / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
+         * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""")
+
+  /** Random-hyperplane LSH codes: 4 tables × 8 sign bits. Hyperplane
+    * components are pseudo-random doubles in [-1, 1] derived from
+    * xxhash64(table:bit:dim) — deterministic, no RNG state to ship. */
+  private val lshCodes = """
+    transform(sequence(0, 3), t -> named_struct('t', t, 'code',
+      aggregate(sequence(0, 7), 0, (acc, j) ->
+        acc * 2 + CASE WHEN
+          aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, i) ->
+            s + element_at(ve, i) *
+                (CAST(pmod(xxhash64(concat(t, ':', j, ':', i)), 2001) AS DOUBLE)
+                 / 1000.0 - 1.0)) >= 0.0
+        THEN 1 ELSE 0 END)))"""
+
+  private def embNearDupPairs(corpus: DataFrame): DataFrame = {
+    val coded = corpus
+      .select(col("vec_id"), col("ve"), explode(expr(lshCodes)).as("tc"))
+      .select(col("vec_id"), col("ve"), col("tc.t").as("t"), col("tc.code").as("code"))
+    val cand = coded.select(col("vec_id").as("vec_a"), col("ve").as("va"), col("t"), col("code"))
+      .join(coded.select(col("vec_id").as("vec_b"), col("ve").as("vb"), col("t"), col("code")),
+        Seq("t", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "va", "vec_b", "vb").distinct()
+    cand
+      .withColumn("cosine", cosine("va", "vb"))
+      .filter(col("cosine") >= 0.95)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  def queries: Map[String, QuerySpec] = Map(
+    // Exact dedup: group by content digest, keep the smallest id.
+    "llm_dedup_exact" -> QuerySpec(
+      fn = (s, dir) =>
+        exactCorpus(s, dir)
+          .groupBy(md5(col("text").cast("binary")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies"),
+      oracle = Some(s"""
+        WITH $exactCorpusSql
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM corpus GROUP BY md5(text)""")),
+
+    // Near-dup ground truth: exact shingle-Jaccard pairs ≥ 0.8.
+    "llm_dedup_jaccard" -> QuerySpec(
+      fn = (s, dir) => exactJaccardPairs(nearCorpus(s, dir)),
+      oracle = Some(jaccardOracle)),
+
+    // MinHash-LSH near-dup: must reproduce the exact-Jaccard pair set.
+    "llm_dedup_minhash" -> QuerySpec(
+      fn = (s, dir) => minhashPairs(nearCorpus(s, dir)),
+      oracle = Some(jaccardOracle),
+      bench = true),
+
+    // SimHash near-dup candidates (chunk-join, hamming ≤ 6). Not
+    // SQL-expressible in the oracle (xxhash64) → rows-only check; semantics
+    // covered by DedupSpec.
+    "llm_dedup_simhash" -> QuerySpec(
+      fn = (s, dir) => {
+        val sims = simhashed(nearCorpus(s, dir))
+        val chunks = sims.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), k -> (shiftright(simhash, k * 16) & 65535))")))
+          .withColumnRenamed("pos", "k").withColumnRenamed("col", "chunk")
+        chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"), col("chunk"))
+          .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"), col("chunk")),
+            Seq("k", "chunk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(ha ^ hb)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+      }),
+
+    // Embedding-cosine near-dup via hyperplane LSH + exact verification.
+    "llm_dedup_embed" -> QuerySpec(
+      fn = (s, dir) => embNearDupPairs(embCorpus(s, dir)),
+      oracle = Some(s"""
+        WITH $embCorpusSql,
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) AS cosine
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95""")))
+}
