@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
     graft.pipeline.PipelineQueries,
-    graft.llm.Dedup)
+    graft.llm.Dedup,
+    graft.llm.Knn)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

@@ -182,31 +182,9 @@ object Dedup extends QueryModule {
               for i in generate_series(1, 64)]
       FROM embeddings)"""
 
-  /** Sequential-fold cosine between two double-array columns — same
-    * accumulation order as the oracle's list_reduce, so doubles match
-    * bit-for-bit. */
-  private def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"""
-      aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-      / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
-         * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""")
-
-  /** Random-hyperplane LSH codes: 4 tables × 8 sign bits. Hyperplane
-    * components are pseudo-random doubles in [-1, 1] derived from
-    * xxhash64(table:bit:dim) — deterministic, no RNG state to ship. */
-  private val lshCodes = """
-    transform(sequence(0, 3), t -> named_struct('t', t, 'code',
-      aggregate(sequence(0, 7), 0, (acc, j) ->
-        acc * 2 + CASE WHEN
-          aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, i) ->
-            s + element_at(ve, i) *
-                (CAST(pmod(xxhash64(concat(t, ':', j, ':', i)), 2001) AS DOUBLE)
-                 / 1000.0 - 1.0)) >= 0.0
-        THEN 1 ELSE 0 END)))"""
-
   private def embNearDupPairs(corpus: DataFrame): DataFrame = {
     val coded = corpus
-      .select(col("vec_id"), col("ve"), explode(expr(lshCodes)).as("tc"))
+      .select(col("vec_id"), col("ve"), explode(VectorOps.lshCodes()).as("tc"))
       .select(col("vec_id"), col("ve"), col("tc.t").as("t"), col("tc.code").as("code"))
     val cand = coded.select(col("vec_id").as("vec_a"), col("ve").as("va"), col("t"), col("code"))
       .join(coded.select(col("vec_id").as("vec_b"), col("ve").as("vb"), col("t"), col("code")),
@@ -214,7 +192,7 @@ object Dedup extends QueryModule {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "va", "vec_b", "vb").distinct()
     cand
-      .withColumn("cosine", cosine("va", "vb"))
+      .withColumn("cosine", VectorOps.cosine("va", "vb"))
       .filter(col("cosine") >= 0.95)
       .select("vec_a", "vec_b", "cosine")
   }
