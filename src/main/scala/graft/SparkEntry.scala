@@ -15,7 +15,8 @@ object SparkEntry {
     graft.operators.RelationalQueries,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
-    graft.llm.Knn)
+    graft.llm.Knn,
+    graft.llm.TextAnalysis)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

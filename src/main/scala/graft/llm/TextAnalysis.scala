@@ -1,0 +1,180 @@
+package graft.llm
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents.text`: per-document statistics /
+  * quality scoring, stopword-based language ID, corpus term frequencies
+  * (unigram + bigram), and rolling-hash fingerprinting.
+  *
+  * Everything is built from codegen-able built-ins and higher-order
+  * functions — no UDFs — so the scans stay inside whole-stage codegen and
+  * column pruning reaches parquet (only `doc_id`/`text` are read). Corpus
+  * aggregations (term frequency) are single-shuffle hash aggregates with
+  * map-side partials; per-document operators are shuffle-free map work:
+  * at 100 TB these scale with input, not with pair counts.
+  *
+  * Numeric discipline: all derived ratios are rational arithmetic (int
+  * counts + one double division) so Spark and DuckDB produce bit-identical
+  * doubles — no transcendental functions whose last-ulp behavior could
+  * differ between libms.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Stopword lists for the 5 fixture languages (tiny on purpose — this is
+    * the classic marker-word heuristic, not a model). */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Character-fold polynomial hash `h = (h*31 + code) mod 1e9+7` of a
+    * string-typed SQL expression (same fold as the oracle's list_reduce). */
+  private def polyHash(e: String): String =
+    s"""aggregate(split($e, ''), CAST(0 AS BIGINT),
+        (h, c) -> pmod(h * 31 + ascii(c), CAST(1000000007 AS BIGINT)))"""
+
+  private def polyHashSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+        (h, c) -> (h * 31 + c) % 1000000007)"""
+
+  def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    // Per-document statistics + a rational-arithmetic quality score.
+    "llm_text_stats" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("sum_tok_len",
+          expr("aggregate(toks, 0, (acc, t) -> acc + length(t))"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> t = 'the' or t = 'a' or t = 'of'))"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          length(col("text")).as("n_chars"),
+          (col("sum_tok_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (least(col("n_tokens"), lit(100)).cast("double") / 100.0 *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")))
+            .as("quality_score")),
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                             (a, b) -> a + b) AS sum_tok_len,
+                 len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'of'))
+                   AS n_stop
+          FROM t)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+               CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 *
+                 (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // Stopword-marker language ID: argmax score, ties → smallest lang code.
+    "llm_text_lang" -> QuerySpec(
+      fn = (s, dir) => {
+        val scored = stopwords.foldLeft(
+          docs(s, dir).withColumn("toks", split(lower(col("text")), "\\s+"))) {
+          case (df, (lang, words)) =>
+            val cond = words.map(w => s"t = '$w'").mkString(" or ")
+            df.withColumn(s"c_$lang", expr(s"size(filter(toks, t -> $cond))"))
+        }
+        // min over (−count, lang) = argmax count with lexicographic tiebreak.
+        val arr = stopwords.map { case (lang, _) =>
+          s"named_struct('c', -c_$lang, 'l', '$lang')" }.mkString(", ")
+        scored.select(
+          col("doc_id"),
+          expr(s"array_sort(array($arr))[0].l").as("predicted_lang"),
+          col("c_en").as("score_en"),
+          col("c_de").as("score_de"))
+      },
+      oracle = Some {
+        val counts = stopwords.map { case (lang, words) =>
+          val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+          s"len(list_filter(toks, x -> $cond)) AS c_$lang" }.mkString(",\n               ")
+        val arr = stopwords.map { case (lang, _) =>
+          s"{'c': -c_$lang, 'l': '$lang'}" }.mkString(", ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+               $counts
+          FROM t)
+        SELECT doc_id, list_sort([$arr])[1].l AS predicted_lang,
+               CAST(c_en AS INT) AS score_en, CAST(c_de AS INT) AS score_de
+        FROM m"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Corpus unigram term frequency, top 100 (count desc, term asc).
+    "llm_text_tf" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("term"),
+          col("doc_id"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(100),
+      oracle = Some("""
+        SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY tf DESC, term LIMIT 100"""),
+      bench = true),
+
+    // Corpus bigram frequency, top 100.
+    "llm_text_ngram" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .select(explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 1, 1)),
+               i -> concat_ws(' ', slice(toks, i, 2)))""")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("bigram"))
+        .limit(100),
+      oracle = Some("""
+        SELECT bigram, count(*) AS tf
+        FROM (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in generate_series(1, greatest(len(toks) - 1, 1))])
+                AS bigram
+              FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents))
+        GROUP BY bigram ORDER BY tf DESC, bigram LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Rolling-hash fingerprints: whole-text polynomial hash + the minimum
+    // 8-char-window hash (the winnowing primitive).
+    "llm_text_fingerprint" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        expr(polyHash("text")).as("full_hash"),
+        expr(s"""array_min(transform(
+            sequence(1, greatest(length(text) - 7, 1)),
+            i -> ${polyHash("substring(text, i, 8)")}))""").as("min_window_hash")),
+      oracle = Some(s"""
+        SELECT doc_id,
+               ${polyHashSql("text")} AS full_hash,
+               list_min([${polyHashSql("substring(text, i, 8)")}
+                         for i in generate_series(1, greatest(length(text) - 7, 1))])
+                 AS min_window_hash
+        FROM documents""")))
+}
