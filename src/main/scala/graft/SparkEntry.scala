@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
+    graft.operators.TimeWindows,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.Knn,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.api.{Exact, QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Event-time window operators over `events.ts` (SURVEY §2.8 T4 — absent
+  * from the reference, which only aggregates globally by key).
+  *
+  * Batch analogs of the streaming window family, oracle-checked: tumbling
+  * and sliding via `window()` (epoch-aligned, matching DuckDB's
+  * `time_bucket`), sessions via native `session_window` (30-minute gap,
+  * window end = last event + gap). The same `window()`/`session_window`
+  * expressions run unchanged under `readStream` + `withWatermark` —
+  * StreamingSpec exercises that path with late-data eviction.
+  *
+  * Scale: each query is one hash-aggregate shuffle keyed by (window, key);
+  * sliding expands each row to duration/slide = 2 windows before the
+  * partial aggregate — no self-joins, no windows-over-raw-rows.
+  */
+object TimeWindows extends QueryModule {
+
+  import Exact.{dsum, sqlSum}
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def queries: Map[String, QuerySpec] = Map(
+    // Tumbling 1-hour windows per event type.
+    "ts_window_tumbling" -> QuerySpec(
+      fn = (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(
+          date_format(col("window.start"), fmt).as("window_start"),
+          col("event_type"), col("n"), col("total")),
+      oracle = Some(s"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               event_type, COUNT(*) AS n, ${sqlSum("value")} AS total
+        FROM events GROUP BY 1, 2"""),
+      bench = true),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    "ts_window_sliding" -> QuerySpec(
+      fn = (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(
+          date_format(col("window.start"), fmt).as("window_start"),
+          col("n"), col("total")),
+      oracle = Some(s"""
+        SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                          - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               COUNT(*) AS n, ${sqlSum("value")} AS total
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        GROUP BY 1""")),
+
+    // Session windows per user: 30-minute inactivity gap; session end is
+    // last event + gap (native session_window semantics).
+    "ts_window_session" -> QuerySpec(
+      fn = (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), fmt).as("session_start"),
+          date_format(col("session_window.end"), fmt).as("session_end"),
+          col("n_events"), col("total")),
+      oracle = Some(s"""
+        WITH lagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM lagged)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
+                 AS session_end,
+               COUNT(*) AS n_events, ${sqlSum("value")} AS total
+        FROM sess GROUP BY user_id, sid""")))
+}
