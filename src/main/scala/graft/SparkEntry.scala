@@ -17,7 +17,8 @@ object SparkEntry {
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.Knn,
-    graft.llm.TextAnalysis)
+    graft.llm.TextAnalysis,
+    graft.llm.MultimodalQueries)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

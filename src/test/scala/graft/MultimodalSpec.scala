@@ -1,0 +1,32 @@
+package graft
+
+import graft.llm.Multimodal
+
+/** Multimodal plumbing: typed binary Dataset → partition-batched decode →
+  * features/frames, deterministic and shape-correct. */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode pipeline preserves rows, partitioning, and determinism") {
+    val in = Multimodal.assets(spark, sfDir).repartition(5)
+    val out = Multimodal.decode(in, nFrames = 4).cache()
+
+    assert(out.count() === in.count())
+    assert(out.rdd.getNumPartitions === 5) // mapPartitions keeps batching
+
+    val rows = out.collect()
+    rows.foreach { d =>
+      assert(d.features.length === 16)
+      val sum = d.features.sum
+      assert(math.abs(sum - 1f) < 1e-3, s"histogram not normalized: $sum")
+      assert(d.frames.length === 4)
+      assert(d.frames.map(_.length).sum === d.media.length, "frames must tile the payload")
+      assert(d.meta.width >= 16 && d.meta.height >= 16)
+      assert((d.meta.kind == "audio") == (d.meta.sampleRate == 16000))
+    }
+
+    // Determinism: a second run produces identical features.
+    val again = Multimodal.decode(Multimodal.assets(spark, sfDir).repartition(3), 4)
+      .collect().map(d => d.asset_id -> d.features.toSeq).toMap
+    rows.foreach(d => assert(again(d.asset_id) === d.features.toSeq))
+  }
+}
