@@ -107,6 +107,22 @@ object PipelineQueries extends QueryModule {
       fn = (s, _) => IpRegionDim.frame(s),
       oracle = Some(IpRegionDim.oracleSql)),
 
+    // CSV raw source with the declared RAW_SCHEMA (S2/P2): the raw feed is
+    // round-tripped through CSV files and read back `spark.read.schema(RAW
+    // _SCHEMA).csv` — empty fields become nulls, the timestamp column stays
+    // a raw string until try_to_timestamp — then gated exactly like
+    // pipe_bronze_gate, so the oracle is identical.
+    "pipe_csv_source" -> QuerySpec(
+      fn = (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        rawActivity(s, dir).write.mode("overwrite")
+          .option("header", "true").csv(tmp)
+        val raw = s.read.schema(ActivityPipeline.RawSchema)
+          .option("header", "true").csv(tmp)
+        ntz(ActivityPipeline.bronzeValid(ActivityPipeline.parseRaw(raw)), "timestamp")
+      },
+      oracle = Some(s"""WITH $validSql SELECT * FROM valid""")),
+
     // Bronze quality gate, valid branch (P1-P5, P8).
     "pipe_bronze_gate" -> QuerySpec(
       fn = (s, dir) =>
