@@ -114,33 +114,55 @@ object Dedup extends QueryModule {
     FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
     WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8"""
 
-  /** MinHash signatures → banded LSH candidates → exact verification. */
+  /** Per-document distinct shingle ARRAY (no explode — signatures fold over
+    * it in place). */
+  private def shingleArrays(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(toks) - 2, 1)),
+             i -> concat_ws(' ', slice(toks, i, 3))))""").as("sh"))
+
+  /** MinHash signatures → banded LSH candidates → exact verification.
+    *
+    * Hot-path design (this is the headline dedup benchmark):
+    *   - each shingle string is hashed ONCE (`xxhash64` — a codegen'd
+    *     expression, unlike higher-order functions which run interpreted);
+    *   - the 128 permutations come from a broadcast join against a 128-row
+    *     perm dimension, with `xxhash64(h, perm)` as the permuted value —
+    *     the whole expansion + partial-aggregated min stays inside
+    *     whole-stage codegen (long-only arithmetic; no ANSI overflow since
+    *     no raw multiply);
+    *   - band identity is an order-insensitive XOR of `xxhash64(min, perm)`
+    *     over the band's 4 permutations — a second codegen hash aggregate,
+    *     no collect_list / sort / JSON in the loop (and no ANSI overflow,
+    *     unlike a long SUM).
+    * The only shuffles are the two partial-aggregated groupBys, the
+    * candidate join on (band, band-hash), and the verify joins on doc ids —
+    * never an all-pairs product. */
   private def minhashPairs(corpus: DataFrame): DataFrame = {
-    val sh = shingles(corpus)
-    // 128 permutations approximated by seeded xxhash64 families; min per
-    // (doc, perm) is a plain partial-aggregated shuffle.
-    val mins = sh
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 127), p -> xxhash64(shingle, p))")))
-      .withColumnRenamed("pos", "perm").withColumnRenamed("col", "h")
-      .groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
-    // r=4 rows per band, b=32 bands; band identity = hash of its 4 mins.
+    val perms = broadcast(corpus.sparkSession.range(128).toDF("perm"))
+    val sh = shingles(corpus).withColumn("h", xxhash64(col("shingle")))
+    val mins = sh.join(perms)
+      .select(col("doc_id"), col("perm"), xxhash64(col("h"), col("perm")).as("hp"))
+      .groupBy("doc_id", "perm").agg(min(col("hp")).as("mh"))
+    // r=4 rows per band, b=32 bands.
     val bands = mins
-      .withColumn("band", expr("perm div 4"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("perm"), col("mh"))))))
-        .as("bh"))
+      .select(col("doc_id"), expr("perm div 4").as("band"),
+        xxhash64(col("mh"), col("perm")).as("hc"))
+      .groupBy("doc_id", "band").agg(expr("bit_xor(hc)").as("bh"))
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // Verify candidates only (array intersect over two ~100-element sets).
-    val sets = shingles(corpus).groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("ss"), count(lit(1)).as("n"))
+    val sets = shingleArrays(corpus)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.8)
