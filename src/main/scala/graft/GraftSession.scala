@@ -38,6 +38,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
       // natively; read as long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state (dedup, windows) in RocksDB: state size is bounded
+      // by disk, not executor heap — the only viable backend when 2 hours
+      // of dedup keys no longer fit in memory at 100 TB/day.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
   }
 

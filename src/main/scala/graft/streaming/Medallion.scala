@@ -2,7 +2,9 @@ package graft.streaming
 
 import graft.pipeline.ActivityPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_date}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DateType, StructField, StructType}
 
 /** The streaming medallion pipeline: raw CSV → bronze (valid + quarantine)
   * → silver (watermarked dedup + enrichment) → gold (complete-mode analog).
@@ -47,6 +49,13 @@ object Medallion {
 
   val defaultTrigger: Trigger = Trigger.ProcessingTime("1 minute")
 
+  /** Bronze and silver are partitioned by event date — at 100 TB this is
+    * what keeps downstream scans prunable (dynamic partition pruning) and
+    * file listings bounded; the partition column rides along in the layer
+    * schema on read. */
+  private def dated(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("event_date", DateType))
+
   /** Bronze: incremental CSV scan → gate → two append sinks. */
   def startBronze(
       spark: SparkSession,
@@ -60,9 +69,11 @@ object Medallion {
       .csv(dirs.raw)
     val parsed = ActivityPipeline.parseRaw(raw)
     val valid = ActivityPipeline.bronzeValid(parsed)
+      .withColumn("event_date", to_date(col("timestamp")))
       .writeStream
       .format("parquet")
       .outputMode("append")
+      .partitionBy("event_date")
       .option("checkpointLocation", dirs.checkpoint("bronze_valid"))
       .trigger(trigger)
       .start(dirs.bronze)
@@ -83,15 +94,18 @@ object Medallion {
       trigger: Trigger = defaultTrigger,
       watermark: String = "2 hours"): StreamingQuery = {
     val bronze = spark.readStream
-      .schema(ActivityPipeline.ParsedSchema)
+      .schema(dated(ActivityPipeline.ParsedSchema))
       .parquet(dirs.bronze)
     val deduped = bronze
+      .drop("event_date") // re-derived below; dedup state keys stay minimal
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("log_id")
     ActivityPipeline.enrich(deduped)
+      .withColumn("event_date", to_date(col("timestamp")))
       .writeStream
       .format("parquet")
       .outputMode("append")
+      .partitionBy("event_date")
       .option("checkpointLocation", dirs.checkpoint("silver"))
       .trigger(trigger)
       .start(dirs.silver)
@@ -103,14 +117,15 @@ object Medallion {
       dirs: Dirs,
       trigger: Trigger = defaultTrigger): StreamingQuery = {
     val silver = spark.readStream
-      .schema(ActivityPipeline.SilverSchema)
+      .schema(dated(ActivityPipeline.SilverSchema))
       .parquet(dirs.silver)
     silver.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
         // Batch read goes through the sink's _spark_metadata log, so only
         // committed files are visible; overwrite keeps the write idempotent
         // across retries (exactly-once complete-mode analog).
-        val full = spark.read.schema(ActivityPipeline.SilverSchema).parquet(dirs.silver)
+        val full = spark.read
+          .schema(dated(ActivityPipeline.SilverSchema)).parquet(dirs.silver)
         ActivityPipeline.gold(full)
           .write.mode("overwrite").parquet(dirs.gold)
         ()
