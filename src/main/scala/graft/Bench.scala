@@ -57,8 +57,12 @@ object Bench {
     val total = ok.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      Files.writeString(Paths.get(p), json + "\n")
+    // Always leave a machine-readable copy on disk: sbt prefixes forked
+    // stdout with "[info] ", which broke JSON-line scraping in the past.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try Files.writeString(Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     println(json)
     spark.stop()
