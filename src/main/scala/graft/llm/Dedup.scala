@@ -142,16 +142,18 @@ object Dedup extends QueryModule {
     * candidate join on (band, band-hash), and the verify joins on doc ids —
     * never an all-pairs product. */
   private def minhashPairs(corpus: DataFrame): DataFrame = {
-    val perms = broadcast(corpus.sparkSession.range(128).toDF("perm"))
-    val sh = shingles(corpus).withColumn("h", xxhash64(col("shingle")))
-    val mins = sh.join(perms)
-      .select(col("doc_id"), col("perm"), xxhash64(col("h"), col("perm")).as("hp"))
-      .groupBy("doc_id", "perm").agg(min(col("hp")).as("mh"))
-    // r=4 rows per band, b=32 bands.
-    val bands = mins
-      .select(col("doc_id"), expr("perm div 4").as("band"),
-        xxhash64(col("mh"), col("perm")).as("hc"))
-      .groupBy("doc_id", "band").agg(expr("bit_xor(hc)").as("bh"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Signatures in one codegen'd pass per document (see MinHashSig) —
+    // no row expansion, no signature shuffle. Band identity (r=4, b=32)
+    // hashes each 4-min slice of the signature array.
+    val sigs = shingleArrays(corpus)
+      .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 31), b ->
+             xxhash64(element_at(sig, b * 4 + 1), element_at(sig, b * 4 + 2),
+                      element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))""")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
