@@ -88,10 +88,13 @@ case class MinHashSig(child: Expression, numPerms: Int = 128)
 object GraftFunctions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(children.head)))
+    Seq(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "minhash_sig"),
+        (children: Seq[Expression]) => MinHashSig(children.head)),
+      (FunctionIdentifier("hyperplane_codes"),
+        new ExpressionInfo(classOf[HyperplaneCodes].getCanonicalName, "hyperplane_codes"),
+        (children: Seq[Expression]) => HyperplaneCodes(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -215,9 +215,7 @@ object Dedup extends QueryModule {
       FROM embeddings)"""
 
   private def embNearDupPairs(corpus: DataFrame): DataFrame = {
-    val coded = corpus
-      .select(col("vec_id"), col("ve"), explode(VectorOps.lshCodes()).as("tc"))
-      .select(col("vec_id"), col("ve"), col("tc.t").as("t"), col("tc.code").as("code"))
+    val coded = VectorOps.lshCoded(corpus.select(col("vec_id"), col("ve")))
     val cand = coded.select(col("vec_id").as("vec_a"), col("ve").as("va"), col("t"), col("code"))
       .join(coded.select(col("vec_id").as("vec_b"), col("ve").as("vb"), col("t"), col("code")),
         Seq("t", "code"))

@@ -49,10 +49,9 @@ object Knn extends QueryModule {
 
   /** LSH candidates → exact cosine → top-k (rows bounded by bucket sizes). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def coded(df: DataFrame, idAs: String, veAs: String) = df
-      .select(col("vec_id"), col("ve"), explode(VectorOps.lshCodes()).as("tc"))
-      .select(col("vec_id").as(idAs), col("ve").as(veAs),
-        col("tc.t").as("t"), col("tc.code").as("code"))
+    def coded(df: DataFrame, idAs: String, veAs: String) =
+      VectorOps.lshCoded(df.select(col("vec_id"), col("ve")))
+        .select(col("vec_id").as(idAs), col("ve").as(veAs), col("t"), col("code"))
     val cand = coded(queries, "query_id", "vq")
       .join(coded(corpus, "neighbor_id", "vn"), Seq("t", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))

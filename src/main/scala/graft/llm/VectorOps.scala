@@ -22,19 +22,14 @@ object VectorOps {
       / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
          * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""")
 
-  /** Random-hyperplane LSH codes over a 64-dim double-array column:
-    * `tables` tables × `bits` sign bits. Hyperplane components are
-    * pseudo-random doubles in [-1, 1] derived from xxhash64(table:bit:dim) —
-    * fully deterministic, no RNG state to broadcast. Returns an
-    * array<struct<t:int, code:int>> expression over column `ve`. */
-  def lshCodes(tables: Int = 4, bits: Int = 8, dims: Int = 64): Column =
-    expr(s"""
-      transform(sequence(0, ${tables - 1}), t -> named_struct('t', t, 'code',
-        aggregate(sequence(0, ${bits - 1}), 0, (acc, j) ->
-          acc * 2 + CASE WHEN
-            aggregate(sequence(1, $dims), CAST(0.0 AS DOUBLE), (s, i) ->
-              s + element_at(ve, i) *
-                  (CAST(pmod(xxhash64(concat(t, ':', j, ':', i)), 2001) AS DOUBLE)
-                   / 1000.0 - 1.0)) >= 0.0
-          THEN 1 ELSE 0 END)))""")
+  /** Random-hyperplane LSH codes over a double-array column `ve` — the
+    * native codegen expression [[graft.functions.HyperplaneCodes]]
+    * (4 tables × 16 sign bits), exposed as (table, code) rows. */
+  def lshCoded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(df.columns.map(org.apache.spark.sql.functions.col) :+
+      org.apache.spark.sql.functions.posexplode(expr("hyperplane_codes(ve)")): _*)
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "code")
+  }
 }
