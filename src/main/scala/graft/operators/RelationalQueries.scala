@@ -617,6 +617,40 @@ object RelationalQueries extends QueryModule {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         WHERE o_totalprice > 1.5 * (
           SELECT ${sqlSum("o_totalprice")} / COUNT(*)
-          FROM orders i WHERE i.o_custkey = o.o_custkey)"""))
+          FROM orders i WHERE i.o_custkey = o.o_custkey)""")),
+
+    // ------------------------------------------------------------------
+    // Pivot: one column per line status (fixed value list → no extra pass
+    // to discover values, which matters when the input is large).
+    "rel_pivot" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum($"l_quantity"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag,
+               ${sqlSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+               ${sqlSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // Sketch aggregates (HLL distinct count, approximate percentile) next
+    // to their exact counterparts. Sketch outputs are implementation-
+    // specific so there is no cross-engine oracle; ApproxAggSpec bounds the
+    // relative error against the exact values instead.
+    "rel_agg_approx" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            countDistinct($"l_partkey").as("exact_parts"),
+            percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+              .as("approx_median"),
+            median($"l_extendedprice").as("exact_median"))
+      })
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.api.{Exact, QueryModule, QuerySpec}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time window operators over `events.ts` (SURVEY §2.8 T4 — absent
@@ -84,5 +85,62 @@ object TimeWindows extends QueryModule {
                strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S')
                  AS session_end,
                COUNT(*) AS n_events, ${sqlSum("value")} AS total
-        FROM sess GROUP BY user_id, sid""")))
+        FROM sess GROUP BY user_id, sid""")),
+
+    // As-of join expressed as a window (the Spark-first shape: one shuffle
+    // on the partition key, no join at all): for every event, the timestamp
+    // of the user's most recent purchase at-or-before it.
+    "ts_asof_last_purchase" -> QuerySpec(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .withColumn("last_purchase",
+            last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
+              .over(w))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            date_format(col("last_purchase"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_purchase"))
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                                   IGNORE NULLS)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
+        FROM events""")),
+
+    // Range join, bucketed (the 100 TB shape): clicks within the 5 minutes
+    // before each error, same user. Each error probes its own 5-minute
+    // bucket and the previous one — an equi-join on (user, bucket) plus a
+    // residual range filter; never a full theta-join.
+    "ts_range_join" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val bucket = (c: org.apache.spark.sql.Column) =>
+          floor(unix_timestamp(c) / 300).cast("long")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id").as("eu"), col("ts").as("ets"))
+          .withColumn("probe", explode(array(bucket(col("ets")), bucket(col("ets")) - 1)))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"))
+          .withColumn("cb", bucket(col("cts")))
+        errors.join(clicks,
+            col("eu") === col("cu") && col("probe") === col("cb") &&
+              col("cts") >= col("ets") - expr("INTERVAL 5 MINUTES") &&
+              col("cts") < col("ets"), "left")
+          .groupBy(col("event_id"))
+          .agg(count(col("cts")).as("n_clicks_5m"))
+      },
+      oracle = Some("""
+        SELECT e.event_id,
+               (SELECT COUNT(*) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts >= e.ts - INTERVAL '5 minutes' AND c.ts < e.ts)
+                 AS n_clicks_5m
+        FROM events e WHERE e.event_type = 'error'""")))
 }

@@ -43,4 +43,29 @@ class StreamingWindowSpec extends SparkSpec {
       assert(!out.contains("02:00"), "open window emitted before watermark")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = mem.toDF().toDF("log_id", "ts")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("log_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    try {
+      mem.addData(("a", t("2024-01-01 10:00:00")), ("a", t("2024-01-01 10:01:00")),
+        ("b", t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // Same key again in a LATER micro-batch, still inside the watermark →
+      // state must suppress it.
+      mem.addData(("a", t("2024-01-01 10:30:00")), ("c", t("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").groupBy("log_id").count()
+        .as[(String, Long)].collect().toMap
+      assert(keys === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    } finally q.stop()
+  }
 }
