@@ -129,13 +129,22 @@ object ActivityPipeline {
     * lexicographically smallest region. Two shuffles, both with map-side
     * partial aggregation; the window runs on the already-aggregated
     * (user, region) rows (≤ #regions per user), never on raw events. */
-  def gold(enriched: DataFrame): DataFrame = {
-    val byRegion = enriched
+  def gold(enriched: DataFrame): DataFrame =
+    goldFromByRegion(byRegion(enriched))
+
+  /** Stage 1: per-(user, region) exact-decimal sums — also the merge key of
+    * the incremental gold state (commutative, so increments can be unioned
+    * and re-summed). */
+  def byRegion(enriched: DataFrame): DataFrame =
+    enriched
       .groupBy(col("user_id"), col("geo_region"))
       .agg(sum(col("watch_time").cast(DecimalType(30, 6))).as("wt"))
+
+  /** Stage 2: finalize gold from (user, region, wt) partial sums. */
+  def goldFromByRegion(br: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("wt").desc, col("geo_region").asc)
-    byRegion
+    br
       .withColumn("__rn", row_number().over(w))
       .withColumn("total_dec", sum(col("wt")).over(Window.partitionBy(col("user_id"))))
       .filter(col("__rn") === 1)

@@ -135,6 +135,58 @@ object Medallion {
       .start()
   }
 
+  /** Gold, the 100 TB shape: instead of re-aggregating the whole silver
+    * table per trigger, maintain the per-(user, region) partial sums as a
+    * compact state table and merge only each micro-batch's increment into
+    * it — work per trigger scales with the increment, state scales with
+    * |users × regions|, not with history.
+    *
+    * Exactly-once: state versions are keyed by micro-batch id. A retried
+    * batch re-reads the newest version strictly older than itself and
+    * overwrites its own version — idempotent; the final gold overwrite is
+    * likewise idempotent.
+    */
+  def startGoldIncremental(
+      spark: SparkSession,
+      dirs: Dirs,
+      trigger: Trigger = defaultTrigger): StreamingQuery = {
+    val silver = spark.readStream
+      .schema(dated(ActivityPipeline.SilverSchema))
+      .parquet(dirs.silver)
+    val stateBase = s"${dirs.base}/gold_state"
+    silver.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val basePath = new org.apache.hadoop.fs.Path(stateBase)
+        val fs = basePath.getFileSystem(conf)
+        val versions: Seq[Long] =
+          if (!fs.exists(basePath)) Seq.empty
+          else fs.listStatus(basePath).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("v"))
+            .map(_.drop(1).toLong).filter(_ < batchId).sorted
+        val inc = ActivityPipeline.byRegion(batch)
+        val merged = versions.lastOption match {
+          case Some(v) =>
+            spark.read.parquet(s"$stateBase/v$v")
+              .unionByName(inc)
+              .groupBy(col("user_id"), col("geo_region"))
+              .agg(org.apache.spark.sql.functions.sum(col("wt")).as("wt"))
+          case None => inc
+        }
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        val state = spark.read.parquet(s"$stateBase/v$batchId")
+        ActivityPipeline.goldFromByRegion(state)
+          .write.mode("overwrite").parquet(dirs.gold)
+        // Keep only the newest prior version for retry safety.
+        versions.dropRight(1).foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stateBase/v$v"), true))
+        ()
+      }
+      .option("checkpointLocation", dirs.checkpoint("gold_incremental"))
+      .trigger(trigger)
+      .start()
+  }
+
   /** Drain everything currently in `dirs.raw` through all three layers with
     * `Trigger.AvailableNow`, sequentially (bronze → silver → gold), blocking
     * until each finishes. Re-runnable: checkpoints make every layer pick up
