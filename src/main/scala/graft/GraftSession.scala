@@ -44,6 +44,12 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      // Default warehouse under tmp (bucketed-table support out of the box
+      // without polluting the caller's working directory); explicit
+      // -Dspark.sql.warehouse.dir still wins via sys props below.
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("spark.sql.warehouse.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"))
   }
 
   def apply(appName: String = "graft"): SparkSession = {

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed.
+  *
+  * AQE's skew-join splitting (on by default in [[graft.GraftSession]])
+  * handles most cases at runtime; explicit salting remains the tool when a
+  * single key is so hot that even split partitions overwhelm one executor,
+  * or when the build side must stay a shuffle join. The salt is derived
+  * deterministically from the probe row (hash of all columns mod n) — no
+  * RNG state, reproducible plans.
+  *
+  * Cost model: the probe side gets an extra narrow column; the build side
+  * is replicated n times — choose n ≈ (hot-key rows / rows-per-task), and
+  * keep the build side the smaller input.
+  */
+object Skew {
+
+  /** Inner equi-join `left.key == right.key`, salted n ways: each left row
+    * carries one deterministic salt; each right row is replicated across
+    * all n salts, so every matching pair appears exactly once — identical
+    * multiplicity to the unsalted join, but the shuffle key becomes
+    * (key, salt), spreading a hot key over n partitions. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"salt count must be positive, got $n")
+    val leftCols: Array[Column] = left.columns.map(col)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(struct(leftCols.toIndexedSeq: _*)), lit(n.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(n.toLong - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+}
