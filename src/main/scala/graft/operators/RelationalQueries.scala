@@ -636,6 +636,51 @@ object RelationalQueries extends QueryModule {
                ${sqlSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // Array functions (north-star §2.7 addition). Array payloads carry only
+    // stored values (no computed floats) so both engines round-trip the
+    // exact same bits.
+    "rel_scalar_arrays" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .withColumn("rates", array($"l_tax", $"l_discount"))
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            size($"rates").as("n"),
+            array_max($"rates").as("max_rate"),
+            array_contains($"rates", 0.0).as("has_zero"),
+            sort_array($"rates").as("sorted_rates"),
+            element_at($"rates", 1).as("first_rate"))
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(len(rates) AS INT) AS n,
+               list_max(rates) AS max_rate,
+               list_contains(rates, 0.0) AS has_zero,
+               list_sort(rates) AS sorted_rates,
+               rates[1] AS first_rate
+        FROM (SELECT l_orderkey, l_linenumber, [l_tax, l_discount] AS rates
+              FROM lineitem)""")),
+
+    // Map functions over JSON-parsed event properties.
+    "rel_scalar_map" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .withColumn("m", from_json($"props", lit("map<string,int>")))
+          .select(
+            $"event_id",
+            map_keys($"m").as("ks"),
+            element_at($"m", "k").as("k_value"),
+            size($"m").as("n_entries"))
+      },
+      oracle = Some("""
+        SELECT event_id,
+               CAST(json_keys(props) AS VARCHAR[]) AS ks,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+               CAST(len(json_keys(props)) AS INT) AS n_entries
+        FROM events""")),
+
     // Sketch aggregates (HLL distinct count, approximate percentile) next
     // to their exact counterparts. Sketch outputs are implementation-
     // specific so there is no cross-engine oracle; ApproxAggSpec bounds the
