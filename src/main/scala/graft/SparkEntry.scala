@@ -27,9 +27,11 @@ object SparkEntry {
       acc ++ m.queries
     }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core computation end-to-end: raw feed → quality gate →
+    * dedup → geo enrichment → declared gold aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    specs("rel_q1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+    specs("pipe_gold").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
