@@ -85,6 +85,29 @@ object TextAnalysis extends QueryModule {
                  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
         FROM m""")),
 
+    // Token counting, three ways: whitespace words, a BPE-ish regex (word
+    // pieces / digits / punctuation runs — the pre-tokenization shape most
+    // BPE vocabularies assume), and chars-per-regex-token (the compression
+    // proxy used to budget training tokens).
+    "llm_text_tokens" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("ws_tokens", size(split(lower(col("text")), "\\s+")))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))))
+        .select(
+          col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+          (length(col("text")).cast("double") / col("bpe_tokens"))
+            .as("chars_per_token")),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+                 AS INT) AS bpe_tokens,
+               CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+                 AS chars_per_token
+        FROM documents""")),
+
     // ------------------------------------------------------------------
     // Stopword-marker language ID: argmax score, ties → smallest lang code.
     "llm_text_lang" -> QuerySpec(

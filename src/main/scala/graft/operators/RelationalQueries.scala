@@ -620,6 +620,62 @@ object RelationalQueries extends QueryModule {
           FROM orders i WHERE i.o_custkey = o.o_custkey)""")),
 
     // ------------------------------------------------------------------
+    // Nation-pair trade volume (TPC-H Q7 shape): two aliased joins of the
+    // same dimension; bounded dims broadcast, one big shuffle.
+    "rel_q7_nations_volume" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val n1 = t(s, dir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+        val n2 = t(s, dir, "nation").select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n1), $"s_nationkey" === $"sk")
+          .join(broadcast(n2), $"c_nationkey" === $"ck")
+          .filter($"supp_nation" < $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS l_year,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name < n2.n_name
+        GROUP BY 1, 2, 3"""),
+      bench = true),
+
+    // Large orders (TPC-H Q18 shape): HAVING-filtered aggregate feeding a
+    // semi-join back against the fact table.
+    "rel_q18_large_orders" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(dsum($"l_quantity").as("sum_qty"))
+          .filter($"sum_qty" > 150)
+        t(s, dir, "orders")
+          .join(big, $"o_orderkey" === big("l_orderkey"))
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+            $"sum_qty")
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING ${sqlSum("l_quantity")} > 150) b
+          ON o_orderkey = b.l_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Pivot: one column per line status (fixed value list → no extra pass
     // to discover values, which matters when the input is large).
     "rel_pivot" -> QuerySpec(
