@@ -103,16 +103,19 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private val jaccardOracle = s"""
-    WITH $nearCorpusSql, $shinglesSql,
+  private val jaccardPairsCtes = s"""$nearCorpusSql, $shinglesSql,
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8"""
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)"""
+
+  private val jaccardOracle =
+    s"""WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"""
 
   /** Per-document distinct shingle ARRAY (no explode — signatures fold over
     * it in place). */
@@ -227,6 +230,37 @@ object Dedup extends QueryModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Connected components over a near-dup pair set (label propagation:
+    * each node takes the min label among itself and its neighbors until
+    * fixpoint). This is the step that turns pairwise matches into a
+    * keep-one-per-cluster decision. Iterations are O(component diameter) —
+    * near-dup clusters are shallow — and each is one join + partial-agg
+    * shuffle; localCheckpoint truncates the growing lineage. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
+        .groupBy(col("doc_a").as("id")).agg(min(col("nl")).as("mn"))
+      val updated = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("nl"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("nl") =!= col("label")).count()
+      labels = updated.select(col("id"), col("nl").as("label"))
+    }
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
+  }
+
   def queries: Map[String, QuerySpec] = Map(
     // Exact dedup: group by content digest, keep the smallest id.
     "llm_dedup_exact" -> QuerySpec(
@@ -271,6 +305,24 @@ object Dedup extends QueryModule {
           .filter(col("hamming") <= 6)
       }),
 
+    // Near-dup clusters: connected components over the LSH-found pair set,
+    // checked against a recursive-CTE transitive closure in DuckDB.
+    "llm_dedup_clusters" -> QuerySpec(
+      fn = (s, dir) => clusters(minhashPairs(nearCorpus(s, dir))),
+      oracle = Some(s"""
+        WITH RECURSIVE $jaccardPairsCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+        SELECT cluster AS cluster_id, COUNT(*) AS n_members,
+               list_sort(list(node)) AS members
+        FROM labels GROUP BY cluster""")),
+
     // Embedding-cosine near-dup via hyperplane LSH + exact verification.
     "llm_dedup_embed" -> QuerySpec(
       fn = (s, dir) => embNearDupPairs(embCorpus(s, dir)),
@@ -285,5 +337,51 @@ object Dedup extends QueryModule {
                     * sqrt(list_reduce(list_transform(generate_series(1, 64),
                         i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) AS cosine
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95""")))
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95""")),
+
+    // int8 vector quantization (per-vector absmax scale) + reconstruction
+    // quality — the compression step a 100 TB embedding store runs before
+    // ANN. floor(x+0.5) rounding keeps both engines bit-identical.
+    "llm_embed_quantize" -> QuerySpec(
+      fn = (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+        e.select(col("vec_id"), col("ve"))
+          .withColumn("scale", expr(
+            "aggregate(ve, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+          .withColumn("q", expr(
+            """CASE WHEN scale = 0.0 THEN transform(ve, x -> 0)
+               ELSE transform(ve, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+               END"""))
+          .withColumn("dq", expr("transform(q, v -> CAST(v AS DOUBLE) * scale / 127.0)"))
+          .select(col("vec_id"), col("scale"), col("q"),
+            VectorOps.cosine("ve", "dq").as("recon_cosine"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        s AS (
+          SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(ve, x -> abs(x))),
+                    (m, x) -> greatest(m, x)) AS scale
+          FROM v),
+        q AS (
+          SELECT *, CASE WHEN scale = 0.0 THEN list_transform(ve, x -> 0)
+                         ELSE list_transform(ve, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+                    END AS q
+          FROM s),
+        d AS (
+          SELECT *, list_transform(q, x -> CAST(x AS DOUBLE) * scale / 127.0) AS dq
+          FROM q)
+        SELECT vec_id, scale, q,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [ve[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [ve[i] * ve[i] for i in generate_series(1, 64)]), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [dq[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)))
+                 AS recon_cosine
+        FROM d""")))
 }

@@ -41,6 +41,10 @@ class StreamingWindowSpec extends SparkSpec {
       assert(out("00:00") === 3.0, "late row leaked into a finalized window")
       assert(out("01:00") === 5.0)
       assert(!out.contains("02:00"), "open window emitted before watermark")
+      // T3 observability: the drop is visible in the progress metrics.
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "late-row drop not reported in metrics")
     } finally q.stop()
   }
 
