@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are asserted, not just observed once in a bench run. */
+class PlanAssertSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("rel_q1: date filter reaches the parquet scan; schema pruned") {
+    val p = plan("rel_q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate filter not pushed to scan")
+    // 7 of 11 lineitem columns are needed; the scan must not read more.
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("rel_q3: top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("rel_q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("pipe_enrich: the IP dimension joins as a broadcast hash join") {
+    assert(plan("pipe_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("llm_text_tf: document scan reads only doc_id and text") {
+    val read = plan("llm_text_tf").linesIterator
+      .find(_.trim.startsWith("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("headline queries contain no cartesian product over large inputs") {
+    for (n <- Seq("rel_q1_pricing_summary", "rel_q3_shipping_priority",
+        "rel_q5_local_supplier", "pipe_gold", "llm_dedup_minhash",
+        "ts_window_tumbling")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+  }
+}
