@@ -94,7 +94,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => MinHashSig(children.head)),
       (FunctionIdentifier("hyperplane_codes"),
         new ExpressionInfo(classOf[HyperplaneCodes].getCanonicalName, "hyperplane_codes"),
-        (children: Seq[Expression]) => HyperplaneCodes(children.head)))
+        (children: Seq[Expression]) => HyperplaneCodes(children.head)),
+      (FunctionIdentifier("vec_cosine"),
+        new ExpressionInfo(classOf[VecCosine].getCanonicalName, "vec_cosine"),
+        (children: Seq[Expression]) => VecCosine(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

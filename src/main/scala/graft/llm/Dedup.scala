@@ -344,6 +344,7 @@ object Dedup extends QueryModule {
     // ANN. floor(x+0.5) rounding keeps both engines bit-identical.
     "llm_embed_quantize" -> QuerySpec(
       fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.load(s, dir, "embeddings")
           .withColumn("ve", VectorOps.asDouble("embedding"))
         e.select(col("vec_id"), col("ve"))

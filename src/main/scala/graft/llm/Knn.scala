@@ -36,6 +36,7 @@ object Knn extends QueryModule {
 
   /** Exact top-k for queries (vec_id < 20) over the full corpus. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries
       .select(col("vec_id").as("query_id"), col("ve").as("vq")))
     val scored = corpus.join(q, col("vec_id") =!= col("query_id"))

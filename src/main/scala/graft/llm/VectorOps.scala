@@ -13,14 +13,13 @@ object VectorOps {
   def asDouble(colName: String): Column =
     expr(s"transform($colName, x -> CAST(x AS DOUBLE))")
 
-  /** Sequential-fold cosine between two double-array columns. The fold order
-    * (left-to-right, zero init) matches DuckDB's list_reduce, so results are
-    * bit-identical to the oracle. */
-  def cosine(a: String, b: String): Column =
-    expr(s"""
-      aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-      / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))
-         * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""")
+  /** Cosine between two double-array columns — the native codegen
+    * expression [[graft.functions.VecCosine]]. Accumulation is
+    * left-to-right from zero, matching DuckDB's list_reduce, so scores are
+    * bit-identical to the oracle. Callers must have run
+    * `GraftFunctions.register` on the session (lshCoded and the query
+    * entry points do). */
+  def cosine(a: String, b: String): Column = expr(s"vec_cosine($a, $b)")
 
   /** Random-hyperplane LSH codes over a double-array column `ve` — the
     * native codegen expression [[graft.functions.HyperplaneCodes]]
