@@ -184,6 +184,93 @@ object TextAnalysis extends QueryModule {
         GROUP BY bigram ORDER BY tf DESC, bigram LIMIT 100""")),
 
     // ------------------------------------------------------------------
+    // Text normalization: lowercase, strip non-printable ASCII, collapse
+    // whitespace, trim — the canonical pre-dedup cleanup pass.
+    "llm_text_normalize" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^\\x20-\\x7e]", ""),
+          "\\s+", " ")).as("normalized"))
+        .withColumn("n_chars_norm", length(col("normalized"))),
+      oracle = Some("""
+        SELECT doc_id,
+               trim(regexp_replace(
+                 regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'),
+                 '\s+', ' ', 'g')) AS normalized,
+               CAST(length(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+        FROM documents""")),
+
+    // PII-style scrubbing: emails and URLs redacted (deterministic
+    // injections on a fifth of the corpus give the patterns real matches).
+    "llm_text_scrub" -> QuerySpec(
+      fn = (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val urlRe = "https?://[^\\s]+"
+        docs(s, dir)
+          .withColumn("aug",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" contact alice@example.com via https://ex.org/a?b=1")))
+              .otherwise(col("text")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(urlRe), lit(0))).as("n_urls"),
+            regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              urlRe, "<URL>").as("scrubbed"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                 AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, 'https?://[^\s]+')) AS INT) AS n_urls,
+               regexp_replace(
+                 regexp_replace(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+        FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact alice@example.com via https://ex.org/a?b=1'
+                          ELSE text END AS aug
+              FROM documents)""")),
+
+    // Curation gate: the keep/drop funnel over language + length + stopword
+    // density (the documents-table analog of the bronze quality gate).
+    "llm_curate" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> t = 'the' or t = 'a' or t = 'of'))").cast("double")
+            / col("n_tokens"))
+        .filter(col("lang").isin("en", "fr", "es") &&
+          col("n_chars").between(100, 500) &&
+          col("stop_ratio") < 0.4)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_tokens"), col("stop_ratio")),
+      oracle = Some("""
+        SELECT doc_id, lang, n_chars,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))
+                    AS DOUBLE) / len(toks) AS stop_ratio
+        FROM (SELECT *, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+        WHERE lang IN ('en', 'fr', 'es') AND n_chars BETWEEN 100 AND 500
+          AND CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))
+                   AS DOUBLE) / len(toks) < 0.4""")),
+
+    // Seeded stratified sampling by language (training-mix curation).
+    // Spark's hash-based Bernoulli sampling is engine-specific → rows-only
+    // driver check; SamplingSpec pins determinism, subset-ness, and
+    // per-stratum rates.
+    "llm_sample_stratified" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.0),
+          42L)
+        .select(col("doc_id"), col("lang"))),
+
+    // ------------------------------------------------------------------
     // Rolling-hash fingerprints: whole-text polynomial hash + the minimum
     // 8-char-window hash (the winnowing primitive).
     "llm_text_fingerprint" -> QuerySpec(
