@@ -26,6 +26,8 @@ object GraftSession {
     val b = SparkSession
       .builder()
       .appName(appName)
+      // Engine-native functions (minhash_sig, hyperplane_codes, vec_cosine).
+      .withExtensions(new graft.functions.GraftExtensions)
     if (!masterConfigured) b.master(s"local[$cores]")
     b
       .config("spark.sql.shuffle.partitions", cores.toString)

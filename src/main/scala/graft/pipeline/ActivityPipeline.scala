@@ -52,6 +52,12 @@ object ActivityPipeline {
   val SilverSchema: StructType =
     StructType(ParsedSchema.fields :+ StructField("geo_region", StringType))
 
+  /** Gold (declared semantics, `03_gold_layer_aggregation.py:29-31`). */
+  val GoldSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("total_watch_time", DoubleType),
+    StructField("geo_region", StringType)))
+
   /** Rename + parse (P1–P3): `watch_time(min)`→`watch_time`, string→timestamp
     * (null on failure — `try_to_timestamp`, matching the reference's
     * pre-ANSI `to_timestamp` behavior), long→double. */

@@ -159,6 +159,20 @@ object PipelineQueries extends QueryModule {
           "timestamp"),
       oracle = Some(s"""WITH $enrichSql SELECT * FROM enriched""")),
 
+    // The streaming pipeline end-to-end, as a driver-visible query: seeded
+    // CSV in a temp dir → bronze/silver/gold with Trigger.AvailableNow →
+    // returns the gold table. No SQL oracle (the generator is engine-side);
+    // MedallionSpec pins the invariants — this entry proves the streaming
+    // path runs in the driver's environment.
+    "pipe_stream_e2e" -> QuerySpec(
+      fn = (s, _) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+        val dirs = graft.streaming.Medallion.Dirs(base)
+        graft.streaming.ActivityGenerator.generate(dirs.raw, numFiles = 2, rowsPerFile = 1000)
+        graft.streaming.Medallion.runAvailableNow(s, dirs)
+        s.read.schema(graft.pipeline.ActivityPipeline.GoldSchema).parquet(dirs.gold)
+      }),
+
     // Gold aggregation, declared semantics (A1+A2+W1, bugs #1/#2 resolved).
     "pipe_gold" -> QuerySpec(
       fn = (s, dir) => ActivityPipeline.goldFromRaw(rawActivity(s, dir)),

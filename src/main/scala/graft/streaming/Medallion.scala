@@ -56,7 +56,18 @@ object Medallion {
   private def dated(schema: StructType): StructType =
     StructType(schema.fields :+ StructField("event_date", DateType))
 
-  /** Bronze: incremental CSV scan → gate → two append sinks. */
+  /** Bronze: incremental CSV scan → gate → two append sinks.
+    *
+    * The valid/quarantine split is two streaming queries over the same
+    * logical source (each scans the input independently), mirroring the
+    * reference. The single-scan alternatives both give up the file sink's
+    * commit-log exactly-once contract: one query can only have one file
+    * sink, so a unified write needs either foreachBatch (manual idempotence,
+    * readers can observe in-progress files) or a dq_valid partition column
+    * (downstream would tail a partition subtree without the root metadata
+    * log). The gate is cheap map work, so paying the second scan to keep
+    * both sinks transactional is the right trade at any scale — the scans
+    * are bounded by maxFilesPerTrigger either way. */
   def startBronze(
       spark: SparkSession,
       dirs: Dirs,
