@@ -294,6 +294,47 @@ object RelationalQueries extends QueryModule {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
+    // Window: distribution family (ntile / percent_rank / cume_dist) with a
+    // unique tiebreak so ranks are total-ordered.
+    "rel_window_distribution" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""")),
+
+    // Null-handling scalar family.
+    "rel_scalar_nulls" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select(
+          $"c_custkey",
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+          expr("coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')").as("seg_defaulted"),
+          expr("ifnull(nullif(c_acctbal, 0.0), -1.0)").as("bal_or_sentinel"),
+          expr("CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN 'kept' ELSE 'dropped' END")
+            .as("keep_flag"))
+      },
+      oracle = Some("""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_defaulted,
+               ifnull(nullif(c_acctbal, 0.0), -1.0) AS bal_or_sentinel,
+               CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                    THEN 'kept' ELSE 'dropped' END AS keep_flag
+        FROM customer""")),
+
     // Window: numeric RANGE frame (peers within 100.0 of current acctbal).
     "rel_window_range_frame" -> QuerySpec(
       fn = (s, dir) => {
