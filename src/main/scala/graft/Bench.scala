@@ -23,19 +23,25 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
+    // Execute the FULL plan: count() would let Catalyst prune the very
+    // aggregates/projections being measured (and collapse pure projections
+    // to a parquet metadata count). The noop sink runs everything and
+    // discards the rows.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // Untimed warm-up against the measured dataset so JIT/codegen and file
     // listing don't land in the first query's measurement.
     names.headOption.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try run(n)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        run(name)
         (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
       } catch {
         case e: Throwable =>

@@ -17,18 +17,19 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def defaultCores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-  /** True when a master was already supplied (spark-submit, system property
-    * or env) — a library factory must not override a real cluster master. */
-  private def masterConfigured: Boolean =
-    sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER")
-
   def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder = {
     val b = SparkSession
       .builder()
       .appName(appName)
       // Engine-native functions (minhash_sig, hyperplane_codes, vec_cosine).
       .withExtensions(new graft.functions.GraftExtensions)
-    if (!masterConfigured) b.master(s"local[$cores]")
+    // A library factory must not override a real cluster master: honor an
+    // explicit SPARK_MASTER env, leave a spark.master system property for
+    // Spark itself to pick up, and only then default to local[cores].
+    sys.env.get("SPARK_MASTER") match {
+      case Some(m) => b.master(m)
+      case None => if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+    }
     b
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   *   - SimHash: near-identical docs agree on one of four 16-bit chunks
   *     (pigeonhole for hamming ≤ 3 and overwhelmingly for ≤ 6), so
   *     candidates come from a shuffle join on (chunk index, chunk value).
-  *   - embedding near-dup: random-hyperplane LSH (4 tables × 8 bits, seeded
-  *     by xxhash64 so it is deterministic and needs no driver-side RNG
-  *     state), candidates from a shuffle join on (table, code), exact cosine
-  *     verification on candidates only.
+  *   - embedding near-dup: random-hyperplane LSH (4 tables × 16 bits,
+  *     seeded by xxhash64 so it is deterministic and needs no driver-side
+  *     RNG state), candidates from a shuffle join on (table, code), exact
+  *     cosine verification on candidates only.
   */
 object Dedup extends QueryModule {
 
@@ -130,20 +130,15 @@ object Dedup extends QueryModule {
   /** MinHash signatures → banded LSH candidates → exact verification.
     *
     * Hot-path design (this is the headline dedup benchmark):
-    *   - each shingle string is hashed ONCE (`xxhash64` — a codegen'd
-    *     expression, unlike higher-order functions which run interpreted);
-    *   - the 128 permutations come from a broadcast join against a 128-row
-    *     perm dimension, with `xxhash64(h, perm)` as the permuted value —
-    *     the whole expansion + partial-aggregated min stays inside
-    *     whole-stage codegen (long-only arithmetic; no ANSI overflow since
-    *     no raw multiply);
-    *   - band identity is an order-insensitive XOR of `xxhash64(min, perm)`
-    *     over the band's 4 permutations — a second codegen hash aggregate,
-    *     no collect_list / sort / JSON in the loop (and no ANSI overflow,
-    *     unlike a long SUM).
-    * The only shuffles are the two partial-aggregated groupBys, the
-    * candidate join on (band, band-hash), and the verify joins on doc ids —
-    * never an all-pairs product. */
+    *   - the full 128-permutation signature is computed by the native
+    *     codegen expression [[graft.functions.MinHashSig]] in one tight
+    *     loop per document — each shingle hashed once, no exploded
+    *     (doc × perm) rows, no signature shuffle;
+    *   - band identity (r=4 rows × b=32 bands) is `xxhash64` over each
+    *     4-element slice of the signature array, exploded to one row per
+    *     (doc, band).
+    * The only shuffles are the candidate join on (band, band-hash) and the
+    * verify joins on doc ids — never an all-pairs product. */
   private def minhashPairs(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Signatures in one codegen'd pass per document (see MinHashSig) —

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join splitting (on by default in [[graft.GraftSession]])
   * handles most cases at runtime; explicit salting remains the tool when a
   * single key is so hot that even split partitions overwhelm one executor,
-  * or when the build side must stay a shuffle join. The salt is derived
-  * deterministically from the probe row (hash of all columns mod n) — no
-  * RNG state, reproducible plans.
+  * or when the build side must stay a shuffle join. The salt mixes a hash
+  * of the probe row with a per-row ordinal, so even fully-identical rows of
+  * a hot key (the common sentinel-key skew case) spread across all n salts;
+  * the join RESULT is salt-independent, so this costs no determinism.
   *
   * Cost model: the probe side gets an extra narrow column; the build side
   * is replicated n times — choose n ≈ (hot-key rows / rows-per-task), and
@@ -32,7 +33,8 @@ object Skew {
     require(n > 0, s"salt count must be positive, got $n")
     val leftCols: Array[Column] = left.columns.map(col)
     val l = left.withColumn("__salt",
-      pmod(xxhash64(struct(leftCols.toIndexedSeq: _*)), lit(n.toLong)))
+      pmod(xxhash64(struct(leftCols.toIndexedSeq: _*), monotonically_increasing_id()),
+        lit(n.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(n.toLong - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

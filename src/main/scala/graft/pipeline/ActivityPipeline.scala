@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   *     smallest region.
   *
   * Scale notes: the gate is shuffle-free map work; dedup is one shuffle on
-  * `log_id`; enrichment broadcasts a bounded 765-row dimension; gold is two
+  * `log_id`; enrichment broadcasts a bounded 764-row dimension; gold is two
   * shuffles (by (user, region), then by user) with partial aggregation.
   */
 object ActivityPipeline {
@@ -118,7 +118,7 @@ object ActivityPipeline {
   /** Geo enrichment as a broadcast dimension join + `coalesce(…, 'Unknown')`
     * — optimizer-transparent replacement for the reference's dict UDF
     * (`00_utils.py:41-57`): pushdown/pruning stay intact and the join
-    * broadcasts a bounded 765-row table at any scale. */
+    * broadcasts a bounded 764-row table at any scale. */
   def enrich(silver: DataFrame): DataFrame = {
     val dim = broadcast(
       IpRegionDim.frame(silver.sparkSession).withColumnRenamed("ip", "ip_address"))

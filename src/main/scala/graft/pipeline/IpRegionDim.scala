@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Deterministic IP→region dimension (765 rows).
+/** Deterministic IP→region dimension (764 rows).
   *
   * The reference builds this map with the 7 fixed entries at
   * `00_utils.py:42-48` plus unseeded `random.choice` for the rest
@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `192.168.1.0` is absent from the reference map and therefore resolves
   * to 'Unknown' downstream.
   *
-  * Bounded at 765 rows forever → always broadcast-joinable.
+  * Bounded at 764 rows forever → always broadcast-joinable.
   */
 object IpRegionDim {
 

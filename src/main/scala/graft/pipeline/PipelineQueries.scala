@@ -94,6 +94,21 @@ object PipelineQueries extends QueryModule {
              COALESCE(dim.geo_region, 'Unknown') AS geo_region
       FROM dedup d LEFT JOIN dim ON d.ip_address = dim.ip)"""
 
+  /** Fixed scratch dir under tmp, wiped on every use — repeated Verify and
+    * Bench runs must not accumulate unbounded temp trees (and the e2e
+    * pipeline needs fresh checkpoints to actually reprocess). */
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    del(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Oracle outputs carry TIMESTAMP_NTZ: Spark's UTC-adjusted parquet
     * timestamps read back tz-aware in DuckDB while the oracle side is
     * naive; session TZ is pinned UTC so the cast is value-identity. The
@@ -114,7 +129,7 @@ object PipelineQueries extends QueryModule {
     // pipe_bronze_gate, so the oracle is identical.
     "pipe_csv_source" -> QuerySpec(
       fn = (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val tmp = freshDir("csv_source")
         rawActivity(s, dir).write.mode("overwrite")
           .option("header", "true").csv(tmp)
         val raw = s.read.schema(ActivityPipeline.RawSchema)
@@ -166,8 +181,7 @@ object PipelineQueries extends QueryModule {
     // path runs in the driver's environment.
     "pipe_stream_e2e" -> QuerySpec(
       fn = (s, _) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
-        val dirs = graft.streaming.Medallion.Dirs(base)
+        val dirs = graft.streaming.Medallion.Dirs(freshDir("stream_e2e"))
         graft.streaming.ActivityGenerator.generate(dirs.raw, numFiles = 2, rowsPerFile = 1000)
         graft.streaming.Medallion.runAvailableNow(s, dirs)
         s.read.schema(graft.pipeline.ActivityPipeline.GoldSchema).parquet(dirs.gold)

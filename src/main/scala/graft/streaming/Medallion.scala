@@ -204,9 +204,12 @@ object Medallion {
     * only new input. */
   def runAvailableNow(spark: SparkSession, dirs: Dirs, timeoutMs: Long = 300000L): Unit = {
     val t = Trigger.AvailableNow()
+    def await(q: StreamingQuery, layer: String): Unit =
+      require(q.awaitTermination(timeoutMs),
+        s"$layer did not drain within ${timeoutMs} ms — downstream layers not started")
     val (bv, bq) = startBronze(spark, dirs, t)
-    bv.awaitTermination(timeoutMs); bq.awaitTermination(timeoutMs)
-    startSilver(spark, dirs, t).awaitTermination(timeoutMs)
-    startGold(spark, dirs, t).awaitTermination(timeoutMs)
+    await(bv, "bronze-valid"); await(bq, "bronze-quarantine")
+    await(startSilver(spark, dirs, t), "silver")
+    await(startGold(spark, dirs, t), "gold")
   }
 }
