@@ -33,4 +33,55 @@ class MaintenanceSpec extends SparkSpec {
     val after = spark.read.parquet(dir).orderBy("id").collect()
     assert(after === before, "compaction changed table contents")
   }
+
+  test("a committed crash leftover is completed without duplicating rows") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("compact_recover")
+    val part = "event_date=2024-03-01"
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(10).write.mode("overwrite").parquet(s"$dir/$part")
+    val before = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+
+    // Simulate a crash AFTER the commit point: the rewrite and its
+    // originals manifest exist, but the swap never ran.
+    val tmp = s"$dir/.compact_tmp_$part"
+    spark.read.parquet(s"$dir/$part").repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    val originals = new java.io.File(s"$dir/$part").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_originals"),
+      originals.map(f => s"file:${f.getAbsolutePath}").mkString("\n"))
+
+    val (nBefore, nAfter) = graft.streaming.Maintenance
+      .compactPartition(spark, dir, part, targetFileMB = 128)
+    val recovered = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+    assert(recovered === before, "recovery lost or duplicated rows")
+    assert(nBefore === 1 && nAfter === 1, "recovered partition should already be compact")
+    assert(!new java.io.File(tmp).exists(), "tmp dir must be cleaned up")
+  }
+
+  test("an uncommitted crash leftover is discarded, data untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("compact_discard")
+    val part = "event_date=2024-03-02"
+    (1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(6).write.mode("overwrite").parquet(s"$dir/$part")
+    val before = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+
+    // Crash BEFORE the commit point: rewrite files but no manifest.
+    val tmp = s"$dir/.compact_tmp_$part"
+    (1 to 10).map(i => (i.toLong, "junk")).toDF("id", "v")
+      .write.mode("overwrite").parquet(tmp)
+    // (the parquet _SUCCESS marker alone must NOT count as committed)
+
+    val (nBefore, nAfter) = graft.streaming.Maintenance
+      .compactPartition(spark, dir, part, targetFileMB = 128)
+    assert(nBefore === 6 && nAfter === 1)
+    val after = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+    assert(after === before, "discard path corrupted the partition")
+    assert(!new java.io.File(tmp).exists())
+  }
 }
