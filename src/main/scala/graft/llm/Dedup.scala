@@ -232,9 +232,13 @@ object Dedup extends QueryModule {
     * near-dup clusters are shallow — and each is one join + partial-agg
     * shuffle; localCheckpoint truncates the growing lineage. */
   def clusters(pairs: DataFrame): DataFrame = {
+    // Materialize the edge set once — it is consumed by every iteration,
+    // and its lineage (the whole LSH candidate pipeline) must not re-run
+    // per round.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

@@ -790,7 +790,7 @@ object RelationalQueries extends QueryModule {
           .agg(
             approx_count_distinct($"l_partkey").as("approx_parts"),
             countDistinct($"l_partkey").as("exact_parts"),
-            percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
               .as("approx_median"),
             median($"l_extendedprice").as("exact_median"))
       })
