@@ -97,7 +97,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => HyperplaneCodes(children.head)),
       (FunctionIdentifier("vec_cosine"),
         new ExpressionInfo(classOf[VecCosine].getCanonicalName, "vec_cosine"),
-        (children: Seq[Expression]) => VecCosine(children(0), children(1))))
+        (children: Seq[Expression]) => VecCosine(children(0), children(1))),
+      (FunctionIdentifier("poly_fingerprint"),
+        new ExpressionInfo(classOf[PolyFingerprint].getCanonicalName, "poly_fingerprint"),
+        (children: Seq[Expression]) => PolyFingerprint(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -274,12 +274,17 @@ object TextAnalysis extends QueryModule {
     // Rolling-hash fingerprints: whole-text polynomial hash + the minimum
     // 8-char-window hash (the winnowing primitive).
     "llm_text_fingerprint" -> QuerySpec(
-      fn = (s, dir) => docs(s, dir).select(
-        col("doc_id"),
-        expr(polyHash("text")).as("full_hash"),
-        expr(s"""array_min(transform(
-            sequence(1, greatest(length(text) - 7, 1)),
-            i -> ${polyHash("substring(text, i, 8)")}))""").as("min_window_hash")),
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        // Native codegen expression (PolyFingerprint) — one loop per row;
+        // the built-in equivalent is the interpreted fold in [[polyHash]].
+        docs(s, dir)
+          .withColumn("fp", expr("poly_fingerprint(text)"))
+          .select(
+            col("doc_id"),
+            col("fp").getItem(0).as("full_hash"),
+            col("fp").getItem(1).as("min_window_hash"))
+      },
       oracle = Some(s"""
         SELECT doc_id,
                ${polyHashSql("text")} AS full_hash,
