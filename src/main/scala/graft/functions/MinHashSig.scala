@@ -100,7 +100,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => VecCosine(children(0), children(1))),
       (FunctionIdentifier("poly_fingerprint"),
         new ExpressionInfo(classOf[PolyFingerprint].getCanonicalName, "poly_fingerprint"),
-        (children: Seq[Expression]) => PolyFingerprint(children.head)))
+        (children: Seq[Expression]) => PolyFingerprint(children.head)),
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

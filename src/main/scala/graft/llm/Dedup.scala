@@ -169,25 +169,14 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash over word tokens. Same codegen discipline as MinHash:
-    * each token hashed once, bit expansion via a broadcast join against a
-    * 64-row bit dimension, ±1 contributions summed per (doc, bit) — exact
-    * integer sums, so order-insensitive and deterministic — then the
-    * fingerprint assembled with bit_or (no ANSI overflow). */
+  /** 64-bit SimHash over word tokens — the native codegen expression
+    * [[graft.functions.SimHash64]]: one loop per document, no row
+    * expansion, no aggregation shuffles. */
   private def simhashed(corpus: DataFrame): DataFrame = {
-    val bits = broadcast(corpus.sparkSession.range(64).toDF("b"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
-      .select(col("doc_id"),
-        explode(split(col("text"), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-      .join(bits)
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("(shiftright(h, CAST(b AS INT)) & 1) = 1"), 1)
-        .otherwise(-1)).as("s"))
-      .groupBy("doc_id")
-      .agg(expr(
-        "bit_or(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)")
-        .as("simhash"))
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
   }
 
   /** Embeddings as double arrays (exact copies + perturbed variants). */
