@@ -451,6 +451,33 @@ object RelationalQueries extends QueryModule {
         FROM m""")),
 
     // ------------------------------------------------------------------
+    // Grouped top-k via a typed Aggregator (the UDAF surface): bounded
+    // buffers keep shuffle volume at O(groups × k); the window-function
+    // spelling of the same computation is the oracle.
+    "rel_topk_aggregator" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .as[(Long, Long, Double)]
+        orders
+          .groupByKey(_._1)
+          .mapValues(r => TopKAggregator.Scored(r._2, r._3))
+          .agg(TopKAggregator.topK(3).toColumn)
+          .flatMap { case (cust, top) =>
+            top.zipWithIndex.map { case (sc, i) => (cust, sc.key, sc.value, i + 1) }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3""")),
+
+    // ------------------------------------------------------------------
     // Deterministic top-k (TakeOrderedAndProject — no full global sort).
     "rel_sort_topk" -> QuerySpec(
       fn = (s, dir) => {
