@@ -23,12 +23,15 @@ object GraftSession {
       .appName(appName)
       // Engine-native functions (minhash_sig, hyperplane_codes, vec_cosine).
       .withExtensions(new graft.functions.GraftExtensions)
-    // A library factory must not override a real cluster master: honor an
-    // explicit SPARK_MASTER env, leave a spark.master system property for
-    // Spark itself to pick up, and only then default to local[cores].
-    sys.env.get("SPARK_MASTER") match {
-      case Some(m) => b.master(m)
-      case None => if (!sys.props.contains("spark.master")) b.master(s"local[$cores]")
+    // A library factory must not override a real cluster master. Precedence:
+    // a spark.master system property (spark-submit --master) always wins and
+    // is left for Spark itself to pick up; otherwise an explicit
+    // SPARK_MASTER env is applied; only then default to local[cores].
+    if (!sys.props.contains("spark.master")) {
+      sys.env.get("SPARK_MASTER") match {
+        case Some(m) => b.master(m)
+        case None => b.master(s"local[$cores]")
+      }
     }
     b
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -73,7 +73,7 @@ object PolyFingerprint {
       if (h < minWin) minWin = h
       w += 1
     }
-    if (n == 0) minWin = 0L
+    // (n == 0 falls out naturally: one empty window → minWin = 0)
     Array(full, minWin)
   }
 }

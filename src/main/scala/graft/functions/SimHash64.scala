@@ -48,11 +48,15 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-        b += 1
+      // Null elements contribute nothing (the registered SQL surface admits
+      // containsNull arrays; the engine's split() inputs never do).
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the part that must survive 100 TB):
   *   - exact dedup: one shuffle on the content digest; no comparisons.
-  *   - MinHash+LSH: signatures are computed per (doc, shingle) row and
-  *     min-aggregated — never a collected set on the driver; candidate pairs
-  *     come from a shuffle join on (band, band-hash); only candidates are
-  *     verified. No all-pairs product anywhere. With r=4 rows × b=32 bands
-  *     (128 perms), P[miss | J≥0.8] ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸.
+  *   - MinHash+LSH: the 128-perm signature is one codegen loop per document
+  *     ([[graft.functions.MinHashSig]]) — no per-(doc, perm) row expansion,
+  *     nothing collected on the driver; candidate pairs come from a shuffle
+  *     join on (band, band-hash); only candidates are verified. No all-pairs
+  *     product anywhere. With r=4 rows × b=32 bands (128 perms),
+  *     P[miss | J≥0.8] ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸.
   *   - the exact shingle-join Jaccard (`llm_dedup_jaccard`) is the oracle
   *     *definition* of near-dup; its cost is bounded by shingle document
   *     frequency and it exists to pin the semantics the LSH path must match.

@@ -94,18 +94,17 @@ object PipelineQueries extends QueryModule {
              COALESCE(dim.geo_region, 'Unknown') AS geo_region
       FROM dedup d LEFT JOIN dim ON d.ip_address = dim.ip)"""
 
-  /** Fixed scratch dir under tmp, wiped on every use — repeated Verify and
-    * Bench runs must not accumulate unbounded temp trees (and the e2e
-    * pipeline needs fresh checkpoints to actually reprocess). */
+  /** Per-call unique scratch dir, deleted when this JVM exits — repeated
+    * Verify/Bench runs don't accumulate temp trees, the e2e pipeline gets
+    * fresh checkpoints, and concurrent processes can't clobber each other
+    * (a fixed shared path would be wiped mid-run by the second process). */
   private def freshDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_scratch_$name")
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
     def del(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(del))
       f.delete(); ()
     }
-    del(p.toFile)
-    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => del(p.toFile)))
     p.toString
   }
 

@@ -65,10 +65,16 @@ object Maintenance {
     spark.read.parquet(partPath.toString)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // Commit point: record exactly which files the rewrite replaces.
+    // Commit point: record exactly which files the rewrite replaces. The
+    // manifest is staged and RENAMED into place — creation+write is not
+    // atomic, and a truncated manifest read as committed would leave the
+    // originals undeleted next to the rewrite (permanent duplication).
     val manifest = originals.map(_.getPath.toString).mkString("\n")
-    val out = fs.create(new Path(tmp, "_originals"), true)
+    val staged = new Path(tmp, "_originals.staging")
+    val out = fs.create(staged, true)
     try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(fs.rename(staged, new Path(tmp, "_originals")),
+      s"could not commit compaction manifest in $tmp")
 
     val after = applySwap(fs, tmp, partPath)
     (originals.length, after)
@@ -95,10 +101,14 @@ object Maintenance {
       val tag = java.lang.Long.toHexString(
         (st.getPath.getName.hashCode.toLong << 32) ^ st.getLen)
       val dest = new Path(partPath, s"compacted-$tag.parquet")
-      if (!fs.exists(dest)) {
-        require(fs.rename(st.getPath, dest),
-          s"compaction rename failed: ${st.getPath} -> $dest")
-      }
+      // A completed rename leaves no tmp source, so re-runs never reach
+      // here for already-applied files; a dest that exists while the source
+      // is still in tmp is a genuine name collision — fail rather than
+      // skip-and-delete (which would silently lose this file's rows).
+      require(!fs.exists(dest),
+        s"compaction destination collision: $dest already exists")
+      require(fs.rename(st.getPath, dest),
+        s"compaction rename failed: ${st.getPath} -> $dest")
     }
     originals.foreach(p => if (fs.exists(p)) fs.delete(p, false))
     fs.delete(tmp, true)
