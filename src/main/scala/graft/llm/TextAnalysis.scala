@@ -35,12 +35,9 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "et"),
     "zh" -> Seq("的", "是", "了"))
 
-  /** Character-fold polynomial hash `h = (h*31 + code) mod 1e9+7` of a
-    * string-typed SQL expression (same fold as the oracle's list_reduce). */
-  private def polyHash(e: String): String =
-    s"""aggregate(split($e, ''), CAST(0 AS BIGINT),
-        (h, c) -> pmod(h * 31 + ascii(c), CAST(1000000007 AS BIGINT)))"""
-
+  /** Oracle-side character-fold polynomial hash `h = (h*31 + code) mod
+    * 1e9+7` — the SQL definition the codegen PolyFingerprint expression
+    * must match. */
   private def polyHashSql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
