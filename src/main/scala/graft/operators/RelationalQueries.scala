@@ -805,6 +805,40 @@ object RelationalQueries extends QueryModule {
                CAST(len(json_keys(props)) AS INT) AS n_entries
         FROM events""")),
 
+    // Histogram via width_bucket (fixed bounds — one pass, no sort).
+    "rel_agg_histogram" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy(width_bucket($"o_totalprice", lit(0.0), lit(500000.0), lit(20))
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      },
+      // DuckDB 1.0 has no width_bucket; the floor arithmetic below is its
+      // exact definition for ascending bounds (0 below range, n+1 above).
+      oracle = Some(s"""
+        SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 500000.0 THEN 21
+                    ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END
+                 AS bucket,
+               COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+        FROM orders GROUP BY 1""")),
+
+    // Ordered string aggregation (deterministic: sorted distinct set).
+    "rel_agg_stringagg" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(array_join(sort_array(collect_set($"l_linestatus")), ",")
+            .as("statuses"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                 AS statuses
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // Sketch aggregates (HLL distinct count, approximate percentile) next
     // to their exact counterparts. Sketch outputs are implementation-
     // specific so there is no cross-engine oracle; ApproxAggSpec bounds the

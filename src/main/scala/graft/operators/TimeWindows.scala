@@ -87,6 +87,45 @@ object TimeWindows extends QueryModule {
                COUNT(*) AS n_events, ${sqlSum("value")} AS total
         FROM sess GROUP BY user_id, sid""")),
 
+    // Time-series gap filling: a generated hourly spine × event types,
+    // left-joined against observed counts — missing buckets appear as
+    // explicit zeros. The spine is sequence()-generated, never a self-join.
+    "ts_gap_fill" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val hourly = ev
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+            date_trunc("hour", max(col("ts"))).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("bucket"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        spine.join(hourly, Seq("bucket", "event_type"), "left")
+          .select(
+            date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS mn,
+                 max(time_bucket(INTERVAL '1 hour', ts)) AS mx
+          FROM events),
+        spine AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+          FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events)
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+               COALESCE(n, 0) AS n
+        FROM spine CROSS JOIN types
+        LEFT JOIN hourly USING (bucket, event_type)""")),
+
     // As-of join expressed as a window (the Spark-first shape: one shuffle
     // on the partition key, no join at all): for every event, the timestamp
     // of the user's most recent purchase at-or-before it.
