@@ -86,21 +86,50 @@ object Dedup extends QueryModule {
                AS shingle
       FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM corpus))"""
 
-  /** Exact pairwise Jaccard ≥ 0.8 via a shingle join (the oracle-defining
-    * computation; DuckDB runs the identical SQL). */
+  /** Exact pairwise Jaccard ≥ 0.8 — same RESULT as the oracle's naive
+    * all-shingle join, computed with prefix filtering (the AllPairs/PPJoin
+    * family), the canonical exact set-similarity join at scale:
+    *
+    *   - order every document's shingles by a global rarest-first key
+    *     (ascending document frequency, shingle text as tiebreak);
+    *   - any two sets with J ≥ τ must share a token among their first
+    *     `|s| − ⌈τ·|s|⌉ + 1` tokens under ANY global order, so only those
+    *     prefixes are exploded and joined — common shingles (the join-blowup
+    *     drivers) land at the end of the order and mostly stay out of
+    *     prefixes;
+    *   - a length filter (τ·|a| ≤ |b|) prunes candidates whose sizes alone
+    *     cap Jaccard below τ;
+    *   - surviving candidate pairs are verified with the exact intersection.
+    *
+    * The DuckDB oracle runs the naive definition; this plan must (and does)
+    * hash-match it. */
   private def exactJaccardPairs(corpus: DataFrame): DataFrame = {
+    val tau = 0.8
     val sh = shingles(corpus)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // Per-doc shingle array in global rarest-first order, with set size.
+    val ordered = sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
+        .as("sorted_sh"))
+      .withColumn("n", size(col("sorted_sh")))
+      .withColumn("prefix", expr(s"slice(sorted_sh, 1, n - CAST(ceil($tau * n) AS INT) + 1)"))
+    val probes = ordered.select(col("doc_id"), col("n"),
+      explode(col("prefix")).as("shingle"))
+    val cand = probes.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle"))
+      .join(probes.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") * tau <= col("na") && col("na") * tau <= col("nb"))
+      .select("doc_a", "doc_b").distinct()
+    // Exact verification on candidates only.
+    val sets = ordered.select(col("doc_id"), col("sorted_sh"), col("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sorted_sh").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sorted_sh").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
   }
 
