@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.Metrics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The metrics listener must report input rows, batch counts, and
+  * later-than-watermark drops for a named query. */
+class MetricsSpec extends SparkSpec {
+
+  test("listener accumulates input and late-drop counters") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val listener = Metrics.attach(spark)
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(sum($"value"))
+    val q = agg.writeStream.format("memory").queryName("metrics_probe")
+      .outputMode("append").start()
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    try {
+      mem.addData((t("2024-01-01 00:01:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 01:00:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:02:00"), 3.0)) // late → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.streams.removeListener(listener)
+
+    // Listener delivery is async; poll briefly.
+    var m = listener.snapshot.get("metrics_probe")
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((m.isEmpty || m.get.droppedByWatermark < 1) && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      m = listener.snapshot.get("metrics_probe")
+    }
+    assert(m.isDefined, "no metrics recorded for the query")
+    assert(m.get.inputRows === 3L, s"input rows: ${m.get}")
+    assert(m.get.droppedByWatermark >= 1L, s"late drop not counted: ${m.get}")
+    assert(m.get.batches >= 3L)
+  }
+}
