@@ -18,7 +18,8 @@ object SparkEntry {
     graft.llm.Dedup,
     graft.llm.Knn,
     graft.llm.TextAnalysis,
-    graft.llm.MultimodalQueries)
+    graft.llm.MultimodalQueries,
+    graft.sources.SourceFormats)
 
   val specs: Map[String, QuerySpec] =
     modules.foldLeft(Map.empty[String, QuerySpec]) { (acc, m) =>

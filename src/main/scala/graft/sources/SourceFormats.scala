@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.api.{Exact, QueryModule, QuerySpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage beyond parquet and CSV: JSON-lines and ORC
+  * round trips. Each entry writes a deterministic projection of `events` in
+  * the format under test, reads it back with an explicit schema (inference
+  * is never trusted), aggregates, and must match the oracle computed from
+  * the original table — so a lossy or misread round trip cannot hash-match.
+  */
+object SourceFormats extends QueryModule {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
+  private def roundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
+    val tmp = scratch(s"fmt_$format")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+      .write.format(format).mode("overwrite").save(tmp)
+    s.read.schema(schema).format(format).load(tmp)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.dsum(col("value")).as("total"),
+        countDistinct(col("event_id")).as("n_ids"))
+  }
+
+  private val oracle = s"""
+    SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS total,
+           COUNT(DISTINCT event_id) AS n_ids
+    FROM events GROUP BY event_type"""
+
+  def queries: Map[String, QuerySpec] = Map(
+    "src_jsonl_roundtrip" -> QuerySpec(
+      fn = (s, dir) => roundtrip(s, dir, "json"),
+      oracle = Some(oracle)),
+    "src_orc_roundtrip" -> QuerySpec(
+      fn = (s, dir) => roundtrip(s, dir, "orc"),
+      oracle = Some(oracle)))
+}
