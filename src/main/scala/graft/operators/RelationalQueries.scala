@@ -640,9 +640,16 @@ object RelationalQueries extends QueryModule {
             get_json_object($"props", "$.k").cast("int").as("k"))
           .filter($"k" > 50)
       },
+      // json_valid guard: Spark's get_json_object null-propagates malformed
+      // JSON while DuckDB's json_extract_string raises — the guard makes a
+      // bad row a row-diff, not an opaque oracle exec error.
       oracle = Some("""
-        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-        FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50""")),
+        SELECT event_id, k FROM (
+          SELECT event_id,
+                 CASE WHEN json_valid(props)
+                      THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+          FROM events)
+        WHERE k > 50""")),
 
     // ------------------------------------------------------------------
     // Subqueries (scalar / IN / correlated) via Spark SQL.

@@ -24,6 +24,14 @@ object Skew {
     * all n salts, so every matching pair appears exactly once — identical
     * multiplicity to the unsalted join, but the shuffle key becomes
     * (key, salt), spreading a hot key over n partitions. */
+  /** The probe-side salt column: hash of the full row mixed with a per-row
+    * ordinal, mod n — identical rows of a hot key still spread. */
+  def saltColumn(df: DataFrame, n: Int): Column = {
+    val cols: Array[Column] = df.columns.map(col)
+    pmod(xxhash64(struct(cols.toIndexedSeq: _*), monotonically_increasing_id()),
+      lit(n.toLong))
+  }
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -31,10 +39,7 @@ object Skew {
       rightKey: String,
       n: Int): DataFrame = {
     require(n > 0, s"salt count must be positive, got $n")
-    val leftCols: Array[Column] = left.columns.map(col)
-    val l = left.withColumn("__salt",
-      pmod(xxhash64(struct(leftCols.toIndexedSeq: _*), monotonically_increasing_id()),
-        lit(n.toLong)))
+    val l = left.withColumn("__salt", saltColumn(left, n))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(n.toLong - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

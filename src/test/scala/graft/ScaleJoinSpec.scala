@@ -20,6 +20,17 @@ class ScaleJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("identical hot-key rows spread across all salts") {
+    val s = spark
+    import s.implicits._
+    // The pathological case: one hot key, every row byte-identical.
+    val hot = Seq.fill(8000)((1L, "payload")).toDF("k", "v")
+    val dist = hot.withColumn("salt", Skew.saltColumn(hot, 8))
+      .groupBy("salt").count().collect().map(r => r.getLong(1))
+    assert(dist.length === 8, s"only ${dist.length} of 8 salts used")
+    assert(dist.max < 8000 / 8 * 2, s"salt skewed: max partition ${dist.max}")
+  }
+
   test("bucketed join runs with zero exchanges") {
     val s = spark
     import s.implicits._
