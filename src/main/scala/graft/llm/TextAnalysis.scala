@@ -268,6 +268,73 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"))),
 
     // ------------------------------------------------------------------
+    // Content-defined chunking: a chunk boundary opens wherever the 8-char
+    // rolling hash ≡ 0 (mod 64) — boundaries move with content, not
+    // offsets, so an edit only re-chunks its neighborhood (the property
+    // sub-document dedup needs). Emits (chunk index, start, length, hash).
+    "llm_text_chunk" -> QuerySpec(
+      fn = (s, dir) => {
+        def pf(e: String) =
+          s"""aggregate(split($e, ''), CAST(0 AS BIGINT),
+              (h, c) -> pmod(h * 31 + ascii(c), CAST(1000000007 AS BIGINT)))"""
+        docs(s, dir)
+          .withColumn("bnds", expr(s"""
+            filter(sequence(1, greatest(length(text) - 7, 1)),
+                   i -> ${pf("substring(text, i, 8)")} % 64 = 0)"""))
+          // Ensure position 1 opens a chunk; bnds is ascending, so 1 can
+          // only appear at its head (array_distinct order semantics differ
+          // between engines, so avoid it).
+          .withColumn("starts", expr("""
+            CASE WHEN size(bnds) > 0 AND element_at(bnds, 1) = 1 THEN bnds
+                 ELSE concat(array(1), bnds) END"""))
+          .withColumn("c", explode(expr("""
+            transform(sequence(0, size(starts) - 1), j -> named_struct(
+              'idx', j,
+              'start', element_at(starts, j + 1),
+              'len', (CASE WHEN j + 1 < size(starts)
+                           THEN element_at(starts, j + 2)
+                           ELSE length(text) + 1 END) - element_at(starts, j + 1)))""")))
+          .select(
+            col("doc_id"),
+            col("c.idx").as("chunk_idx"),
+            col("c.start").as("chunk_start"),
+            col("c.len").as("chunk_len"),
+            expr(pf("substring(text, c.start, c.len)")).as("chunk_hash"))
+      },
+      oracle = Some {
+        def pf(e: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % 1000000007)"""
+        s"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 list_filter([i for i in generate_series(1, greatest(length(text) - 7, 1))],
+                             i -> ${pf("substring(text, i, 8)")} % 64 = 0) AS bnds
+          FROM documents),
+        st AS (
+          SELECT doc_id, text,
+                 CASE WHEN len(bnds) > 0 AND bnds[1] = 1 THEN bnds
+                      ELSE list_concat([1], bnds) END AS starts
+          FROM b),
+        ch AS (
+          SELECT doc_id, text,
+                 unnest([{'idx': j,
+                          'start': starts[j + 1],
+                          'len': (CASE WHEN j + 1 < len(starts)
+                                       THEN starts[j + 2]
+                                       ELSE length(text) + 1 END) - starts[j + 1]}
+                         for j in generate_series(0, len(starts) - 1)]) AS c
+          FROM st)
+        SELECT doc_id,
+               CAST(c.idx AS INT) AS chunk_idx,
+               CAST(c.start AS INT) AS chunk_start,
+               CAST(c.len AS INT) AS chunk_len,
+               ${pf("substring(text, c.start, c.len)")} AS chunk_hash
+        FROM ch"""
+      }),
+
+    // ------------------------------------------------------------------
     // Rolling-hash fingerprints: whole-text polynomial hash + the minimum
     // 8-char-window hash (the winnowing primitive).
     "llm_text_fingerprint" -> QuerySpec(
