@@ -103,7 +103,13 @@ object GraftFunctions {
         (children: Seq[Expression]) => PolyFingerprint(children.head)),
       (FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
-        (children: Seq[Expression]) => SimHash64(children.head)))
+        (children: Seq[Expression]) => SimHash64(children.head)),
+      (FunctionIdentifier("md5_long"),
+        new ExpressionInfo(classOf[Md5Long].getCanonicalName, "md5_long"),
+        (children: Seq[Expression]) => Md5Long(children.head)),
+      (FunctionIdentifier("simhash_md5"),
+        new ExpressionInfo(classOf[SimHashMd5].getCanonicalName, "simhash_md5"),
+        (children: Seq[Expression]) => SimHashMd5(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -201,12 +201,45 @@ object Dedup extends QueryModule {
 
   /** 64-bit SimHash over word tokens — the native codegen expression
     * [[graft.functions.SimHash64]]: one loop per document, no row
-    * expansion, no aggregation shuffles. */
-  private def simhashed(corpus: DataFrame): DataFrame = {
+    * expansion, no aggregation shuffles. (xxhash64-based: the fast
+    * non-oracle path; [[simhashMd5Pairs]] is the differential-checked
+    * variant.) */
+  def simhashed(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus
       .withColumn("toks", split(col("text"), "\\s+"))
       .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
+  }
+
+  /** Per-(chunk index, chunk value) bucket cap for the SimHash candidate
+    * join: buckets above the cap are dropped, bounding total candidate
+    * pairs by 4 · cap · N instead of O(N²/65536) on pathological inputs
+    * (see the `llm_dedup_simhash` doc). DedupSpec asserts the bound. */
+  val simhashBucketCap = 64
+
+  /** SimHash candidate pairs (hamming ≤ 6) with [[graft.functions.SimHashMd5]]
+    * fingerprints — bit-identical to the DuckDB oracle's reconstruction —
+    * and the [[simhashBucketCap]] guard on the chunk join. */
+  def simhashMd5Pairs(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sims = corpus
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), expr("simhash_md5(toks)").as("simhash"))
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> (shiftright(simhash, k * 16) & 65535))")))
+      .withColumnRenamed("pos", "k").withColumnRenamed("col", "chunk")
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("k", "chunk")))
+      .filter(col("bsz") <= simhashBucketCap)
+    chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"), col("chunk")),
+        Seq("k", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
   }
 
   /** Embeddings as double arrays (exact copies + perturbed variants). */
@@ -249,30 +282,60 @@ object Dedup extends QueryModule {
     * fixpoint). This is the step that turns pairwise matches into a
     * keep-one-per-cluster decision. Iterations are O(component diameter) —
     * near-dup clusters are shallow — and each is one join + partial-agg
-    * shuffle; localCheckpoint truncates the growing lineage. */
+    * shuffle.
+    *
+    * Fault tolerance at cluster scale: lineage grows by one join per
+    * iteration, so it is truncated with RELIABLE checkpoints (written to
+    * `sparkContext`'s checkpoint dir — HDFS/object storage on a real
+    * cluster), not `localCheckpoint`, which stores blocks only on executors
+    * and makes any executor loss fatal mid-computation. Intermediate
+    * iterations persist to memory-and-disk and checkpoint every
+    * [[clustersCheckpointEvery]] rounds; a lost executor then recomputes at
+    * most that many iterations from the last durable cut. */
+  val clustersCheckpointEvery = 3
+
   def clusters(pairs: DataFrame): DataFrame = {
-    // Materialize the edge set once — it is consumed by every iteration,
-    // and its lineage (the whole LSH candidate pipeline) must not re-run
-    // per round.
+    import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    // Materialize the edge set once, durably — it is consumed by every
+    // iteration, and its lineage (the whole LSH candidate pipeline) must
+    // not re-run per round nor be lost with an executor.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .localCheckpoint(true)
+      .checkpoint(eager = true)
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .checkpoint(eager = true)
     var changed = 1L
+    var iter = 0
+    var cached: List[DataFrame] = Nil
     while (changed > 0) {
+      iter += 1
       val neigh = edges
         .join(labels.select(col("id").as("doc_b"), col("label").as("nl")), "doc_b")
         .groupBy(col("doc_a").as("id")).agg(min(col("nl")).as("mn"))
-      val updated = labels.join(neigh, Seq("id"), "left")
+      val joined = labels.join(neigh, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("mn"), col("label"))).as("nl"))
-        .localCheckpoint(true)
+      val updated =
+        if (iter % clustersCheckpointEvery == 0) joined.checkpoint(eager = true)
+        else {
+          val p = joined.persist(StorageLevel.MEMORY_AND_DISK)
+          cached ::= p
+          p
+        }
       changed = updated.filter(col("nl") =!= col("label")).count()
       labels = updated.select(col("id"), col("nl").as("label"))
+      if (iter % clustersCheckpointEvery == 0) {
+        cached.foreach(_.unpersist(blocking = false))
+        cached = Nil
+      }
     }
+    cached.foreach(_.unpersist(blocking = false))
     labels
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
@@ -303,30 +366,65 @@ object Dedup extends QueryModule {
       oracle = Some(jaccardOracle),
       bench = true),
 
-    // SimHash near-dup candidates (chunk-join, hamming ≤ 6). Not
-    // SQL-expressible in the oracle (xxhash64) → rows-only check; semantics
-    // covered by DedupSpec.
+    // SimHash near-dup candidates (chunk-join, hamming ≤ 6), differential-
+    // checked: `simhash_md5` hashes tokens with the MD5-upper-64 hash that
+    // DuckDB exposes as `md5_number_upper`, so the oracle rebuilds the
+    // SAME fingerprints bit-for-bit (as 0/1 lists — DuckDB's 64-bit shifts
+    // overflow-check, so the oracle stays in INT bit-array space).
+    //
+    // Scale bound: exact-match on 16-bit chunks means expected bucket size
+    // N/65536 — quadratic candidate blowup on pathological buckets (all
+    // docs sharing a chunk, e.g. boilerplate). [[simhashBucketCap]] drops
+    // buckets larger than the cap, bounding candidates by
+    // 4 · cap · N pairs total; content degenerate enough to overflow a
+    // bucket is exact-dup territory, handled by `llm_dedup_exact` first.
+    // The cap is mirrored in the oracle (QUALIFY) and guarded by DedupSpec.
     "llm_dedup_simhash" -> QuerySpec(
-      fn = (s, dir) => {
-        val sims = simhashed(nearCorpus(s, dir))
-        val chunks = sims.select(col("doc_id"), col("simhash"),
-          posexplode(expr(
-            "transform(sequence(0, 3), k -> (shiftright(simhash, k * 16) & 65535))")))
-          .withColumnRenamed("pos", "k").withColumnRenamed("col", "chunk")
-        chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"), col("chunk"))
-          .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"), col("chunk")),
-            Seq("k", "chunk"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(ha ^ hb)").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 6)
-      }),
+      fn = (s, dir) => simhashMd5Pairs(nearCorpus(s, dir)),
+      oracle = Some(s"""
+        WITH $nearCorpusSql,
+        th AS (
+          SELECT doc_id, md5_number_upper(tok) AS h
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                FROM corpus)),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, generate_series(0, 63) g(b)
+          GROUP BY doc_id, b),
+        bv AS (
+          SELECT doc_id,
+                 list(CASE WHEN vote >= 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+          FROM votes GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, bits, k,
+                 list_reduce(list_transform(generate_series(1, 16),
+                     j -> bits[k * 16 + j] * (1 << (j - 1))), (a, b) -> a + b)
+                   AS chunk
+          FROM bv, generate_series(0, 3) g(k)
+          QUALIFY COUNT(*) OVER (PARTITION BY k, chunk) <= $simhashBucketCap),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.bits AS ba, b.bits AS bb
+          FROM ch a JOIN ch b
+            ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+                 CAST(list_reduce(list_transform(generate_series(1, 64),
+                     i -> CASE WHEN ba[i] <> bb[i] THEN 1 ELSE 0 END),
+                   (a, b) -> a + b) AS INT) AS hamming
+          FROM cand)
+        WHERE hamming <= 6""")),
 
     // Near-dup clusters: connected components over the LSH-found pair set,
-    // checked against a recursive-CTE transitive closure in DuckDB.
+    // checked against a recursive-CTE transitive closure in DuckDB. The
+    // member list is serialized to a CSV string on both engines (the
+    // differential gate cannot canonicalize array cells).
     "llm_dedup_clusters" -> QuerySpec(
-      fn = (s, dir) => clusters(minhashPairs(nearCorpus(s, dir))),
+      fn = (s, dir) => clusters(minhashPairs(nearCorpus(s, dir)))
+        .select(col("cluster_id"), col("n_members"),
+          array_join(expr("transform(members, x -> CAST(x AS STRING))"), ",")
+            .as("members")),
       oracle = Some(s"""
         WITH RECURSIVE $jaccardPairsCtes,
         edges AS (
@@ -338,7 +436,7 @@ object Dedup extends QueryModule {
           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
         labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
         SELECT cluster AS cluster_id, COUNT(*) AS n_members,
-               list_sort(list(node)) AS members
+               array_to_string(list_sort(list(node)), ',') AS members
         FROM labels GROUP BY cluster""")),
 
     // Embedding-cosine near-dup via hyperplane LSH + exact verification.
@@ -373,7 +471,10 @@ object Dedup extends QueryModule {
                ELSE transform(ve, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
                END"""))
           .withColumn("dq", expr("transform(q, v -> CAST(v AS DOUBLE) * scale / 127.0)"))
-          .select(col("vec_id"), col("scale"), col("q"),
+          // Codes serialized to a CSV string on both engines (integer →
+          // string is exact; the differential gate cannot sort array cells).
+          .select(col("vec_id"), col("scale"),
+            array_join(expr("transform(q, x -> CAST(x AS STRING))"), ",").as("q"),
             VectorOps.cosine("ve", "dq").as("recon_cosine"))
       },
       oracle = Some("""
@@ -394,7 +495,7 @@ object Dedup extends QueryModule {
         d AS (
           SELECT *, list_transform(q, x -> CAST(x AS DOUBLE) * scale / 127.0) AS dq
           FROM q)
-        SELECT vec_id, scale, q,
+        SELECT vec_id, scale, array_to_string(q, ',') AS q,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    [ve[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
                / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -12,17 +12,21 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, encoders,
   * partition-preserving `mapPartitions` batching (the JVM analog of
-  * `mapInPandas` batch shape), deterministic outputs. The codec itself is a
-  * STUB (this environment has no image/audio libraries): `decodeStub`
-  * derives fake-but-deterministic dimensions from the payload header bytes
-  * where a real implementation would call the decoder. Each stub point is
-  * marked below.
+  * `mapInPandas` batch shape), deterministic outputs. The IMAGE path is a
+  * real codec: payloads are genuine PNGs and `decode` reads them with the
+  * JDK's `javax.imageio` (no extra dependencies). Audio/video decode
+  * remains a STUB — this environment ships no audio/video codecs — with
+  * deterministic fake dimensions derived from header bytes, each stub
+  * point marked below.
   *
   * Scale notes: per-asset work is shuffle-free map work; payloads never
   * pass through a shuffle unless the caller aggregates them; feature
   * vectors (small arrays) are what downstream joins/ANN consume.
   */
 object Multimodal {
+
+  // Image codec work must not touch a display even on dev machines.
+  System.setProperty("java.awt.headless", "true")
 
   /** Typed metadata carried next to the opaque payload. */
   final case class MediaMeta(kind: String, width: Int, height: Int, sampleRate: Int)
@@ -36,37 +40,72 @@ object Multimodal {
       features: Array[Float],
       frames: Array[Array[Byte]])
 
-  /** Synthesize a deterministic asset table from `documents` (UTF-8 payload
-    * stands in for real image/audio bytes; ids and metadata are derived). */
+  /** Synthesize a deterministic asset table from `documents`: image assets
+    * carry a REAL PNG payload ([[pngPayload]]); audio/video carry the UTF-8
+    * text bytes as an opaque stand-in. */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        MediaAsset(id, bytes,
-          MediaMeta(
-            kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video",
-            width = 0, height = 0, sampleRate = 0))
+        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        val media = if (kind == "image") pngPayload(id) else bytes
+        MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
       }
   }
 
-  /** STUB decode: a real implementation would hand `media` to an image/audio
-    * codec here. The fake derives dimensions deterministically from the
-    * first payload bytes so tests can pin behavior. Runs per partition so a
-    * real codec could amortize native init across the batch, exactly like a
-    * `mapInPandas` batch. */
+  /** Expected dimensions of [[pngPayload]] (shared with tests). */
+  def pngDims(id: Long): (Int, Int) = (16 + (id % 48).toInt, 16 + (id % 31).toInt)
+
+  /** A genuine PNG, deterministic in the id: dimensions from [[pngDims]],
+    * pixels a fixed id-seeded gradient. The JDK's PNG encoder writes no
+    * timestamps, so the byte stream is stable across runs. */
+  def pngPayload(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode: images go through the REAL `javax.imageio` codec (PNG/BMP/GIF/
+    * JPEG — whatever the JDK registry handles) and report true pixel
+    * dimensions; audio/video dimensions are a STUB (no codecs in this
+    * environment) derived deterministically from the first payload bytes.
+    * Runs per partition so codec init/reuse amortizes across the batch,
+    * exactly like a `mapInPandas` batch. */
   def decode(in: Dataset[MediaAsset], nFrames: Int = 4): Dataset[DecodedAsset] = {
     import in.sparkSession.implicits._
     in.mapPartitions { batch =>
-      // (real codec init would happen once per batch here)
       batch.map { a =>
-        val b0 = if (a.media.nonEmpty) a.media(0) & 0xff else 0
-        val b1 = if (a.media.length > 1) a.media(1) & 0xff else 0
-        val meta = a.meta.copy(
-          width = 16 + (b0 % 64) * 16,          // STUB: decoder-reported width
-          height = 16 + (b1 % 64) * 16,         // STUB: decoder-reported height
-          sampleRate = if (a.meta.kind == "audio") 16000 else 0)
+        val img =
+          if (a.meta.kind == "image")
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.media)))
+            catch { case _: java.io.IOException => None }
+          else None
+        val meta = img match {
+          case Some(i) => // real decoder-reported dimensions
+            a.meta.copy(width = i.getWidth, height = i.getHeight, sampleRate = 0)
+          case None =>
+            val b0 = if (a.media.nonEmpty) a.media(0) & 0xff else 0
+            val b1 = if (a.media.length > 1) a.media(1) & 0xff else 0
+            a.meta.copy(
+              width = 16 + (b0 % 64) * 16,     // STUB: decoder-reported width
+              height = 16 + (b1 % 64) * 16,    // STUB: decoder-reported height
+              sampleRate = if (a.meta.kind == "audio") 16000 else 0)
+        }
         DecodedAsset(a.asset_id, a.media, meta,
           features = byteHistogram(a.media),
           frames = sampleFrames(a.media, nFrames))

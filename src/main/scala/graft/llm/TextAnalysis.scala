@@ -256,16 +256,33 @@ object TextAnalysis extends QueryModule {
           AND CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a' OR t = 'of'))
                    AS DOUBLE) / len(toks) < 0.4""")),
 
-    // Seeded stratified sampling by language (training-mix curation).
-    // Spark's hash-based Bernoulli sampling is engine-specific → rows-only
-    // driver check; SamplingSpec pins determinism, subset-ness, and
-    // per-stratum rates.
+    // Stratified sampling by language (training-mix curation), via
+    // content-addressed hash buckets rather than RNG-stream Bernoulli
+    // (`sampleBy`): a row is kept iff the low 10 bits of
+    // md5_long(seed ‖ doc_id) fall under its stratum's threshold of 1024.
+    // This is the reproducible-sampling contract a 100 TB pipeline needs —
+    // membership is a pure function of the row, stable across reruns,
+    // partitionings, and engines — which also makes it DuckDB-checkable
+    // bit-for-bit (md5_long == md5_number_upper; see graft.functions.Md5Hash).
     "llm_sample_stratified" -> QuerySpec(
-      fn = (s, dir) => docs(s, dir)
-        .stat.sampleBy("lang",
-          Map("en" -> 0.5, "fr" -> 1.0, "es" -> 0.25, "de" -> 0.1, "zh" -> 0.0),
-          42L)
-        .select(col("doc_id"), col("lang"))),
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir)
+          .withColumn("bucket",
+            expr("md5_long(concat('smp42:', CAST(doc_id AS STRING))) & 1023"))
+          .withColumn("threshold",
+            expr("""CASE lang WHEN 'en' THEN 512 WHEN 'fr' THEN 1024
+                              WHEN 'es' THEN 256 WHEN 'de' THEN 102
+                              ELSE 0 END"""))
+          .filter(col("bucket") < col("threshold"))
+          .select(col("doc_id"), col("lang"))
+      },
+      oracle = Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE (md5_number_upper('smp42:' || CAST(doc_id AS VARCHAR)) & 1023)
+              < CASE lang WHEN 'en' THEN 512 WHEN 'fr' THEN 1024
+                          WHEN 'es' THEN 256 WHEN 'de' THEN 102
+                          ELSE 0 END""")),
 
     // ------------------------------------------------------------------
     // Content-defined chunking: a chunk boundary opens wherever the 8-char

@@ -769,7 +769,10 @@ object RelationalQueries extends QueryModule {
 
     // Array functions (north-star §2.7 addition). Array payloads carry only
     // stored values (no computed floats) so both engines round-trip the
-    // exact same bits.
+    // exact same bits. Collection-typed outputs are serialized to canonical
+    // CSV strings on BOTH engines — the differential gate canonicalizes rows
+    // in pandas, which cannot sort ndarray cells, and a scalar string
+    // carries the identical semantics under test (sort order + elements).
     "rel_scalar_arrays" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
@@ -780,7 +783,8 @@ object RelationalQueries extends QueryModule {
             size($"rates").as("n"),
             array_max($"rates").as("max_rate"),
             array_contains($"rates", 0.0).as("has_zero"),
-            sort_array($"rates").as("sorted_rates"),
+            array_join(expr("transform(sort_array(rates), x -> CAST(x AS STRING))"), ",")
+              .as("sorted_rates"),
             element_at($"rates", 1).as("first_rate"))
       },
       oracle = Some("""
@@ -788,12 +792,14 @@ object RelationalQueries extends QueryModule {
                CAST(len(rates) AS INT) AS n,
                list_max(rates) AS max_rate,
                list_contains(rates, 0.0) AS has_zero,
-               list_sort(rates) AS sorted_rates,
+               array_to_string(list_sort(rates), ',') AS sorted_rates,
                rates[1] AS first_rate
         FROM (SELECT l_orderkey, l_linenumber, [l_tax, l_discount] AS rates
               FROM lineitem)""")),
 
-    // Map functions over JSON-parsed event properties.
+    // Map functions over JSON-parsed event properties. Key set serialized
+    // to a CSV string (document order on both engines) for the same
+    // canonicalizer reason as rel_scalar_arrays.
     "rel_scalar_map" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
@@ -801,13 +807,13 @@ object RelationalQueries extends QueryModule {
           .withColumn("m", from_json($"props", lit("map<string,int>")))
           .select(
             $"event_id",
-            map_keys($"m").as("ks"),
+            array_join(map_keys($"m"), ",").as("ks"),
             element_at($"m", "k").as("k_value"),
             size($"m").as("n_entries"))
       },
       oracle = Some("""
         SELECT event_id,
-               CAST(json_keys(props) AS VARCHAR[]) AS ks,
+               array_to_string(CAST(json_keys(props) AS VARCHAR[]), ',') AS ks,
                CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
                CAST(len(json_keys(props)) AS INT) AS n_entries
         FROM events""")),
@@ -847,9 +853,15 @@ object RelationalQueries extends QueryModule {
         FROM lineitem GROUP BY l_returnflag""")),
 
     // Sketch aggregates (HLL distinct count, approximate percentile) next
-    // to their exact counterparts. Sketch outputs are implementation-
-    // specific so there is no cross-engine oracle; ApproxAggSpec bounds the
-    // relative error against the exact values instead.
+    // to their exact counterparts. Raw sketch values are implementation-
+    // specific (Spark HLL++ vs DuckDB's HLL), so the hash-compared output
+    // carries the exact values plus error-bound BOOLEANS — each engine
+    // checks its own sketch against its own exact value under the same ε.
+    // Both engines' sketches are far inside ε (HLL++ rsd defaults to 0.05;
+    // percentile_approx at accuracy 1000 is exact-ish at these group
+    // sizes), so the booleans agree and the entry is oracle-green while
+    // still failing loudly if either sketch degrades. ApproxAggSpec bounds
+    // the raw relative error tighter on the Spark side.
     "rel_agg_approx" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
@@ -861,6 +873,21 @@ object RelationalQueries extends QueryModule {
             percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
               .as("approx_median"),
             median($"l_extendedprice").as("exact_median"))
-      })
+          .select(
+            $"l_returnflag", $"exact_parts", $"exact_median",
+            (abs($"approx_parts" - $"exact_parts") <=
+              $"exact_parts" * 0.1).as("parts_within_10pct"),
+            (abs($"approx_median" - $"exact_median") <=
+              abs($"exact_median") * 0.1).as("median_within_10pct"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               median(l_extendedprice) AS exact_median,
+               abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                 <= COUNT(DISTINCT l_partkey) * 0.1 AS parts_within_10pct,
+               abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
+                 <= abs(median(l_extendedprice)) * 0.1 AS median_within_10pct
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }

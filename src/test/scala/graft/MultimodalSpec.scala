@@ -22,6 +22,16 @@ class MultimodalSpec extends SparkSpec {
       assert(d.frames.map(_.length).sum === d.media.length, "frames must tile the payload")
       assert(d.meta.width >= 16 && d.meta.height >= 16)
       assert((d.meta.kind == "audio") == (d.meta.sampleRate == 16000))
+      if (d.meta.kind == "image") {
+        // The REAL javax.imageio decode must report the generated PNG's
+        // true pixel dimensions.
+        val (w, h) = Multimodal.pngDims(d.asset_id)
+        assert(d.meta.width === w, s"decoded width for ${d.asset_id}")
+        assert(d.meta.height === h, s"decoded height for ${d.asset_id}")
+        val magic = d.media.take(4).map(_ & 0xff)
+        assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+          "image payload is not a PNG")
+      }
     }
 
     // Determinism: a second run produces identical features.

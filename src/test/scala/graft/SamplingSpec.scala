@@ -2,11 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Stratified sampling: deterministic under a fixed seed, a true subset,
-  * and per-stratum rates near the requested fractions. */
+/** Stratified sampling (content-addressed hash buckets): deterministic by
+  * construction, a true subset, and per-stratum rates near the requested
+  * fractions. */
 class SamplingSpec extends SparkSpec {
 
-  test("sampleBy is seeded-deterministic with correct strata behavior") {
+  test("hash-bucket sampling is deterministic with correct strata behavior") {
     val a = SparkEntry.queries("llm_sample_stratified")(spark, sfDir)
     val b = SparkEntry.queries("llm_sample_stratified")(spark, sfDir)
     assert(a.except(b).isEmpty && b.except(a).isEmpty, "sampling not deterministic")
