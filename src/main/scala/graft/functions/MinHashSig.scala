@@ -109,7 +109,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => Md5Long(children.head)),
       (FunctionIdentifier("simhash_md5"),
         new ExpressionInfo(classOf[SimHashMd5].getCanonicalName, "simhash_md5"),
-        (children: Seq[Expression]) => SimHashMd5(children.head)))
+        (children: Seq[Expression]) => SimHashMd5(children.head)),
+      (FunctionIdentifier("hyperplane_codes_md5"),
+        new ExpressionInfo(classOf[HyperplaneCodesMd5].getCanonicalName, "hyperplane_codes_md5"),
+        (children: Seq[Expression]) => HyperplaneCodesMd5(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

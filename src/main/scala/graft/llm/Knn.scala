@@ -105,11 +105,74 @@ object Knn extends QueryModule {
         FROM ranked WHERE rank <= 10"""),
       bench = true),
 
-    // ANN top-10 on the planted-neighbor corpus (recall pinned by KnnSpec;
-    // not SQL-expressible → rows-only driver check).
+    // ANN top-10 on the planted-neighbor corpus (recall pinned by KnnSpec).
+    // Differential-checked bit-for-bit: the MD5-Rademacher hyperplanes
+    // ([[graft.functions.HyperplaneCodesMd5]]) are reconstructible in
+    // DuckDB (`md5_number_upper` low bit → ±1, ordered list_reduce dot
+    // products), so the oracle rebuilds the SAME buckets, candidates, and
+    // ranking — not just a ground-truth approximation.
     "llm_knn_lsh" -> QuerySpec(
       fn = (s, dir) => {
         val base = emb(s, dir)
         lshTopK(plantedCorpus(base), base.filter(col("vec_id") < 20), k = 10)
-      }))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        planted AS (
+          SELECT vec_id, ve FROM base
+          UNION ALL
+          SELECT vec_id + i * 1000000,
+                 [CASE WHEN j = i THEN ve[j] + 0.02 ELSE ve[j] END
+                  for j in generate_series(1, 64)]
+          FROM base, generate_series(1, 10) g(i)),
+        q AS (SELECT vec_id, ve FROM base WHERE vec_id < 20),
+        w AS (
+          SELECT t, j,
+                 list(CASE WHEN md5_number_upper('hp:'||t||':'||j||':'||i) & 1 = 1
+                           THEN 1.0 ELSE -1.0 END ORDER BY i) AS wv
+          FROM generate_series(0, 3) gt(t), generate_series(0, 15) gj(j),
+               generate_series(0, 63) gi(i)
+          GROUP BY t, j),
+        ccodes AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN (1 << (15 - j)) ELSE 0 END) AS INT)
+                   AS code
+          FROM (SELECT p.vec_id, w.t, w.j,
+                       list_reduce(list_transform(generate_series(1, 64),
+                           i -> p.ve[i] * w.wv[i]), (a, b) -> a + b) AS dot
+                FROM planted p, w)
+          GROUP BY vec_id, t),
+        qcodes AS (
+          SELECT vec_id, t,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN (1 << (15 - j)) ELSE 0 END) AS INT)
+                   AS code
+          FROM (SELECT q.vec_id, w.t, w.j,
+                       list_reduce(list_transform(generate_series(1, 64),
+                           i -> q.ve[i] * w.wv[i]), (a, b) -> a + b) AS dot
+                FROM q, w)
+          GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+          FROM qcodes qc JOIN ccodes cc ON qc.t = cc.t AND qc.code = cc.code
+          WHERE qc.vec_id <> cc.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> q.ve[i] * p.ve[i]), (x, y) -> x + y)
+                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> q.ve[i] * q.ve[i]), (x, y) -> x + y))
+                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> p.ve[i] * p.ve[i]), (x, y) -> x + y))) AS cosine
+          FROM cand
+          JOIN q ON q.vec_id = cand.query_id
+          JOIN planted p ON p.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10""")))
 }

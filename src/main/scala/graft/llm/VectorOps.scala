@@ -22,12 +22,16 @@ object VectorOps {
   def cosine(a: String, b: String): Column = expr(s"vec_cosine($a, $b)")
 
   /** Random-hyperplane LSH codes over a double-array column `ve` — the
-    * native codegen expression [[graft.functions.HyperplaneCodes]]
-    * (4 tables × 16 sign bits), exposed as (table, code) rows. */
+    * native codegen expression [[graft.functions.HyperplaneCodesMd5]]
+    * (4 tables × 16 sign bits, MD5-seeded Rademacher hyperplanes), exposed
+    * as (table, code) rows. The MD5 variant is both the faster plan (the
+    * ±1 entries are a precomputed static table — no per-element hashing)
+    * and DuckDB-reconstructible, which is what lets the ANN and embedding
+    * dedup queries be differential-checked bit-for-bit. */
   def lshCoded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(df.columns.map(org.apache.spark.sql.functions.col) :+
-      org.apache.spark.sql.functions.posexplode(expr("hyperplane_codes(ve)")): _*)
+      org.apache.spark.sql.functions.posexplode(expr("hyperplane_codes_md5(ve)")): _*)
       .withColumnRenamed("pos", "t")
       .withColumnRenamed("col", "code")
   }

@@ -43,7 +43,7 @@ class KnnSpec extends SparkSpec {
       .groupBy("t", "code").count()
       .agg(max("count").as("max"), avg("count").as("avg"))
       .head()
-    info(s"corpus=$n  max bucket=${buckets.getLong(0)}  avg bucket=${buckets.getDouble(1)}%.1f")
+    info(f"corpus=$n  max bucket=${buckets.getLong(0)}  avg bucket=${buckets.getDouble(1)}%.1f")
     assert(buckets.getLong(0) < n / 10,
       s"max LSH bucket ${buckets.getLong(0)} too large for corpus $n")
 
