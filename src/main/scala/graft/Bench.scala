@@ -23,7 +23,8 @@ object Bench {
       GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_HEADLINE").contains("1"))
+      if (args.nonEmpty) args.toSeq // targeted profiling
+      else if (sys.env.get("SPARK_GRAFT_BENCH_HEADLINE").contains("1"))
         SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
     // Execute the FULL plan: count() would let Catalyst prune the very

@@ -307,9 +307,12 @@ object Dedup extends QueryModule {
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .checkpoint(eager = true)
-    var labels = edges.select(col("doc_a").as("id")).distinct()
+    // Initial labels only persist (not checkpoint): they are one cheap
+    // distinct away from the durable edge set, so executor loss recomputes
+    // them from the checkpoint rather than re-running the LSH pipeline.
+    var labels: DataFrame = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .checkpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var iter = 0
     var cached: List[DataFrame] = Nil

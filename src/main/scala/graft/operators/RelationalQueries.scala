@@ -865,14 +865,40 @@ object RelationalQueries extends QueryModule {
     "rel_agg_approx" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, dir, "lineitem")
+        // Sketch and exact-distinct passes kept SEPARATE: countDistinct
+        // mixed with other aggregates plans an Expand (row count × number
+        // of distinct groups) — three independent single-purpose passes
+        // move fewer total rows and each stays in whole-stage codegen;
+        // the joins are on 3-row outputs.
+        val sketches = base
           .groupBy($"l_returnflag")
           .agg(
             approx_count_distinct($"l_partkey").as("approx_parts"),
-            countDistinct($"l_partkey").as("exact_parts"),
             percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
-              .as("approx_median"),
-            median($"l_extendedprice").as("exact_median"))
+              .as("approx_median"))
+          .join(
+            base.groupBy($"l_returnflag")
+              .agg(countDistinct($"l_partkey").as("exact_parts")),
+            "l_returnflag")
+        // Exact median the scale-correct way: Spark's `median` aggregate
+        // buffers a value→count map per group (O(distinct) executor
+        // memory — a 100 TB liability). A sort-based window selection is
+        // spillable and one shuffle: rank within group, keep the middle
+        // row(s), average them (even n → two rows, DuckDB's interpolation).
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+        val grp = Window.partitionBy($"l_returnflag")
+        val medians = base.select($"l_returnflag", $"l_extendedprice")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(grp))
+          // Column `/` is double division — floor() for the 1-based middle
+          // positions ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋ (equal when n is odd).
+          .filter($"rn" === floor(($"cnt" + 1) / 2) ||
+            $"rn" === floor(($"cnt" + 2) / 2))
+          .groupBy($"l_returnflag")
+          .agg(avg($"l_extendedprice").as("exact_median"))
+        sketches.join(medians, "l_returnflag")
           .select(
             $"l_returnflag", $"exact_parts", $"exact_median",
             (abs($"approx_parts" - $"exact_parts") <=
