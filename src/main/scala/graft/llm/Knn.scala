@@ -65,6 +65,59 @@ object Knn extends QueryModule {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-flat ANN: the corpus is partitioned into inverted lists by nearest
+    * centroid; a query probes the `nprobe` nearest lists and rescores
+    * exactly within them. Centroids are a deterministic uniform sample of
+    * the corpus (`vec_id % sampleMod == 0`) — the standard bootstrap before
+    * Lloyd refinement, and reproducible cross-engine.
+    *
+    * Scale shape (the part that matters at 100 TB):
+    *   - assignment is ONE shuffle-free map pass: the centroid set rides in
+    *     as a broadcast single-row array and each vector folds over it
+    *     (`aggregate` HOF + [[graft.functions.VecCosine]]) to pick its
+    *     cell — no corpus×centroids shuffle, which a join+argmin plan
+    *     would pay;
+    *   - the probe join shuffles only (cell id) — each query reads nprobe
+    *     inverted lists, never the whole corpus;
+    *   - ties (equal cosine) resolve to the smallest centroid id in both
+    *     the fold (array sorted by id, strict `>`) and the oracle's window
+    *     (`ORDER BY sim DESC, cent_id`). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      sampleMod: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
+    // Single-row array of (cent_id, vc), sorted by cent_id so the fold's
+    // first-strict-max tie-break is deterministic.
+    val centArr = cents.agg(
+      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+    val assigned = corpus.crossJoin(broadcast(centArr))
+      .withColumn("best", expr("""
+        aggregate(cents,
+          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
+          (acc, c) -> CASE WHEN vec_cosine(ve, c.vc) > acc.sim
+                           THEN named_struct('cid', c.cent_id,
+                                             'sim', vec_cosine(ve, c.vc))
+                           ELSE acc END)"""))
+      .select(col("best.cid").as("cent_id"), col("vec_id"), col("ve"))
+    // Query side is small by contract: broadcast-join + window picks the
+    // nprobe nearest centroids per query.
+    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("ve").as("vq"))
+      .join(broadcast(cents))
+      .withColumn("sim", VectorOps.cosine("vq", "vc"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("vq"), col("cent_id"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorOps.cosine("vq", "ve"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus with 10 planted near neighbors per vector (dim i nudged by
     * +0.02, ids offset by i·10⁶) — gives ANN something real to retrieve. */
   def plantedCorpus(base: DataFrame): DataFrame =
@@ -75,6 +128,16 @@ object Knn extends QueryModule {
           (col("vec_id") + col("i") * 1000000L).as("vec_id"),
           expr("transform(ve, (x, j) -> CASE WHEN j = i - 1 THEN x + 0.02 ELSE x END)")
             .as("ve")))
+
+  /** Oracle-side cosine, formulated exactly like [[graft.functions.VecCosine]]
+    * (ordered left-to-right list_reduce) so scores are bit-identical. */
+  private def cosSql(a: String, b: String): String = s"""
+    list_reduce(list_transform(generate_series(1, 64),
+        i -> $a[i] * $b[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+           i -> $a[i] * $a[i]), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(generate_series(1, 64),
+           i -> $b[i] * $b[i]), (x, y) -> x + y)))"""
 
   def queries: Map[String, QuerySpec] = Map(
     // Exact brute-force cosine top-10, DuckDB-checked.
@@ -169,6 +232,49 @@ object Knn extends QueryModule {
           FROM cand
           JOIN q ON q.vec_id = cand.query_id
           JOIN planted p ON p.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10""")),
+
+    // IVF-flat ANN (10 sampled centroids, nprobe=4) — deterministic end to
+    // end, so the oracle rebuilds the same cells, probes, and ranking.
+    "llm_knn_ivf" -> QuerySpec(
+      fn = (s, dir) => {
+        val base = emb(s, dir)
+        ivfTopK(base, base.filter(col("vec_id") < 20), k = 10, nprobe = 4,
+          sampleMod = 50L)
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, ve AS vc FROM base WHERE vec_id % 50 = 0),
+        lists AS (
+          SELECT cent_id, vec_id, ve FROM (
+            SELECT b.vec_id, b.ve, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
+                                               c.cent_id) AS r
+            FROM base b, cents c)
+          WHERE r = 1),
+        probes AS (
+          SELECT query_id, vq, cent_id FROM (
+            SELECT q.vec_id AS query_id, q.ve AS vq, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosSql("q.ve", "c.vc")} DESC,
+                                               c.cent_id) AS r
+            FROM base q, cents c WHERE q.vec_id < 20)
+          WHERE r <= 4),
+        scored AS (
+          SELECT p.query_id, l.vec_id AS neighbor_id,
+                 ${cosSql("p.vq", "l.ve")} AS cosine
+          FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+          WHERE p.query_id <> l.vec_id),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rank

@@ -60,4 +60,28 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.95, f"ANN recall too low: $recall%.3f")
     corpus.unpersist()
   }
+
+  test("IVF ANN recall@10 >= 0.95 vs brute force on planted corpus") {
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("ve", VectorOps.asDouble("embedding"))
+      .select(col("vec_id"), col("ve"))
+    val corpus = Knn.plantedCorpus(base).cache()
+    val queries = base.filter(col("vec_id") < 20)
+
+    val exact = Knn.bruteTopK(corpus, queries, 10)
+      .select("query_id", "neighbor_id")
+    // Planted neighbors are near-identical to their base vector, so they
+    // land in the same Voronoi cell (or an adjacent probed one): nprobe=4
+    // of 10 cells must recover nearly all of the true top-10.
+    val ivf = Knn.ivfTopK(corpus, queries, 10, nprobe = 4, sampleMod = 50L)
+      .select("query_id", "neighbor_id")
+
+    val nExact = exact.count()
+    val hit = exact.intersect(ivf).count()
+    val recall = hit.toDouble / nExact
+    info(f"IVF recall@10 = $recall%.3f ($hit/$nExact)")
+    assert(nExact === 200L)
+    assert(recall >= 0.95, f"IVF recall too low: $recall%.3f")
+    corpus.unpersist()
+  }
 }
