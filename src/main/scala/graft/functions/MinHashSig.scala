@@ -112,7 +112,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => SimHashMd5(children.head)),
       (FunctionIdentifier("hyperplane_codes_md5"),
         new ExpressionInfo(classOf[HyperplaneCodesMd5].getCanonicalName, "hyperplane_codes_md5"),
-        (children: Seq[Expression]) => HyperplaneCodesMd5(children.head)))
+        (children: Seq[Expression]) => HyperplaneCodesMd5(children.head)),
+      (FunctionIdentifier("cdc_chunks"),
+        new ExpressionInfo(classOf[CdcChunks].getCanonicalName, "cdc_chunks"),
+        (children: Seq[Expression]) => CdcChunks(children.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -291,32 +291,18 @@ object TextAnalysis extends QueryModule {
     // sub-document dedup needs). Emits (chunk index, start, length, hash).
     "llm_text_chunk" -> QuerySpec(
       fn = (s, dir) => {
-        def pf(e: String) =
-          s"""aggregate(split($e, ''), CAST(0 AS BIGINT),
-              (h, c) -> pmod(h * 31 + ascii(c), CAST(1000000007 AS BIGINT)))"""
+        // One codegen pass per document ([[graft.functions.CdcChunks]]) —
+        // same declarative semantics as the oracle below, minus the
+        // interpreted per-window folds the HOF formulation paid.
+        graft.functions.GraftFunctions.register(s)
         docs(s, dir)
-          .withColumn("bnds", expr(s"""
-            filter(sequence(1, greatest(length(text) - 7, 1)),
-                   i -> ${pf("substring(text, i, 8)")} % 64 = 0)"""))
-          // Ensure position 1 opens a chunk; bnds is ascending, so 1 can
-          // only appear at its head (array_distinct order semantics differ
-          // between engines, so avoid it).
-          .withColumn("starts", expr("""
-            CASE WHEN size(bnds) > 0 AND element_at(bnds, 1) = 1 THEN bnds
-                 ELSE concat(array(1), bnds) END"""))
-          .withColumn("c", explode(expr("""
-            transform(sequence(0, size(starts) - 1), j -> named_struct(
-              'idx', j,
-              'start', element_at(starts, j + 1),
-              'len', (CASE WHEN j + 1 < size(starts)
-                           THEN element_at(starts, j + 2)
-                           ELSE length(text) + 1 END) - element_at(starts, j + 1)))""")))
+          .select(col("doc_id"), explode(expr("cdc_chunks(text)")).as("c"))
           .select(
             col("doc_id"),
             col("c.idx").as("chunk_idx"),
             col("c.start").as("chunk_start"),
             col("c.len").as("chunk_len"),
-            expr(pf("substring(text, c.start, c.len)")).as("chunk_hash"))
+            col("c.hash").as("chunk_hash"))
       },
       oracle = Some {
         def pf(e: String) =
