@@ -38,9 +38,20 @@ class PlanAssertSpec extends SparkSpec {
   test("headline queries contain no cartesian product over large inputs") {
     for (n <- Seq("rel_q1_pricing_summary", "rel_q3_shipping_priority",
         "rel_q5_local_supplier", "pipe_gold", "llm_dedup_minhash",
-        "ts_window_tumbling")) {
+        "ts_window_tumbling", "llm_dedup_simhash", "llm_knn_lsh")) {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
     }
+  }
+
+  test("llm_knn_ivf: centroid assignment is a broadcast, never a shuffle") {
+    // The corpus-side fold joins a SINGLE-ROW centroid array: the plan must
+    // ship it broadcast (nested-loop on one row = a map-side append), and
+    // the only exchanges allowed are the probe join on cell id and the
+    // final per-query window — NOT a corpus×centroids shuffle.
+    val p = plan("llm_knn_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid array not broadcast")
+    assert(!p.contains("CartesianProduct"), "IVF has a cartesian product")
   }
 }
