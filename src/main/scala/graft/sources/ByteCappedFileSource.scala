@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Incremental CSV file source with a BYTES-per-trigger admission cap — the
+  * core-Spark analog of the reference's Auto Loader `maxBytesPerTrigger`
+  * (`01_bronze_layer_ingestion.py:18`), which the built-in file source only
+  * approximates with a files-count cap. Implemented on the DataSource V2
+  * micro-batch API, so it is also the engine's demonstration of a custom
+  * streaming connector.
+  *
+  * Contract:
+  *   - `path` is a landing directory of CSV files with monotone lexicographic
+  *     names (the standard event-time-prefixed landing-zone layout — the
+  *     same ordering assumption Auto Loader's lexical mode makes); the
+  *     offset is "number of files consumed" over the name-sorted listing,
+  *     so restarts resume exactly-once from the checkpoint;
+  *   - each micro-batch admits files greedily until their cumulative size
+  *     would exceed `maxBytesPerTrigger` (always at least one file, like
+  *     Spark's own admission control);
+  *   - one input partition per file — reader parallelism follows the batch's
+  *     file count;
+  *   - rows parse with the simple unquoted-CSV row shape the reference's
+  *     generator writes (`data_generator.py:43-52`): header line skipped
+  *     when `header=true`, `,`-split fields, empty → null, LongType fields
+  *     via `try`-style parse (null on failure) to match PERMISSIVE reads.
+  *
+  * Scale notes: the directory listing is one RPC per trigger on the driver
+  * (same as every file source); file bytes never pass through the driver —
+  * readers stream their one file on executors.
+  */
+class ByteCappedFileSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  // Schema must be user-supplied (like the built-in streaming file sources
+  // with inference off — the engine treats declared schemas as authoritative).
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "byte-capped source requires an explicit .schema(...)")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ByteCappedTable(schema, properties.get("path"),
+      Option(properties.get("maxBytesPerTrigger")).map(_.toLong)
+        .getOrElse(10L * 1024 * 1024 * 1024),
+      Option(properties.get("header")).forall(_.toBoolean))
+}
+
+private[sources] class ByteCappedTable(
+    tableSchema: StructType, path: String, maxBytes: Long, header: Boolean)
+    extends Table with SupportsRead {
+  require(path != null, "byte-capped source requires option 'path'")
+
+  override def name(): String = s"byte_capped_csv($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ByteCappedStream(tableSchema, path, maxBytes, header)
+      }
+    }
+}
+
+/** Offset = files consumed from the name-sorted listing. */
+private[sources] case class FileIndexOffset(filesConsumed: Int) extends Offset {
+  override def json(): String = s"""{"filesConsumed":$filesConsumed}"""
+}
+
+private[sources] class ByteCappedStream(
+    schema: StructType, path: String, maxBytes: Long, header: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Stable name-sorted listing of (path, size). Re-listed per trigger;
+    * the already-consumed prefix is immutable under the monotone-name
+    * contract. (java.io for brevity — an object-store deployment swaps in
+    * the Hadoop FileSystem API; the admission-control logic is unchanged.) */
+  private def listing(): Array[(String, Long)] = {
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    files.map(f => (f.getAbsolutePath, f.length()))
+  }
+
+  override def initialOffset(): Offset = FileIndexOffset(0)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The engine hands us the stream's true start offset — admission is
+    * capped relative to it (greedy under the byte budget, always at least
+    * one file so a single oversized file cannot wedge the stream). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val files = listing()
+    val from = start.asInstanceOf[FileIndexOffset].filesConsumed
+    var i = from
+    var bytes = 0L
+    while (i < files.length &&
+        (i == from || bytes + files(i)._2 <= maxBytes)) {
+      bytes += files(i)._2
+      i += 1
+    }
+    FileIndexOffset(i)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def reportLatestOffset(): Offset = FileIndexOffset(listing().length)
+
+  override def deserializeOffset(json: String): Offset =
+    FileIndexOffset("""\d+""".r.findFirstIn(json).get.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileIndexOffset].filesConsumed
+    val e = end.asInstanceOf[FileIndexOffset].filesConsumed
+    listing().slice(s, e).map(f => CsvFilePartition(f._1): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CsvReaderFactory(schema, header)
+
+  override def stop(): Unit = ()
+}
+
+private[sources] case class CsvFilePartition(file: String) extends InputPartition
+
+private[sources] class CsvReaderFactory(schema: StructType, header: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[CsvFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = {
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        val it = src.getLines()
+        if (header && it.hasNext) it.next()
+        (it, src)
+      }
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (lines._1.hasNext) { row = parse(lines._1.next()); true }
+        else false
+
+      override def get(): InternalRow = row
+
+      private def parse(line: String): InternalRow = {
+        val parts = line.split(",", -1)
+        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+          val raw = if (i < parts.length) parts(i) else null
+          if (raw == null || raw.isEmpty) null
+          else f.dataType match {
+            case LongType => try java.lang.Long.valueOf(raw.trim.toLong)
+              catch { case _: NumberFormatException => null }
+            case DoubleType => try java.lang.Double.valueOf(raw.trim.toDouble)
+              catch { case _: NumberFormatException => null }
+            case _ => UTF8String.fromString(raw)
+          }
+        }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
+
+      override def close(): Unit = lines._2.close()
+    }
+  }
+}
