@@ -302,10 +302,11 @@ object Dedup extends QueryModule {
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     // Materialize the edge set once, durably — it is consumed by every
     // iteration, and its lineage (the whole LSH candidate pipeline) must
-    // not re-run per round nor be lost with an executor.
+    // not re-run per round nor be lost with an executor. No distinct():
+    // the input pairs are distinct with doc_a < doc_b, so the union with
+    // their reversals cannot collide.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
       .checkpoint(eager = true)
     // Initial labels only persist (not checkpoint): they are one cheap
     // distinct away from the durable edge set, so executor loss recomputes
