@@ -17,6 +17,7 @@ object SparkEntry {
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.Knn,
+    graft.llm.Embeddings,
     graft.llm.TextAnalysis,
     graft.llm.MultimodalQueries,
     graft.sources.SourceFormats)

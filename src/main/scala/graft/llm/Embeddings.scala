@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Embedding shaping operators: the pooling/normalization step between
+  * chunk-level embeddings and document-level retrieval (mean-pool a group
+  * of vectors, L2-normalize the result).
+  *
+  * Determinism discipline (what makes this oracle-checkable in floating
+  * point): the group's vectors are collected SORTED by id and folded
+  * sequentially — the per-dimension sum has one fixed association order on
+  * both engines, instead of the partial-aggregation order a naive
+  * per-dimension `sum()` would expose. The pooled unit vector is emitted as
+  * (bucket, dim, value) rows so every output cell is scalar.
+  *
+  * Scale note: `collect_list` bounds state by group size — pooling groups
+  * are chunk counts per document (tens to hundreds), never the corpus. For
+  * genuinely unbounded groups the fallback is two-pass per-dimension
+  * decimal sums; that trade-off is the same one `rel_agg_stringagg` makes.
+  */
+object Embeddings extends QueryModule {
+
+  def queries: Map[String, QuerySpec] = Map(
+    "llm_embed_pool" -> QuerySpec(
+      fn = (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .withColumn("bucket", col("vec_id") % 50)
+        e.groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("vec_id"), col("ve")))).as("vs"))
+          .withColumn("sum", expr("""
+            aggregate(vs, transform(sequence(1, 64), x -> CAST(0.0 AS DOUBLE)),
+              (acc, v) -> zip_with(acc, v.ve, (a, b) -> a + b))"""))
+          .withColumn("mean", expr("transform(sum, x -> x / n)"))
+          .withColumn("norm", expr(
+            "sqrt(aggregate(mean, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+          .select(col("bucket"), posexplode(expr("transform(mean, x -> x / norm)")))
+          .select(col("bucket"), (col("pos") + 1).as("dim"), col("col").as("value"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, vec_id % 50 AS bucket,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        g AS (
+          SELECT bucket, count(*) AS n, list(ve ORDER BY vec_id) AS vs
+          FROM e GROUP BY bucket),
+        p AS (
+          SELECT bucket, n,
+                 list_reduce(
+                   list_prepend([CAST(0.0 AS DOUBLE) for i in generate_series(1, 64)], vs),
+                   (acc, v) -> [acc[i] + v[i] for i in generate_series(1, 64)]) AS s
+          FROM g),
+        m AS (
+          SELECT bucket,
+                 list_transform(s, x -> x / n) AS mean
+          FROM p),
+        u AS (
+          SELECT bucket, mean,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(mean, x -> x * x)), (a, b) -> a + b)) AS norm
+          FROM m)
+        SELECT bucket, dim, mean[dim] / norm AS value
+        FROM u, generate_series(1, 64) gs(dim)"""))
+  )
+}
