@@ -64,6 +64,29 @@ object Embeddings extends QueryModule {
                      list_transform(mean, x -> x * x)), (a, b) -> a + b)) AS norm
           FROM m)
         SELECT bucket, dim, mean[dim] / norm AS value
-        FROM u, generate_series(1, 64) gs(dim)"""))
+        FROM u, generate_series(1, 64) gs(dim)""")),
+
+    // Hashing-trick featurizer: tokens → signed counts in 64 hash buckets
+    // (the classic feature-hashing embedding stand-in, and the bridge from
+    // the text operators to the vector ones). Bucket = md5 hash mod 64,
+    // sign = hash bit 7 — both reconstructible in DuckDB via
+    // md5_number_upper, so the vectors are hash-compared exactly. One
+    // shuffle (explode + group), integer-exact values.
+    "llm_text_hashvec" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .withColumn("h", expr("md5_long(tok)"))
+          .groupBy(col("doc_id"), pmod(col("h"), lit(64)).as("dim"))
+          .agg(sum(when(expr("(h >> 7) & 1") === 1, 1L).otherwise(-1L)).as("value"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
+               SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS value
+        FROM (SELECT doc_id, md5_number_upper(unnest(string_split_regex(lower(text), '\s+'))) AS h
+              FROM documents)
+        GROUP BY doc_id, h % 64"""))
   )
 }

@@ -145,6 +145,67 @@ object RelationalQueries extends QueryModule {
       bench = true),
 
     // ------------------------------------------------------------------
+    // TPC-H Q10 analog: returned-item revenue per customer over one
+    // quarter, top 20. Shape notes: the date filter prunes orders at the
+    // scan; returnflag prunes lineitem at the scan; nation broadcast; the
+    // final top-20 is TakeOrderedAndProject (rank over revenue with
+    // custkey tiebreak for a total order).
+    "rel_q10_returned_items" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+          .filter($"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, n_name,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Blocked fuzzy-match entity resolution: candidate pairs come from an
+    // equi-join on a BLOCKING key (nation), never an unblocked cross
+    // product — the standard shape that keeps pairwise string comparison
+    // O(Σ block²) instead of O(N²) at scale — then Levenshtein ≤ 2 keeps
+    // near-identical names. Semantics of levenshtein() agree between
+    // engines (plain edit distance).
+    "rel_entity_fuzzy" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey", $"c_name", $"c_nationkey")
+        c.as("a").join(c.as("b"),
+            $"a.c_nationkey" === $"b.c_nationkey" &&
+              $"a.c_custkey" < $"b.c_custkey")
+          .withColumn("dist", levenshtein($"a.c_name", $"b.c_name"))
+          .filter($"dist" <= 2)
+          .select($"a.c_custkey".as("custkey_a"),
+            $"b.c_custkey".as("custkey_b"), $"dist")
+      },
+      oracle = Some("""
+        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2""")),
+
+    // ------------------------------------------------------------------
     // Left outer join keeping customers without orders.
     "rel_join_left_outer" -> QuerySpec(
       fn = (s, dir) => {
