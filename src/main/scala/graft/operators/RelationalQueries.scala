@@ -375,6 +375,30 @@ object RelationalQueries extends QueryModule {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""")),
 
+    // Value-position window functions over an explicit full-partition
+    // frame (first/last/nth order price per customer) — last_value is only
+    // meaningful with the frame widened past the running default.
+    "rel_window_value_frame" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey",
+          first_value($"o_totalprice").over(w).as("first_price"),
+          last_value($"o_totalprice").over(w).as("last_price"),
+          nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
     // Null-handling scalar family.
     "rel_scalar_nulls" -> QuerySpec(
       fn = (s, dir) => {

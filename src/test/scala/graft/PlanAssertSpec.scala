@@ -44,6 +44,31 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned reads prune partitions at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("prune")
+    spark.range(99).selectExpr("id", "CAST(id % 3 AS STRING) AS p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("p") === "1")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("p"),
+      s"no partition filter pushed: ${scan.metadata("PartitionFilters")}")
+    // Drive THIS plan instance so its scan metrics populate (count() would
+    // plan a separate execution).
+    assert(df.queryExecution.executedPlan.execute().count() === 33L)
+    // Physical evidence, not just plan text: the scan's numFiles metric
+    // equals the matching partition's file count, not the table's.
+    val p1Files = new java.io.File(dir, "p=1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val allFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value === p1Files.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, partition has $p1Files of $allFiles")
+    assert(p1Files < allFiles, "test setup must have multiple partitions")
+  }
+
   test("llm_knn_ivf: centroid assignment is a broadcast, never a shuffle") {
     // The corpus-side fold joins a SINGLE-ROW centroid array: the plan must
     // ship it broadcast (nested-loop on one row = a map-side append), and
