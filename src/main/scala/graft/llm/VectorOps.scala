@@ -30,7 +30,7 @@ object VectorOps {
     * dedup queries be differential-checked bit-for-bit. */
   def lshCoded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(df.columns.map(org.apache.spark.sql.functions.col) :+
+    df.select(df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col) :+
       org.apache.spark.sql.functions.posexplode(expr("hyperplane_codes_md5(ve)")): _*)
       .withColumnRenamed("pos", "t")
       .withColumnRenamed("col", "code")

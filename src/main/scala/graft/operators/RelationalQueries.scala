@@ -179,31 +179,33 @@ object RelationalQueries extends QueryModule {
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
     // ------------------------------------------------------------------
-    // Blocked fuzzy-match entity resolution: candidate pairs come from an
-    // equi-join on a BLOCKING key (nation), never an unblocked cross
-    // product — the standard shape that keeps pairwise string comparison
-    // O(Σ block²) instead of O(N²) at scale — then Levenshtein ≤ 2 keeps
-    // near-identical names. Semantics of levenshtein() agree between
-    // engines (plain edit distance).
+    // Blocked fuzzy-match entity resolution, incoming-batch-vs-master
+    // shape: a probe batch (a deterministic 1% of customers, standing in
+    // for "today's new records") matches against master data through an
+    // equi-join on a BLOCKING key (nation) — |probes|·|block| comparisons,
+    // never all-pairs — then Levenshtein ≤ 2 keeps near-identical names.
+    // levenshtein() semantics agree between engines (plain edit distance).
     "rel_entity_fuzzy" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        val c = t(s, dir, "customer")
+        val master = t(s, dir, "customer")
           .select($"c_custkey", $"c_name", $"c_nationkey")
-        c.as("a").join(c.as("b"),
-            $"a.c_nationkey" === $"b.c_nationkey" &&
-              $"a.c_custkey" < $"b.c_custkey")
-          .withColumn("dist", levenshtein($"a.c_name", $"b.c_name"))
+        val probes = master.filter($"c_custkey" % 100 === 0)
+          .select($"c_custkey".as("probe_key"), $"c_name".as("probe_name"),
+            $"c_nationkey".as("probe_nation"))
+        probes.join(master, $"probe_nation" === $"c_nationkey" &&
+            $"probe_key" =!= $"c_custkey")
+          .withColumn("dist", levenshtein($"probe_name", $"c_name"))
           .filter($"dist" <= 2)
-          .select($"a.c_custkey".as("custkey_a"),
-            $"b.c_custkey".as("custkey_b"), $"dist")
+          .select($"probe_key", $"c_custkey".as("master_key"), $"dist")
       },
       oracle = Some("""
-        SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        FROM customer a JOIN customer b
-          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 2""")),
+        SELECT p.c_custkey AS probe_key, m.c_custkey AS master_key,
+               CAST(levenshtein(p.c_name, m.c_name) AS INT) AS dist
+        FROM customer p JOIN customer m
+          ON p.c_nationkey = m.c_nationkey AND p.c_custkey <> m.c_custkey
+        WHERE p.c_custkey % 100 = 0
+          AND levenshtein(p.c_name, m.c_name) <= 2""")),
 
     // ------------------------------------------------------------------
     // Left outer join keeping customers without orders.
