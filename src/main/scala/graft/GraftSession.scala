@@ -50,6 +50,10 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
+      // Reliable-checkpoint files (label propagation truncates lineage with
+      // them) are reclaimed once their RDDs are GC'd — without this a
+      // long-lived session leaks checkpoint storage per clustering run.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // Default warehouse under tmp (bucketed-table support out of the box
       // without polluting the caller's working directory); explicit
       // -Dspark.sql.warehouse.dir still wins via sys props below.

@@ -294,7 +294,9 @@ object Dedup extends QueryModule {
     * most that many iterations from the last durable cut. */
   val clustersCheckpointEvery = 3
 
-  def clusters(pairs: DataFrame): DataFrame = {
+  /** Per-node component labels (id, label = min id in the component) —
+    * the fixpoint the cluster/keep decisions read. */
+  def labels(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sc = pairs.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
@@ -341,9 +343,22 @@ object Dedup extends QueryModule {
     }
     cached.foreach(_.unpersist(blocking = false))
     labels
+  }
+
+  def clusters(pairs: DataFrame): DataFrame =
+    labels(pairs)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(col("id"))).as("members"))
+
+  /** The dedup DELIVERABLE: which documents survive. Keeps every document
+    * that is not a non-representative member of a near-dup cluster (the
+    * representative is the cluster's min id — the same keep-min rule as
+    * exact dedup). One anti-join against the (tiny) drop set. */
+  def keepSet(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = labels(pairs).filter(col("id") =!= col("label")).select("id")
+    corpus.join(drop, corpus("doc_id") === drop("id"), "left_anti")
+      .select(col("doc_id"))
   }
 
   def queries: Map[String, QuerySpec] = Map(
@@ -442,6 +457,26 @@ object Dedup extends QueryModule {
         SELECT cluster AS cluster_id, COUNT(*) AS n_members,
                array_to_string(list_sort(list(node)), ',') AS members
         FROM labels GROUP BY cluster""")),
+
+    // The dedup deliverable: the surviving document set after near-dup
+    // clustering (cluster representative = min id; singletons all kept).
+    "llm_dedup_keep" -> QuerySpec(
+      fn = (s, dir) => {
+        val corpus = nearCorpus(s, dir)
+        keepSet(corpus, minhashPairs(corpus))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $jaccardPairsCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""")),
 
     // Embedding-cosine near-dup via hyperplane LSH + exact verification.
     "llm_dedup_embed" -> QuerySpec(
