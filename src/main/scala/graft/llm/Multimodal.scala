@@ -113,6 +113,46 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode (javax.imageio), scale to `targetW`×`targetH`
+    * with nearest-neighbor interpolation (bit-deterministic across JVMs,
+    * unlike area-averaging), re-encode as PNG. Non-image payloads and
+    * undecodable bytes pass through unchanged with a `resized=false` mark.
+    * Runs per partition like [[decode]] — same `mapInPandas`-style batch
+    * shape, codec init amortized across the batch. */
+  final case class ResizedAsset(
+      asset_id: Long, media: Array[Byte], meta: MediaMeta, resized: Boolean)
+
+  def resize(in: Dataset[MediaAsset], targetW: Int, targetH: Int): Dataset[ResizedAsset] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { batch =>
+      batch.map { a =>
+        val img =
+          if (a.meta.kind == "image")
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.media)))
+            catch { case _: java.io.IOException => None }
+          else None
+        img match {
+          case Some(src) =>
+            val dst = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            ResizedAsset(a.asset_id, bos.toByteArray,
+              a.meta.copy(width = targetW, height = targetH), resized = true)
+          case None =>
+            ResizedAsset(a.asset_id, a.media, a.meta, resized = false)
+        }
+      }
+    }
+  }
+
   /** Normalized 16-bin byte histogram — a real, deterministic feature
     * extractor over the payload (stands in for an embedding model). */
   def byteHistogram(bytes: Array[Byte]): Array[Float] = {

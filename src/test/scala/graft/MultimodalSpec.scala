@@ -39,4 +39,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(d => d.asset_id -> d.features.toSeq).toMap
     rows.foreach(d => assert(again(d.asset_id) === d.features.toSeq))
   }
+
+  test("resize re-encodes images at target dimensions, passes others through") {
+    val in = Multimodal.assets(spark, sfDir)
+    val out = Multimodal.resize(in, 32, 24).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (r.meta.kind == "image") {
+        assert(r.resized, s"image ${r.asset_id} not resized")
+        assert(r.meta.width === 32 && r.meta.height === 24)
+        // The payload is a REAL re-encoded PNG at the target size.
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        assert(img.getWidth === 32 && img.getHeight === 24)
+      } else {
+        assert(!r.resized, s"non-image ${r.asset_id} must pass through")
+      }
+    }
+    // Determinism (nearest-neighbor + stable PNG encoder): identical bytes.
+    val again = Multimodal.resize(Multimodal.assets(spark, sfDir).repartition(3), 32, 24)
+      .collect().map(r => r.asset_id -> r.media.toSeq).toMap
+    out.foreach(r => assert(again(r.asset_id) === r.media.toSeq))
+  }
 }
