@@ -169,7 +169,7 @@ object Dedup extends QueryModule {
     *     (doc, band).
     * The only shuffles are the candidate join on (band, band-hash) and the
     * verify joins on doc ids — never an all-pairs product. */
-  private def minhashPairs(corpus: DataFrame): DataFrame = {
+  def minhashPairs(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Signatures in one codegen'd pass per document (see MinHashSig) —
     // no row expansion, no signature shuffle. Band identity (r=4, b=32)
