@@ -169,27 +169,30 @@ object Dedup extends QueryModule {
     *     (doc, band).
     * The only shuffles are the candidate join on (band, band-hash) and the
     * verify joins on doc ids — never an all-pairs product. */
-  def minhashPairs(corpus: DataFrame): DataFrame = {
+  /** The persisted LSH BAND INDEX of a corpus: (doc_id, band, bh) — the
+    * table an incremental pipeline appends to each day. Signatures are one
+    * codegen'd pass per document (see MinHashSig) — no row expansion, no
+    * signature shuffle; band identity (r=4, b=32) hashes each 4-min slice
+    * of the signature array. */
+  def bandsOf(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Signatures in one codegen'd pass per document (see MinHashSig) —
-    // no row expansion, no signature shuffle. Band identity (r=4, b=32)
-    // hashes each 4-min slice of the signature array.
-    val sigs = shingleArrays(corpus)
+    shingleArrays(corpus)
       .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
-    val bands = sigs
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 31), b ->
              xxhash64(element_at(sig, b * 4 + 1), element_at(sig, b * 4 + 2),
                       element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))""")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // Verify candidates only (array intersect over two ~100-element sets).
-    val sets = shingleArrays(corpus)
+  }
+
+  /** The persisted SHINGLE-SET table: (doc_id, sh, n) — what candidate
+    * verification joins against. */
+  def setsOf(corpus: DataFrame): DataFrame =
+    shingleArrays(corpus)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+
+  /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
@@ -197,6 +200,41 @@ object Dedup extends QueryModule {
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
+
+  def minhashPairs(corpus: DataFrame): DataFrame = {
+    val bands = bandsOf(corpus)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cand, setsOf(corpus))
+  }
+
+  /** INCREMENTAL near-dup: match a new-document batch against an existing
+    * index without touching the existing corpus's pairs — the operational
+    * shape at 100 TB, where the day's increment joins the persisted band
+    * index instead of re-deduping everything. Candidates are
+    * (new ⋈ index) ∪ (new ⋈ new); verification reads shingle sets from
+    * both sides. Output pairs are (least, greatest)-normalized and,
+    * because LSH is a pure function of each document, the union of the old
+    * corpus's pairs with this increment equals a from-scratch dedup of the
+    * combined corpus (asserted by DedupSpec). */
+  def incrementPairs(newDocs: DataFrame, idxBands: DataFrame,
+      idxSets: DataFrame): DataFrame = {
+    val nb = bandsOf(newDocs)
+    val crossCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(idxBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val withinCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(nb.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cand = crossCand.unionAll(withinCand).distinct()
+    verifyPairs(cand, idxSets.unionAll(setsOf(newDocs)))
   }
 
   /** 64-bit SimHash over word tokens — the native codegen expression

@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     // (md5 variant covered by the oracle-checked query + the test above.)
   }
 
+  test("incremental dedup against a band index equals from-scratch dedup") {
+    import graft.llm.Dedup
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS text")
+    val full = d.unionAll(d.selectExpr(
+      "doc_id + 1000000 AS doc_id",
+      "regexp_replace(text, '^\\\\S+\\\\s+', '') AS text"))
+    // Split by content hash: ~1/3 of documents arrive "today".
+    val isNew = expr("pmod(xxhash64(text), 3) = 0")
+    val old = full.filter(!isNew)
+    val fresh = full.filter(isNew)
+
+    val fromScratch = Dedup.minhashPairs(full).select("doc_a", "doc_b")
+    val incremental = Dedup.minhashPairs(old).select("doc_a", "doc_b")
+      .unionAll(Dedup.incrementPairs(fresh, Dedup.bandsOf(old), Dedup.setsOf(old))
+        .select("doc_a", "doc_b"))
+    assert(fromScratch.except(incremental).count() === 0L,
+      "incremental path missed pairs")
+    assert(incremental.except(fromScratch).count() === 0L,
+      "incremental path invented pairs")
+    assert(fresh.count() > 0 && old.count() > 0, "split must be non-trivial")
+  }
+
   test("exact dedup is idempotent and halves the doubled corpus") {
     val out = run("llm_dedup_exact")
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
