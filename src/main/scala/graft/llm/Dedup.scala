@@ -133,7 +133,9 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private val jaccardPairsCtes = s"""$nearCorpusSql, $shinglesSql,
+  /** shingles → counts → intersections → Jaccard-≥0.8 pairs, over whatever
+    * `corpus` CTE precedes it (composable across the dedup oracles). */
+  private val pairsFromCorpusSql = s"""$shinglesSql,
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -143,6 +145,19 @@ object Dedup extends QueryModule {
       SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
       FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)"""
+
+  private val jaccardPairsCtes = s"""$nearCorpusSql, $pairsFromCorpusSql"""
+
+  /** Transitive closure + per-node labels over `pairs` (recursive CTE). */
+  private val closureCtes = """
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+    labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)"""
 
   private val jaccardOracle =
     s"""WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"""
@@ -483,15 +498,7 @@ object Dedup extends QueryModule {
           array_join(expr("transform(members, x -> CAST(x AS STRING))"), ",")
             .as("members")),
       oracle = Some(s"""
-        WITH RECURSIVE $jaccardPairsCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach(node, r) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-        labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+        WITH RECURSIVE $jaccardPairsCtes, $closureCtes
         SELECT cluster AS cluster_id, COUNT(*) AS n_members,
                array_to_string(list_sort(list(node)), ',') AS members
         FROM labels GROUP BY cluster""")),
@@ -504,17 +511,34 @@ object Dedup extends QueryModule {
         keepSet(corpus, minhashPairs(corpus))
       },
       oracle = Some(s"""
-        WITH RECURSIVE $jaccardPairsCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-        reach(node, r) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
-        labels AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+        WITH RECURSIVE $jaccardPairsCtes, $closureCtes
         SELECT doc_id FROM corpus
         WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""")),
+
+    // The curation CAPSTONE: the full pipeline a training-data batch runs,
+    // composed from the library's own operators — quality gate (language +
+    // length), near-dup SURVIVORS over the naturally-occurring duplicate
+    // pairs among the documents themselves, then a reproducible 50%
+    // hash-bucket sample. One oracle checks the whole composition.
+    "llm_curate_e2e" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val corpus = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
+        val survivors = keepSet(corpus, minhashPairs(corpus))
+        docs(s, dir)
+          .filter(col("lang").isin("en", "fr", "es") &&
+            col("n_chars").between(100, 500))
+          .join(survivors, "doc_id")
+          .filter(expr("(md5_long(concat('cur42:', CAST(doc_id AS STRING))) & 1023) < 512"))
+          .select(col("doc_id"), col("lang"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+        $pairsFromCorpusSql, $closureCtes
+        SELECT doc_id, lang FROM documents
+        WHERE lang IN ('en', 'fr', 'es') AND n_chars BETWEEN 100 AND 500
+          AND doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)
+          AND (md5_number_upper('cur42:' || CAST(doc_id AS VARCHAR)) & 1023) < 512""")),
 
     // Embedding-cosine near-dup via hyperplane LSH + exact verification.
     "llm_dedup_embed" -> QuerySpec(

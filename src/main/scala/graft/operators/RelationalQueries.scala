@@ -179,6 +179,63 @@ object RelationalQueries extends QueryModule {
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
     // ------------------------------------------------------------------
+    // TPC-H Q14 analog: promo revenue share over one month — a conditional
+    // aggregate ratio in a single pass over the join (no second scan for
+    // the denominator).
+    "rel_q14_promo_effect" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp"))
+          .filter($"l_shipdate" < lit("1996-02-01").cast("timestamp"))
+        li.join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .agg((lit(100.0) *
+            dsum(when($"p_type" === "PROMO",
+              $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) /
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+            .as("promo_revenue_pct"))
+      },
+      oracle = Some(s"""
+        SELECT 100.0 * ${sqlSum(
+          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+               / ${sqlSum("l_extendedprice * (1.0 - l_discount)")}
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 analog: revenue under a DISJUNCTION of brand/size/quantity
+    // predicates — the pushdown stress case (per-branch constraints must
+    // still prune both scans; the plan keeps the join equi on partkey with
+    // the disjunction as a post-join filter, not a theta join).
+    "rel_q19_disjunctive" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .filter(
+            ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+              $"l_quantity".between(1, 20)) ||
+            ($"p_brand" === "Brand#13" && $"p_size".between(10, 25) &&
+              $"l_quantity".between(10, 40)) ||
+            ($"p_brand" === "Brand#20" && $"p_size".between(25, 50) &&
+              $"l_quantity".between(20, 50)))
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      oracle = Some(s"""
+        SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50
+               AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // ------------------------------------------------------------------
     // Blocked fuzzy-match entity resolution, incoming-batch-vs-master
     // shape: a probe batch (a deterministic 1% of customers, standing in
     // for "today's new records") matches against master data through an
