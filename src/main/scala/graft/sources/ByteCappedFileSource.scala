@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,7 +86,15 @@ private[sources] case class FileIndexOffset(filesConsumed: Int) extends Offset {
 
 private[sources] class ByteCappedStream(
     schema: StructType, path: String, maxBytes: Long, header: Boolean)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow contract: freeze the listing at trigger time and
+  // drain (in capped batches) exactly up to it, ignoring later arrivals.
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listing().length)
 
   /** Stable name-sorted listing of (path, size). Re-listed per trigger;
     * the already-consumed prefix is immutable under the monotone-name
@@ -109,11 +117,11 @@ private[sources] class ByteCappedStream(
     * one file so a single oversized file cannot wedge the stream). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val files = listing()
+    val end = availableNowCap.fold(files.length)(math.min(_, files.length))
     val from = start.asInstanceOf[FileIndexOffset].filesConsumed
     var i = from
     var bytes = 0L
-    while (i < files.length &&
-        (i == from || bytes + files(i)._2 <= maxBytes)) {
+    while (i < end && (i == from || bytes + files(i)._2 <= maxBytes)) {
       bytes += files(i)._2
       i += 1
     }

@@ -70,4 +70,26 @@ class ByteCappedSourceSpec extends SparkSpec {
       assert(b2.map(_.numInputRows.toInt).sum === 30)
     } finally q2.stop()
   }
+
+  test("Trigger.AvailableNow drains everything in capped batches, then stops") {
+    val in = tempDir("bcap_an_in")
+    val cp = tempDir("bcap_an_cp")
+    val outDir = tempDir("bcap_an_out")
+    val sizes = (1 to 3).map(i => writeFile(in, f"g$i%02d.csv", rows = 40))
+    val q = spark.readStream
+      .format(classOf[ByteCappedFileSource].getName)
+      .schema(schema)
+      .option("maxBytesPerTrigger", ((sizes.max * 3) / 2).toString)
+      .option("header", "true")
+      .option("path", in)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    // The query must terminate on its own once the frozen listing drains.
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(spark.read.parquet(outDir).count() === 120L)
+  }
 }
