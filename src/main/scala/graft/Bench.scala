@@ -73,10 +73,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     // Always leave a machine-readable copy on disk: sbt prefixes forked
     // stdout with "[info] ", which broke JSON-line scraping in the past.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try Files.writeString(Paths.get(out), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    // EXCEPT for targeted profiling runs (explicit query args) without an
+    // explicit out path — those would clobber BENCH_LAST.json's tracked
+    // headline figure with a partial (usually 0) subtotal.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (args.isEmpty) Some("BENCH_LAST.json") else None)
+    out.foreach { o =>
+      try Files.writeString(Paths.get(o), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $o: ${e.getMessage}")
+      }
     }
     println(json)
     spark.stop()

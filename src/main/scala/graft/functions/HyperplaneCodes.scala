@@ -64,13 +64,15 @@ case class HyperplaneCodes(child: Expression, tables: Int = 4, bits: Int = 16)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val code = ctx.freshName("code")
+      val n = ctx.freshName("n")
       s"""
         int[] $codes = new int[$tables];
+        final int $n = $c.numElements();
         for (int $t = 0; $t < $tables; $t++) {
           int $code = 0;
           for (int $j = 0; $j < $bits; $j++) {
             double $dot = 0.0;
-            for (int $i = 0; $i < $c.numElements(); $i++) {
+            for (int $i = 0; $i < $n; $i++) {
               $dot += $c.getDouble($i) * $cls.component($t, $j, $i);
             }
             $code = ($code << 1) | ($dot >= 0.0 ? 1 : 0);

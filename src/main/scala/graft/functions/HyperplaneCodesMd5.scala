@@ -68,13 +68,15 @@ case class HyperplaneCodesMd5(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val code = ctx.freshName("code")
+      val n = ctx.freshName("n")
       s"""
         int[] $codes = new int[$Tables];
+        final int $n = $c.numElements();
         for (int $t = 0; $t < $Tables; $t++) {
           int $code = 0;
           for (int $j = 0; $j < $Bits; $j++) {
             double $dot = 0.0;
-            for (int $i = 0; $i < $c.numElements(); $i++) {
+            for (int $i = 0; $i < $n; $i++) {
               $dot += $c.getDouble($i) * $cls.weight($t, $j, $i);
             }
             $code = ($code << 1) | ($dot >= 0.0 ? 1 : 0);

@@ -366,12 +366,17 @@ object Dedup extends QueryModule {
     // Initial labels only persist (not checkpoint): they are one cheap
     // distinct away from the durable edge set, so executor loss recomputes
     // them from the checkpoint rather than re-running the LSH pipeline.
-    var labels: DataFrame = edges.select(col("doc_a").as("id")).distinct()
+    // Every persist is tracked in `cached` and released at the next
+    // checkpoint boundary; the persist backing the RETURNED labels is kept
+    // alive (callers' downstream actions read it without recomputing).
+    val init = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = init
+    var lastMat: DataFrame = init
     var changed = 1L
     var iter = 0
-    var cached: List[DataFrame] = Nil
+    var cached: List[DataFrame] = List(init)
     while (changed > 0) {
       iter += 1
       val neigh = edges
@@ -387,6 +392,7 @@ object Dedup extends QueryModule {
           cached ::= p
           p
         }
+      lastMat = updated
       changed = updated.filter(col("nl") =!= col("label")).count()
       labels = updated.select(col("id"), col("nl").as("label"))
       if (iter % clustersCheckpointEvery == 0) {
@@ -394,7 +400,7 @@ object Dedup extends QueryModule {
         cached = Nil
       }
     }
-    cached.foreach(_.unpersist(blocking = false))
+    cached.filterNot(_ eq lastMat).foreach(_.unpersist(blocking = false))
     labels
   }
 

@@ -91,14 +91,16 @@ object Knn extends QueryModule {
     // first-strict-max tie-break is deterministic.
     val centArr = cents.agg(
       sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+    // Score each centroid ONCE (higher-order lambdas are not CSE'd — a
+    // cosine in both the CASE condition and branch would double the cost
+    // of this, the dominant pass), then fold for the strict max.
     val assigned = corpus.crossJoin(broadcast(centArr))
       .withColumn("best", expr("""
-        aggregate(cents,
+        aggregate(
+          transform(cents, c -> named_struct('cid', c.cent_id,
+                                             'sim', vec_cosine(ve, c.vc))),
           named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-          (acc, c) -> CASE WHEN vec_cosine(ve, c.vc) > acc.sim
-                           THEN named_struct('cid', c.cent_id,
-                                             'sim', vec_cosine(ve, c.vc))
-                           ELSE acc END)"""))
+          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)"""))
       .select(col("best.cid").as("cent_id"), col("vec_id"), col("ve"))
     // Query side is small by contract: broadcast-join + window picks the
     // nprobe nearest centroids per query.

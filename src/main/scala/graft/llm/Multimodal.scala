@@ -85,16 +85,21 @@ object Multimodal {
     * environment) derived deterministically from the first payload bytes.
     * Runs per partition so codec init/reuse amortizes across the batch,
     * exactly like a `mapInPandas` batch. */
+  /** Shared image-decode attempt: None for non-image kinds, undecodable
+    * bytes, or codec failures. javax.imageio readers throw unchecked
+    * exceptions on malformed payloads (not just IOException), so anything
+    * non-fatal falls back rather than killing the task. */
+  private def tryDecodeImage(a: MediaAsset): Option[java.awt.image.BufferedImage] =
+    if (a.meta.kind != "image") None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.media)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
   def decode(in: Dataset[MediaAsset], nFrames: Int = 4): Dataset[DecodedAsset] = {
     import in.sparkSession.implicits._
     in.mapPartitions { batch =>
       batch.map { a =>
-        val img =
-          if (a.meta.kind == "image")
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.media)))
-            catch { case _: java.io.IOException => None }
-          else None
+        val img = tryDecodeImage(a)
         val meta = img match {
           case Some(i) => // real decoder-reported dimensions
             a.meta.copy(width = i.getWidth, height = i.getHeight, sampleRate = 0)
@@ -126,13 +131,7 @@ object Multimodal {
     import in.sparkSession.implicits._
     in.mapPartitions { batch =>
       batch.map { a =>
-        val img =
-          if (a.meta.kind == "image")
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.media)))
-            catch { case _: java.io.IOException => None }
-          else None
-        img match {
+        tryDecodeImage(a) match {
           case Some(src) =>
             val dst = new java.awt.image.BufferedImage(
               targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -63,6 +61,14 @@ private[sources] class ByteCappedTable(
     tableSchema: StructType, path: String, maxBytes: Long, header: Boolean)
     extends Table with SupportsRead {
   require(path != null, "byte-capped source requires option 'path'")
+  // Fail at table resolution, not deep inside generated code: the CSV
+  // reader materializes only these types.
+  tableSchema.fields.foreach { f =>
+    require(
+      f.dataType == StringType || f.dataType == LongType || f.dataType == DoubleType,
+      s"byte-capped CSV source supports string/bigint/double columns; " +
+        s"'${f.name}' is ${f.dataType.catalogString}")
+  }
 
   override def name(): String = s"byte_capped_csv($path)"
   override def schema(): StructType = tableSchema

@@ -29,8 +29,13 @@ class KnnSpec extends SparkSpec {
       .select(col("vec_id"), col("ve"), explode(expr("sequence(1, 90)")).as("c"))
       .select(
         (col("vec_id") + (col("c") + 10) * 10000000L).as("vec_id"),
+        // The replica counter c MUST drive the perturbation: without it all
+        // 90 copies of a base vector are byte-identical and the corpus is
+        // far weaker than the 54k distinct vectors it claims to be.
         expr("""transform(ve, (x, j) ->
-                 x + 0.5 * sin(CAST(j AS DOUBLE) * 2.3 + CAST(vec_id AS DOUBLE) * 0.7))""")
+                 x + 0.5 * sin(CAST(j AS DOUBLE) * 2.3
+                               + CAST(vec_id AS DOUBLE) * 0.7
+                               + CAST(c AS DOUBLE) * 1.31))""")
           .as("ve"))
     val corpus = Knn.plantedCorpus(base).unionAll(distractors).cache()
     val queries = base.filter(col("vec_id") < 20)
