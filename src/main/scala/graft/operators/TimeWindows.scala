@@ -26,6 +26,57 @@ object TimeWindows extends QueryModule {
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
   def queries: Map[String, QuerySpec] = Map(
+    // Sequenced funnel (view → click → purchase, strictly ordered in event
+    // time): each stage's earliest qualifying timestamp is one keyed
+    // aggregation joined back — no per-user event sorting, no
+    // collect_list of histories, so state per user is three timestamps
+    // regardless of event volume. The classic product-analytics operator.
+    "ts_funnel" -> QuerySpec(
+      fn = (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        e.select(col("user_id")).distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t_purchase").isNotNull, 3)
+              .when(col("t_click").isNotNull, 2)
+              .when(col("t_view").isNotNull, 1)
+              .otherwise(0).as("funnel_stage"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+        SELECT u.user_id,
+               CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                    WHEN c.t_click IS NOT NULL THEN 2
+                    WHEN v.t_view IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id""")),
+
     // Tumbling 1-hour windows per event type.
     "ts_window_tumbling" -> QuerySpec(
       fn = (s, dir) => Tables.load(s, dir, "events")
