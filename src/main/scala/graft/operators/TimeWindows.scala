@@ -77,6 +77,30 @@ object TimeWindows extends QueryModule {
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id""")),
 
+    // Cohort retention: users grouped by first-activity day, distinct
+    // active users per (cohort, day offset) — funnel's companion staple.
+    // Two keyed aggregations; the (user, day) distinct bounds the join at
+    // one row per user-day, not per event.
+    "ts_cohort_retention" -> QuerySpec(
+      fn = (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("n_active"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+               CAST(e.d - f.cohort AS INT) AS day_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM e JOIN f ON e.user_id = f.user_id
+        GROUP BY f.cohort, e.d - f.cohort""")),
+
     // Tumbling 1-hour windows per event type.
     "ts_window_tumbling" -> QuerySpec(
       fn = (s, dir) => Tables.load(s, dir, "events")
