@@ -13,6 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the ANN/near-dup scoring paths. Accumulation is left-to-right from zero,
   * exactly like the folds it replaces and DuckDB's list_reduce, so scores
   * stay bit-identical to the oracle.
+  *
+  * Zero/empty vectors score 0.0 (not NaN): a NaN here silently corrupts
+  * every comparison-based consumer — IVF cell assignment (NaN loses all
+  * strict comparisons → phantom cell), top-k ranking (engines order NaN
+  * differently), threshold filters. The oracles mirror the same guard.
   */
 case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -37,7 +42,8 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,7 +62,8 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
           double $x = $a.getDouble($i); double $y = $b.getDouble($i);
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        ${ev.value} = ($na == 0.0 || $nb == 0.0)
+          ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

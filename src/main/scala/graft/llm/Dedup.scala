@@ -122,15 +122,10 @@ object Dedup extends QueryModule {
       .filter(col("doc_a") < col("doc_b") &&
         col("nb") * tau <= col("na") && col("na") * tau <= col("nb"))
       .select("doc_a", "doc_b").distinct()
-    // Exact verification on candidates only.
-    val sets = ordered.select(col("doc_id"), col("sorted_sh"), col("n"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sorted_sh").as("sa"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sorted_sh").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
+    // Exact verification on candidates only — the same join verifyPairs
+    // runs for the LSH and incremental paths (one implementation for the
+    // semantics the oracle requires all three to agree on).
+    verifyPairs(cand, ordered.select(col("doc_id"), col("sorted_sh").as("sh"), col("n")))
   }
 
   /** shingles → counts → intersections → Jaccard-≥0.8 pairs, over whatever
@@ -238,9 +233,13 @@ object Dedup extends QueryModule {
   def incrementPairs(newDocs: DataFrame, idxBands: DataFrame,
       idxSets: DataFrame): DataFrame = {
     val nb = bandsOf(newDocs)
+    // doc_a =!= doc_b: a re-run whose batch overlaps the index (partial-
+    // failure recovery) would otherwise join a doc's identical bands to
+    // themselves and emit jaccard-1.0 self-pairs.
     val crossCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(idxBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
+      .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     val withinCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
@@ -249,7 +248,10 @@ object Dedup extends QueryModule {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
     val cand = crossCand.unionAll(withinCand).distinct()
-    verifyPairs(cand, idxSets.unionAll(setsOf(newDocs)))
+    // dropDuplicates: a doc present in BOTH the index and the batch must
+    // contribute one shingle set, or every pair touching it verifies (and
+    // emits) once per copy.
+    verifyPairs(cand, idxSets.unionAll(setsOf(newDocs)).dropDuplicates("doc_id"))
   }
 
   /** 64-bit SimHash over word tokens — the native codegen expression
@@ -553,12 +555,16 @@ object Dedup extends QueryModule {
         WITH $embCorpusSql,
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 list_reduce(list_transform(generate_series(1, 64),
+                 CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                        i -> a.ve[i] * a.ve[i]), (x, y) -> x + y) = 0
+                       OR list_reduce(list_transform(generate_series(1, 64),
+                        i -> b.ve[i] * b.ve[i]), (x, y) -> x + y) = 0 THEN 0.0
+                 ELSE list_reduce(list_transform(generate_series(1, 64),
                      i -> a.ve[i] * b.ve[i]), (x, y) -> x + y)
                  / (sqrt(list_reduce(list_transform(generate_series(1, 64),
                         i -> a.ve[i] * a.ve[i]), (x, y) -> x + y))
                     * sqrt(list_reduce(list_transform(generate_series(1, 64),
-                        i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) AS cosine
+                        i -> b.ve[i] * b.ve[i]), (x, y) -> x + y))) END AS cosine
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.95""")),
 
@@ -603,12 +609,17 @@ object Dedup extends QueryModule {
           SELECT *, list_transform(q, x -> CAST(x AS DOUBLE) * scale / 127.0) AS dq
           FROM q)
         SELECT vec_id, scale, array_to_string(q, ',') AS q,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        [ve[i] * ve[i] for i in generate_series(1, 64)]), (a, b) -> a + b) = 0
+                     OR list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        [dq[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b) = 0
+                    THEN 0.0
+               ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    [ve[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
                / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                      [ve[i] * ve[i] for i in generate_series(1, 64)]), (a, b) -> a + b))
                   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                      [dq[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)))
-                 AS recon_cosine
+               END AS recon_cosine
         FROM d""")))
 }

@@ -132,14 +132,17 @@ object Knn extends QueryModule {
             .as("ve")))
 
   /** Oracle-side cosine, formulated exactly like [[graft.functions.VecCosine]]
-    * (ordered left-to-right list_reduce) so scores are bit-identical. */
-  private def cosSql(a: String, b: String): String = s"""
-    list_reduce(list_transform(generate_series(1, 64),
-        i -> $a[i] * $b[i]), (x, y) -> x + y)
-    / (sqrt(list_reduce(list_transform(generate_series(1, 64),
-           i -> $a[i] * $a[i]), (x, y) -> x + y))
-       * sqrt(list_reduce(list_transform(generate_series(1, 64),
-           i -> $b[i] * $b[i]), (x, y) -> x + y)))"""
+    * (ordered left-to-right list_reduce; zero/empty vectors score 0.0) so
+    * scores are bit-identical. */
+  private def cosSql(a: String, b: String): String = {
+    def norm2(v: String) = s"""list_reduce(list_transform(generate_series(1, 64),
+           i -> $v[i] * $v[i]), (x, y) -> x + y)"""
+    s"""
+    CASE WHEN ${norm2(a)} = 0 OR ${norm2(b)} = 0 THEN 0.0
+         ELSE list_reduce(list_transform(generate_series(1, 64),
+                i -> $a[i] * $b[i]), (x, y) -> x + y)
+              / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})) END"""
+  }
 
   def queries: Map[String, QuerySpec] = Map(
     // Exact brute-force cosine top-10, DuckDB-checked.
@@ -148,19 +151,14 @@ object Knn extends QueryModule {
         val corpus = emb(s, dir)
         bruteTopK(corpus, corpus.filter(col("vec_id") < 20), k = 10)
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH corpus AS (
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_reduce(list_transform(generate_series(1, 64),
-                     i -> q.ve[i] * c.ve[i]), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
-                        i -> q.ve[i] * q.ve[i]), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
-                        i -> c.ve[i] * c.ve[i]), (x, y) -> x + y))) AS cosine
+                 ${cosSql("q.ve", "c.ve")} AS cosine
           FROM corpus q JOIN corpus c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -181,7 +179,7 @@ object Knn extends QueryModule {
         val base = emb(s, dir)
         lshTopK(plantedCorpus(base), base.filter(col("vec_id") < 20), k = 10)
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH base AS (
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
@@ -225,12 +223,7 @@ object Knn extends QueryModule {
           WHERE qc.vec_id <> cc.vec_id),
         scored AS (
           SELECT cand.query_id, cand.neighbor_id,
-                 list_reduce(list_transform(generate_series(1, 64),
-                     i -> q.ve[i] * p.ve[i]), (x, y) -> x + y)
-                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
-                        i -> q.ve[i] * q.ve[i]), (x, y) -> x + y))
-                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
-                        i -> p.ve[i] * p.ve[i]), (x, y) -> x + y))) AS cosine
+                 ${cosSql("q.ve", "p.ve")} AS cosine
           FROM cand
           JOIN q ON q.vec_id = cand.query_id
           JOIN planted p ON p.vec_id = cand.neighbor_id),

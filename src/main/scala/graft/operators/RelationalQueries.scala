@@ -639,8 +639,10 @@ object RelationalQueries extends QueryModule {
     "rel_set_union" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        t(s, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
-          .union(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")).distinct())
+        // One aggregation after the union — per-branch distincts would add
+        // two more exchanges for identical output (SQL UNION semantics).
+        t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+          .union(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
           .distinct()
       },
       oracle = Some("""
@@ -955,11 +957,20 @@ object RelationalQueries extends QueryModule {
             element_at($"m", "k").as("k_value"),
             size($"m").as("n_entries"))
       },
+      // json_valid guard: DuckDB's json_keys RAISES on malformed JSON
+      // (whole-query abort) while Spark's from_json null-propagates — the
+      // same hardening rel_scalar_json carries.
       oracle = Some("""
         SELECT event_id,
-               array_to_string(CAST(json_keys(props) AS VARCHAR[]), ',') AS ks,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
-               CAST(len(json_keys(props)) AS INT) AS n_entries
+               CASE WHEN json_valid(props)
+                    THEN array_to_string(CAST(json_keys(props) AS VARCHAR[]), ',')
+                    END AS ks,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INT)
+                    END AS k_value,
+               CASE WHEN json_valid(props)
+                    THEN CAST(len(json_keys(props)) AS INT)
+                    END AS n_entries
         FROM events""")),
 
     // Histogram via width_bucket (fixed bounds — one pass, no sort).

@@ -94,19 +94,7 @@ object PipelineQueries extends QueryModule {
              COALESCE(dim.geo_region, 'Unknown') AS geo_region
       FROM dedup d LEFT JOIN dim ON d.ip_address = dim.ip)"""
 
-  /** Per-call unique scratch dir, deleted when this JVM exits — repeated
-    * Verify/Bench runs don't accumulate temp trees, the e2e pipeline gets
-    * fresh checkpoints, and concurrent processes can't clobber each other
-    * (a fixed shared path would be wiped mid-run by the second process). */
-  private def freshDir(name: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    def del(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => del(p.toFile)))
-    p.toString
-  }
+  private def freshDir(name: String): String = graft.api.Scratch.dir(name)
 
   /** Oracle outputs carry TIMESTAMP_NTZ: Spark's UTC-adjusted parquet
     * timestamps read back tz-aware in DuckDB while the oracle side is

@@ -19,16 +19,7 @@ object SourceFormats extends QueryModule {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def scratch(name: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(p.toFile)
-    }))
-    p.toString
-  }
+  private def scratch(name: String): String = graft.api.Scratch.dir(name)
 
   private def roundtrip(s: SparkSession, dir: String, format: String): DataFrame = {
     val tmp = scratch(s"fmt_$format")

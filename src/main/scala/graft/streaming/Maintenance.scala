@@ -39,13 +39,42 @@ object Maintenance {
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  /** Scheme/authority-insensitive path key for set membership. */
+  private def norm(p: Path): String = p.toUri.getPath
+
+  /** The COMMITTED data-file set per the sink's `_spark_metadata` log, or
+    * None for a plain parquet table (no log). Files on disk but absent
+    * from the log are uncommitted leftovers of aborted micro-batch tasks —
+    * batch readers never see them (the metadata-aware read skips them),
+    * so a compaction that read the raw listing would bake their duplicate
+    * or truncated rows PERMANENTLY into the rewrite. */
+  def committedFiles(spark: SparkSession, tableDir: String): Option[Set[String]] = {
+    val metaPath = new Path(tableDir, "_spark_metadata")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) None
+    else {
+      import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+      // Conservative on absent information: an empty or unreadable log
+      // names no committed files, and deleting on that basis would wipe
+      // data — fall back to the raw listing instead.
+      scala.util.Try {
+        val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaPath.toString)
+        log.allFiles().map(s => norm(new Path(s.path))).toSet
+      }.toOption.filter(_.nonEmpty)
+    }
+  }
+
   /** Compact one date partition of a layer table. Returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter). When `committed` is given (see
+    * [[committedFiles]]), only committed files feed the rewrite; listed-
+    * but-uncommitted orphans are excluded from the data and deleted with
+    * the originals (they are semantically absent — garbage collection). */
   def compactPartition(
       spark: SparkSession,
       tableDir: String,
       partition: String, // e.g. "event_date=2024-03-01"
-      targetFileMB: Int = 128): (Int, Int) = {
+      targetFileMB: Int = 128,
+      committed: Option[Set[String]] = None): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val partPath = new Path(s"$tableDir/$partition")
     val fs = partPath.getFileSystem(conf)
@@ -58,11 +87,22 @@ object Maintenance {
 
     val originals = fs.listStatus(partPath)
       .filter(st => st.isFile && isDataFile(st.getPath.getName))
-    val totalBytes = originals.map(_.getLen).sum
+    val toRead = committed match {
+      case Some(set) => originals.filter(st => set.contains(norm(st.getPath)))
+      case None => originals
+    }
+    val hasOrphans = toRead.length != originals.length
+    val totalBytes = toRead.map(_.getLen).sum
     val targetFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
-    if (originals.length <= targetFiles) return (originals.length, originals.length)
+    if (!hasOrphans && originals.length <= targetFiles)
+      return (originals.length, originals.length)
+    if (toRead.isEmpty) {
+      // All-orphan partition: nothing committed to rewrite — just GC.
+      originals.foreach(st => fs.delete(st.getPath, false))
+      return (originals.length, 0)
+    }
 
-    spark.read.parquet(partPath.toString)
+    spark.read.parquet(toRead.map(_.getPath.toString).toIndexedSeq: _*)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // Commit point: record exactly which files the rewrite replaces. The
@@ -124,6 +164,11 @@ object Maintenance {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Seq.empty
+    // Snapshot the committed-file set BEFORE retiring the log: the
+    // rewrites must exclude uncommitted orphans (aborted-task leftovers
+    // the log never admitted), which become listable the moment the log
+    // is gone.
+    val committed = committedFiles(spark, tableDir)
     // Retire the sink commit log: it lists pre-compaction files and would
     // make metadata-aware readers miss the rewritten data.
     fs.delete(new Path(dir, "_spark_metadata"), true)
@@ -131,8 +176,8 @@ object Maintenance {
       .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
         isDataFile(st.getPath.getName))
       .map { st =>
-        val (before, after) =
-          compactPartition(spark, tableDir, st.getPath.getName, targetFileMB)
+        val (before, after) = compactPartition(
+          spark, tableDir, st.getPath.getName, targetFileMB, committed)
         (st.getPath.getName, before, after)
       }
   }

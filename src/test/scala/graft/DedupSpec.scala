@@ -90,6 +90,16 @@ class DedupSpec extends SparkSpec {
     assert(incremental.except(fromScratch).count() === 0L,
       "incremental path invented pairs")
     assert(fresh.count() > 0 && old.count() > 0, "split must be non-trivial")
+
+    // Partial-failure recovery: a re-run whose batch OVERLAPS the index
+    // (some "new" docs already indexed) must not emit self-pairs or
+    // duplicate rows.
+    val overlap = fresh.unionAll(old.limit(20))
+    val rerun = Dedup.incrementPairs(overlap, Dedup.bandsOf(old), Dedup.setsOf(old))
+    assert(rerun.filter(col("doc_a") === col("doc_b")).count() === 0L,
+      "overlapping re-run emitted self-pairs")
+    assert(rerun.count() === rerun.select("doc_a", "doc_b").distinct().count(),
+      "overlapping re-run emitted duplicate pair rows")
   }
 
   test("exact dedup is idempotent and halves the doubled corpus") {

@@ -84,4 +84,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(after === before, "discard path corrupted the partition")
     assert(!new java.io.File(tmp).exists())
   }
+
+  test("uncommitted orphan files are excluded from the rewrite, not baked in") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = tempDir("compact_orphan")
+    val cp = tempDir("compact_orphan_cp")
+    // A REAL streaming-sink table, so _spark_metadata enumerates exactly
+    // the committed files.
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .withColumn("event_date", lit("2024-03-01"))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", dir).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    mem.addData((1 to 100).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    mem.addData((101 to 120).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val committedRows = spark.read.parquet(dir).count()
+    assert(committedRows === 120L)
+
+    // Plant an ORPHAN: a data file in the partition the commit log never
+    // admitted (the shape an aborted micro-batch task leaves behind).
+    // Metadata-aware reads don't see it...
+    val part = s"$dir/event_date=2024-03-01"
+    (9000 to 9049).map(i => (i.toLong, "orphan")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.orphan_stage")
+    val orphanSrc = new java.io.File(s"$dir/.orphan_stage").listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val orphanDest = new java.io.File(part, "part-99999-orphan.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphanDest.toPath)
+    assert(spark.read.parquet(dir).count() === 120L,
+      "metadata-aware read must not see the orphan")
+
+    // ...and neither may the compacted table.
+    Maintenance.compactTable(spark, dir, targetFileMB = 128)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 120L,
+      "compaction baked uncommitted orphan rows into the table")
+    assert(after.filter($"v" === "orphan").isEmpty)
+    assert(!orphanDest.exists(), "orphan file must be garbage-collected")
+  }
 }
