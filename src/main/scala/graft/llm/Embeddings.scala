@@ -84,7 +84,7 @@ object Embeddings extends QueryModule {
       },
       oracle = Some("""
         SELECT doc_id, CAST(h % 64 AS BIGINT) AS dim,
-               SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS value
+               CAST(SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS value
         FROM (SELECT doc_id, md5_number_upper(unnest(string_split_regex(lower(text), '\s+'))) AS h
               FROM documents)
         GROUP BY doc_id, h % 64"""))

@@ -58,9 +58,26 @@ def main():
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
+        # Replicate the driver's pandas canonicalizer dtype behavior: a
+        # HUGEINT oracle column becomes float64 in pandas ('5.0') while the
+        # Spark parquet column stays int64 ('5') — same values, different
+        # rendering, hash mismatch at the driver. Compare dtype *kinds*
+        # (both sides materialized through duckdb .df()) to catch it here.
+        try:
+            s_kinds = [d.kind for d in con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes]
+            d_kinds = [d.kind for d in con.execute(sql).df().dtypes]
+        except Exception:
+            s_kinds = d_kinds = None
         sc, sr = canon(s_rows, s_cols)
         dc, dr = canon(d_rows, d_cols)
-        if sc != dc:
+        if s_kinds is not None and sorted(zip(s_cols, s_kinds)) != sorted(
+                zip(d_cols, d_kinds)):
+            print(f"FAIL {name}: pandas dtype kinds differ "
+                  f"spark={sorted(zip(s_cols, s_kinds))} "
+                  f"duck={sorted(zip(d_cols, d_kinds))}")
+            n_fail += 1
+        elif sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
         elif sr != dr:
