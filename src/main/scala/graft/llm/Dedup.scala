@@ -369,13 +369,12 @@ object Dedup extends QueryModule {
     // distinct away from the durable edge set, so executor loss recomputes
     // them from the checkpoint rather than re-running the LSH pipeline.
     // Every persist is tracked in `cached` and released at the next
-    // checkpoint boundary; the persist backing the RETURNED labels is kept
-    // alive (callers' downstream actions read it without recomputing).
+    // checkpoint boundary; the fixpoint is cut to a final reliable
+    // checkpoint below so ALL persists release before returning.
     val init = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = init
-    var lastMat: DataFrame = init
     var changed = 1L
     var iter = 0
     var cached: List[DataFrame] = List(init)
@@ -394,7 +393,6 @@ object Dedup extends QueryModule {
           cached ::= p
           p
         }
-      lastMat = updated
       changed = updated.filter(col("nl") =!= col("label")).count()
       labels = updated.select(col("id"), col("nl").as("label"))
       if (iter % clustersCheckpointEvery == 0) {
@@ -402,8 +400,14 @@ object Dedup extends QueryModule {
         cached = Nil
       }
     }
-    cached.filterNot(_ eq lastMat).foreach(_.unpersist(blocking = false))
-    labels
+    // Cut the fixpoint to its own reliable checkpoint so every persist made
+    // above can be released NOW — without this, each labels()/clusters()/
+    // keepSet() call would leak one MEMORY_AND_DISK plan for the session's
+    // lifetime (the label table is tiny: one row per endpoint of the pair
+    // set, so the extra write is cheap).
+    val out = labels.checkpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
   }
 
   def clusters(pairs: DataFrame): DataFrame =

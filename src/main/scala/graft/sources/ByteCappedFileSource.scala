@@ -85,9 +85,19 @@ private[sources] class ByteCappedTable(
     }
 }
 
-/** Offset = files consumed from the name-sorted listing. */
-private[sources] case class FileIndexOffset(filesConsumed: Int) extends Offset {
-  override def json(): String = s"""{"filesConsumed":$filesConsumed}"""
+/** Offset = files consumed from the name-sorted listing, plus the NAME of the
+  * last consumed file. The count alone trusts the monotone-name contract
+  * silently: a deletion, rename, or late arrival sorting before the consumed
+  * prefix would remap indices to different files and break exactly-once
+  * without detection. Carrying the boundary name lets every consumer of the
+  * offset assert the re-listed prefix still ends where it did — violations
+  * fail the batch loudly instead of reading wrong files. */
+private[sources] case class FileIndexOffset(filesConsumed: Int, lastFile: String)
+    extends Offset {
+  override def json(): String = {
+    val esc = lastFile.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"filesConsumed":$filesConsumed,"lastFile":"$esc"}"""
+  }
 }
 
 private[sources] class ByteCappedStream(
@@ -114,41 +124,80 @@ private[sources] class ByteCappedStream(
     files.map(f => (f.getAbsolutePath, f.length()))
   }
 
-  override def initialOffset(): Offset = FileIndexOffset(0)
+  override def initialOffset(): Offset = FileIndexOffset(0, "")
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Assert a checkpointed offset still points at the same boundary in the
+    * current listing; a shrunken listing or a changed boundary name means the
+    * landing dir was mutated under the monotone-name contract. */
+  private def checkBoundary(
+      files: Array[(String, Long)], off: FileIndexOffset, role: String): Unit = {
+    val n = off.filesConsumed
+    require(n <= files.length,
+      s"byte-capped source: $role offset covers $n files but only " +
+        s"${files.length} are listed in $path — files were deleted or renamed")
+    if (n > 0 && off.lastFile.nonEmpty) {
+      val actual = new java.io.File(files(n - 1)._1).getName
+      require(actual == off.lastFile,
+        s"byte-capped source: $role offset expects file #$n to be " +
+          s"'${off.lastFile}' but the listing has '$actual' — a file was " +
+          s"deleted, renamed, or arrived out of lexicographic order in $path")
+    }
+  }
 
   /** The engine hands us the stream's true start offset — admission is
     * capped relative to it (greedy under the byte budget, always at least
     * one file so a single oversized file cannot wedge the stream). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val files = listing()
+    val startOff = start.asInstanceOf[FileIndexOffset]
+    checkBoundary(files, startOff, "start")
     val end = availableNowCap.fold(files.length)(math.min(_, files.length))
-    val from = start.asInstanceOf[FileIndexOffset].filesConsumed
+    val from = startOff.filesConsumed
     var i = from
     var bytes = 0L
     while (i < end && (i == from || bytes + files(i)._2 <= maxBytes)) {
       bytes += files(i)._2
       i += 1
     }
-    FileIndexOffset(i)
+    mkOffset(files, i)
   }
+
+  private def mkOffset(files: Array[(String, Long)], consumed: Int): FileIndexOffset =
+    FileIndexOffset(consumed,
+      if (consumed == 0) "" else new java.io.File(files(consumed - 1)._1).getName)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
-  override def reportLatestOffset(): Offset = FileIndexOffset(listing().length)
+  override def reportLatestOffset(): Offset = {
+    val files = listing()
+    mkOffset(files, files.length)
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    FileIndexOffset("""\d+""".r.findFirstIn(json).get.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val consumed = """"filesConsumed"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toInt)
+      .getOrElse("""\d+""".r.findFirstIn(json).get.toInt)
+    // lastFile absent in pre-upgrade checkpoints → "" (boundary unchecked).
+    val last = """"lastFile"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(json).map(_.group(1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+    FileIndexOffset(consumed, last)
+  }
 
   override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileIndexOffset].filesConsumed
-    val e = end.asInstanceOf[FileIndexOffset].filesConsumed
-    listing().slice(s, e).map(f => CsvFilePartition(f._1): InputPartition)
+    val files = listing()
+    val startOff = start.asInstanceOf[FileIndexOffset]
+    val endOff = end.asInstanceOf[FileIndexOffset]
+    checkBoundary(files, startOff, "start")
+    checkBoundary(files, endOff, "end")
+    files.slice(startOff.filesConsumed, endOff.filesConsumed)
+      .map(f => CsvFilePartition(f._1): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -92,4 +92,40 @@ class ByteCappedSourceSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
     assert(spark.read.parquet(outDir).count() === 120L)
   }
+
+  test("a mutated consumed prefix fails the batch loudly, not silently") {
+    val in = tempDir("bcap_tamper_in")
+    val cp = tempDir("bcap_tamper_cp")
+    val outDir = tempDir("bcap_tamper_out")
+    (1 to 3).foreach(i => writeFile(in, f"h$i%02d.csv", rows = 10))
+
+    def start() = spark.readStream
+      .format(classOf[ByteCappedFileSource].getName)
+      .schema(schema)
+      .option("header", "true")
+      .option("path", in)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+
+    assert(start().awaitTermination(120000))
+    assert(spark.read.parquet(outDir).count() === 30L)
+
+    // Delete a CONSUMED file and land a new one: the positional offset now
+    // points past a different boundary file. The checkpointed offset carries
+    // the boundary NAME, so the restarted stream must fail with a clear
+    // message instead of remapping indices and reading the wrong files.
+    Files.delete(Paths.get(in, "h02.csv"))
+    writeFile(in, "h04.csv", rows = 10)
+    val q = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("deleted, renamed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("deleted, renamed")),
+      s"expected a boundary-mismatch failure, got: ${ex.getMessage}")
+  }
 }
