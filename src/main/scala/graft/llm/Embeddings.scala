@@ -87,6 +87,73 @@ object Embeddings extends QueryModule {
                CAST(SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS value
         FROM (SELECT doc_id, md5_number_upper(unnest(string_split_regex(lower(text), '\s+'))) AS h
               FROM documents)
-        GROUP BY doc_id, h % 64"""))
+        GROUP BY doc_id, h % 64""")),
+
+    // One Lloyd iteration of k-means (k = 8, seed centroids = the vectors
+    // with vec_id 0..7 — a deterministic k-means∥-style seed stand-in):
+    // ASSIGN every vector to its nearest centroid (squared L2, centroid-id
+    // tie-break), then UPDATE each centroid as the per-dimension mean of
+    // its members. The clustering step of an embedding-curation pipeline
+    // (topic balancing, IVF coarse quantizer training); iterating to
+    // convergence is this same plan in the driver loop [[Dedup.labels]]
+    // already demonstrates.
+    //
+    // Scale shape: centroids BROADCAST onto one corpus pass (k·N distance
+    // rows never shuffle — the argmin window partitions by vec_id, which
+    // arrives pre-grouped from the crossJoin); the update is a
+    // (cluster, dim)-keyed hash aggregate with map-side partials, state
+    // O(k × dims) regardless of corpus size. No collect_list anywhere —
+    // cluster members are unbounded, so the mean must be an aggregate, not
+    // a gathered array.
+    //
+    // Numeric discipline: distances fold sequentially in one fixed order
+    // (bit-identical on both engines); the mean accumulates in
+    // DECIMAL(38,12) — associative, partition-order-independent — and
+    // divides once in double.
+    "llm_embed_kmeans" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .select("vec_id", "ve")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ve").as("cv"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr("""
+            aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+        assigned
+          .select(col("cid"), posexplode(col("ve")))
+          .groupBy(col("cid").as("cluster_id"), (col("pos") + 1).as("dim"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+              .cast("double") / count(lit(1))).as("centroid"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 8),
+        d AS (
+          SELECT vec_id, cid, ve,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [(ve[i] - cv[i]) * (ve[i] - cv[i])
+                    for i in generate_series(1, 64)]),
+                   (a, b) -> a + b) AS d2
+          FROM e, c),
+        a AS (
+          SELECT vec_id, cid, ve,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM d)
+        SELECT cid AS cluster_id, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+               CAST(SUM(CAST(ve[dim] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                 AS centroid
+        FROM a, generate_series(1, 64) gs(dim)
+        WHERE rn = 1
+        GROUP BY cid, dim"""))
   )
 }

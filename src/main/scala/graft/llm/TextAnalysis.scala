@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.api.{QueryModule, QuerySpec}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents.text`: per-document statistics /
@@ -358,5 +358,111 @@ object TextAnalysis extends QueryModule {
                list_min([${polyHashSql("substring(text, i, 8)")}
                          for i in generate_series(1, greatest(length(text) - 7, 1))])
                  AS min_window_hash
-        FROM documents""")))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // BM25 relevance scoring for a fixed query (the retrieval-side scoring
+    // a curation pipeline uses to rank documents against a probe query).
+    // Shape: one shuffle-free scan computes per-doc term frequencies and
+    // length; a single-row stats aggregate (N, avgdl, per-term df)
+    // broadcasts onto the scan; top-100 via TakeOrderedAndProject. At
+    // 100 TB the stats row is the only global state — two passes over the
+    // corpus, no per-term shuffle.
+    //
+    // Numeric discipline: idf uses the RATIONAL Robertson–Spärck-Jones
+    // core (N − df + 0.5)/(df + 0.5) WITHOUT the log wrapper — ln is
+    // transcendental and libm last-ulp behavior differs across engines,
+    // which would break hash comparison. Monotonicity (and therefore
+    // ranking) is unchanged; only the score scale differs from textbook
+    // BM25. Every remaining operation is IEEE add/mul/div in one fixed
+    // association order on both engines.
+    "llm_text_bm25" -> QuerySpec(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("dl"),
+            expr("size(filter(toks, t -> t = 'spark'))").as("tf_spark"),
+            expr("size(filter(toks, t -> t = 'query'))").as("tf_query"),
+            expr("size(filter(toks, t -> t = 'vector'))").as("tf_vector"))
+        val stats = d.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+          sum(when(col("tf_spark") > 0, 1L).otherwise(0L)).as("df_spark"),
+          sum(when(col("tf_query") > 0, 1L).otherwise(0L)).as("df_query"),
+          sum(when(col("tf_vector") > 0, 1L).otherwise(0L)).as("df_vector"))
+        // k1 = 1.2, b = 0.75 ⇒ tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+        def termScore(tf: Column, df: Column): Column =
+          ((col("n_docs") - df + lit(0.5)) / (df + lit(0.5))) *
+            ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+        d.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("tf_spark"), col("tf_query"), col("tf_vector"),
+            ((termScore(col("tf_spark"), col("df_spark")) +
+              termScore(col("tf_query"), col("df_query"))) +
+              termScore(col("tf_vector"), col("df_vector"))).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS dl,
+                 CAST(len(list_filter(toks, t -> t = 'spark')) AS INT) AS tf_spark,
+                 CAST(len(list_filter(toks, t -> t = 'query')) AS INT) AS tf_query,
+                 CAST(len(list_filter(toks, t -> t = 'vector')) AS INT) AS tf_vector
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)),
+        st AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+                 CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
+                 CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+          FROM d)
+        SELECT doc_id, tf_spark, tf_query, tf_vector,
+               ((((n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+                 ((tf_spark * 2.2) /
+                  (tf_spark + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) +
+                 ((n_docs - df_query + 0.5) / (df_query + 0.5)) *
+                 ((tf_query * 2.2) /
+                  (tf_query + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) +
+                ((n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+                ((tf_vector * 2.2) /
+                 (tf_vector + 1.2 * (0.25 + 0.75 * (dl / avgdl))))) AS score
+        FROM d, st
+        ORDER BY score DESC, doc_id LIMIT 100""")),
+
+    // Exact corpus heavy hitters: tokens carrying ≥ 1% of ALL token
+    // occurrences (boilerplate detection — the tokens worth special-casing
+    // or stripping before dedup). Two hash aggregates + a broadcast of the
+    // single total row; at 100 TB the same shape holds (term counts are a
+    // map-side-combined shuffle over the vocabulary, not the corpus). An
+    // approximate first pass (count-min / freqItems) could pre-filter
+    // candidates, but the exact aggregate is already one shuffle, so a
+    // sketch would only help when even the vocabulary is shuffle-hostile.
+    "llm_text_heavyhitters" -> QuerySpec(
+      fn = (s, dir) => {
+        val terms = docs(s, dir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+        val total = terms.agg(sum(col("tf")).as("total"))
+        terms.crossJoin(broadcast(total))
+          .withColumn("share", col("tf") / col("total"))
+          .filter(col("share") >= 0.01)
+          .select(col("term"), col("tf"), col("share"))
+          .orderBy(col("tf").desc, col("term"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT term, COUNT(*) AS tf
+          FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+                FROM documents)
+          GROUP BY term),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM t)
+        SELECT term, tf, tf / total AS share
+        FROM t, tot
+        WHERE tf / total >= 0.01
+        ORDER BY tf DESC, term""")))
 }

@@ -1069,6 +1069,55 @@ object RelationalQueries extends QueryModule {
                  <= COUNT(DISTINCT l_partkey) * 0.1 AS parts_within_10pct,
                abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
                  <= abs(median(l_extendedprice)) * 0.1 AS median_within_10pct
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Salted skew join ([[Skew.saltedJoin]]) proven result-equivalent to
+    // the plain join: the salt re-keys the shuffle as (key, salt) so one
+    // hot key spreads over n partitions, while every matching pair still
+    // appears exactly once — the oracle is the UNSALTED join, so any
+    // duplicate or dropped pair hash-fails. AQE's skew splitting covers
+    // the common case at runtime; explicit salting is the tool when a
+    // single key overwhelms even a split partition (sentinel keys at
+    // 100 TB), and this entry pins its correctness.
+    "rel_join_skew_salted" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice")
+        val ord = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ${sqlSum("l_extendedprice")} AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // Unpivot / melt (wide → long): the four lineitem measures become
+    // (measure, value) rows — Spark's Expand-based unpivot, no shuffle of
+    // its own; the only exchange is the 4-row summary aggregate on top.
+    "rel_unpivot" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            "measure", "value")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"),
+            min($"value").as("min_v"), max($"value").as("max_v"))
+      },
+      oracle = Some(s"""
+        SELECT measure, COUNT(*) AS n, ${sqlSum("value")} AS total,
+               MIN(value) AS min_v, MAX(value) AS max_v
+        FROM (
+          UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                          l_extendedprice, l_discount, l_tax FROM lineitem)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE value)
+        GROUP BY measure"""))
   )
 }

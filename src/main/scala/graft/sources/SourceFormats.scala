@@ -45,5 +45,33 @@ object SourceFormats extends QueryModule {
       oracle = Some(oracle)),
     "src_orc_roundtrip" -> QuerySpec(
       fn = (s, dir) => roundtrip(s, dir, "orc"),
-      oracle = Some(oracle)))
+      oracle = Some(oracle)),
+
+    // Hive-style partitioned parquet layout: write `events` partitioned by
+    // event_type, read back with a partition predicate. The filter prunes
+    // at the DIRECTORY level (PartitionFilters in the scan, zero IO for
+    // excluded partitions) — the layout decision that turns a 100 TB full
+    // scan into reading only the partitions a query names. The oracle is
+    // the same aggregate over the unpartitioned original, so a partition
+    // mis-write (lost rows, misassigned directory) hash-fails; PlanAssert
+    // pins the pruning itself.
+    "src_parquet_partitioned" -> QuerySpec(
+      fn = (s, dir) => {
+        val tmp = scratch("fmt_parquet_part")
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dsum(col("value")).as("total"),
+            countDistinct(col("event_id")).as("n_ids"))
+      },
+      oracle = Some(s"""
+        SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS total,
+               COUNT(DISTINCT event_id) AS n_ids
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type""")))
 }

@@ -69,6 +69,42 @@ class PlanAssertSpec extends SparkSpec {
     assert(p1Files < allFiles, "test setup must have multiple partitions")
   }
 
+  test("src_parquet_partitioned: event_type predicate prunes partitions") {
+    // The query fn writes the partitioned layout as it builds, so its OWN
+    // plan's leaf scan is the thing to inspect (sparkPlan: the scan listing
+    // exists without executing the aggregate on top).
+    val df = SparkEntry.queries("src_parquet_partitioned")(spark, sfDir)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      s"no partition filter: ${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 of 5 partitions selected, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("llm_embed_kmeans: centroids broadcast; one corpus pass, no cartesian") {
+    val p = plan("llm_embed_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids not broadcast")
+    assert(!p.contains("CartesianProduct"), "kmeans has a cartesian product")
+  }
+
+  test("llm_text_bm25: corpus stats broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("llm_text_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats row not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 is a global sort")
+  }
+
+  test("rel_join_skew_salted: shuffle keys carry the salt") {
+    // The point of salting: the exchange must hash on (key, salt), not the
+    // bare key — otherwise the hot key still lands in one partition.
+    val p = plan("rel_join_skew_salted")
+    assert(p.contains("__salt"), "salt column absent from the physical plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("llm_knn_ivf: centroid assignment is a broadcast, never a shuffle") {
     // The corpus-side fold joins a SINGLE-ROW centroid array: the plan must
     // ship it broadcast (nested-loop on one row = a map-side append), and
