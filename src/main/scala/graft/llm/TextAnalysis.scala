@@ -464,5 +464,46 @@ object TextAnalysis extends QueryModule {
         SELECT term, tf, tf / total AS share
         FROM t, tot
         WHERE tf / total >= 0.01
-        ORDER BY tf DESC, term""")))
+        ORDER BY tf DESC, term""")),
+
+    // Test-set decontamination: for an eval set (here the `src0` slice of
+    // the corpus), find every training document sharing at least one
+    // 8-token n-gram with an eval document, with the count of distinct
+    // shared grams — the standard benchmark-leakage scan run before
+    // training. Grams are hashed with md5_long (== DuckDB's
+    // md5_number_upper, so the oracle rebuilds identical gram ids); the
+    // collision pass is an equi-join on the gram hash — work scales with
+    // gram collisions, never |train|×|eval|. At 100 TB the eval side is
+    // tiny and broadcast; the train side streams one scan.
+    "llm_decontaminate" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val grams = docs(s, dir)
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("""transform(sequence(1, greatest(size(toks) - 7, 1)),
+              i -> md5_long(concat_ws(' ', slice(toks, i, 8))))""")).as("gh"))
+          .distinct()
+        val evalSet = grams.filter(col("source") === "src0")
+          .select(col("doc_id").as("eval_doc"), col("gh"))
+        val train = grams.filter(col("source") =!= "src0")
+          .select(col("doc_id").as("train_doc"), col("gh"))
+        train.join(broadcast(evalSet), "gh")
+          .groupBy(col("train_doc"), col("eval_doc"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT DISTINCT * FROM (
+            SELECT doc_id, source,
+                   unnest([md5_number_upper(array_to_string(toks[i:i+7], ' '))
+                           for i in generate_series(1, greatest(len(toks) - 7, 1))])
+                     AS gh
+            FROM (SELECT doc_id, source,
+                         string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents)))
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+        FROM g t JOIN g e USING (gh)
+        WHERE t.source <> 'src0' AND e.source = 'src0'
+        GROUP BY 1, 2""")))
 }

@@ -256,5 +256,86 @@ object TimeWindows extends QueryModule {
                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
                   AND c.ts >= e.ts - INTERVAL '5 minutes' AND c.ts < e.ts)
                  AS n_clicks_5m
-        FROM events e WHERE e.event_type = 'error'""")))
+        FROM events e WHERE e.event_type = 'error'""")),
+
+    // Linear interpolation over gap-filled series: the hourly mean `value`
+    // per event type, with missing hours filled by interpolating between
+    // the surrounding observed points (edges extend the nearest value).
+    // One window pass per direction over the spine — prev/next observed
+    // value and timestamp via IGNORE NULLS frames, then pure arithmetic;
+    // no self-join, state bounded by the frame. Every float op (mean =
+    // decimal-sum/count, then one fused prev+(next−prev)·ratio) is written
+    // in the same association order on both engines.
+    "ts_interpolate" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val hourly = ev
+          .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), (dsum(col("value")) / count(lit(1))).as("v"))
+        val spine = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+            date_trunc("hour", max(col("ts"))).as("mx"))
+          .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("bucket"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val filled = spine.join(hourly, Seq("bucket", "event_type"), "left")
+          .withColumn("t", unix_timestamp(col("bucket")))
+        val back = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        filled
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd))
+          .select(
+            date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull, col("nv"))
+              .when(col("nv").isNull, col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("t") - col("pt")) / (col("nt") - col("pt"))))
+              .as("v_interp"))
+      },
+      oracle = Some(s"""
+        WITH hourly AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+                 COUNT(*) AS n, ${sqlSum("value")} / COUNT(*) AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS mn,
+                 max(time_bucket(INTERVAL '1 hour', ts)) AS mx
+          FROM events),
+        spine AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+          FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        filled AS (
+          SELECT bucket, event_type, n, v, epoch(bucket) AS t
+          FROM spine CROSS JOIN types
+          LEFT JOIN hourly USING (bucket, event_type)),
+        w AS (
+          SELECT *,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wb AS pt,
+                 first_value(v IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wf AS nt
+          FROM filled
+          WINDOW
+            wb AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+               COALESCE(n, 0) AS n,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS v_interp
+        FROM w""")))
 }
