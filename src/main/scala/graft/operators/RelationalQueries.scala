@@ -1118,6 +1118,30 @@ object RelationalQueries extends QueryModule {
                           l_extendedprice, l_discount, l_tax FROM lineitem)
           ON l_quantity, l_extendedprice, l_discount, l_tax
           INTO NAME measure VALUE value)
-        GROUP BY measure"""))
+        GROUP BY measure""")),
+
+    // LATERAL correlated subquery (top-2 orders per customer): Catalyst
+    // DECORRELATES the per-row subquery into a window + filter — one
+    // shuffle on the correlation key, never a per-customer re-scan. The
+    // oracle runs the same SQL natively in DuckDB.
+    "rel_subq_lateral" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""
+          SELECT c_custkey, o_orderkey, o_totalprice
+          FROM customer,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_custkey = c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          WHERE c_nationkey = 1""")
+      },
+      oracle = Some("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c_nationkey = 1"""))
   )
 }
