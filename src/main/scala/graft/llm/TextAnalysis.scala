@@ -505,5 +505,116 @@ object TextAnalysis extends QueryModule {
         SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
         FROM g t JOIN g e USING (gh)
         WHERE t.source <> 'src0' AND e.source = 'src0'
-        GROUP BY 1, 2""")))
+        GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Per-source document caps (domain balancing): keep at most 15 docs
+    // per source, chosen by content-addressed hash order so the survivors
+    // are a stable pseudo-random subset — rerunning on reshuffled input
+    // keeps the SAME documents (unlike LIMIT, which keeps arbitrary ones).
+    // One shuffle on source + rank filter. At 100 TB a heavy-hitter
+    // domain makes one partition hot; the fix is a pre-pass that samples
+    // per-source counts and short-circuits sources under the cap straight
+    // through, ranking only the over-cap tail (the same two-phase shape
+    // as the salted top-k in operators/Skew.scala).
+    "llm_source_cap" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+        docs(s, dir)
+          .withColumn("pri",
+            expr("md5_long(concat('cap7:', CAST(doc_id AS STRING))) & 4294967295"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 15)
+          .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+      },
+      oracle = Some("""
+        SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5_number_upper('cap7:' || CAST(doc_id AS VARCHAR))
+                             & 4294967295, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 15""")),
+
+    // ------------------------------------------------------------------
+    // Repetition filter (Gopher-style): fraction of word 3-grams that are
+    // duplicates of an earlier 3-gram in the SAME document. Computed
+    // entirely inside one projection (array HOFs — no explode, no
+    // shuffle): per-row work is O(tokens), corpus work is one scan.
+    // The ratio is int/int in double, bit-identical across engines.
+    "llm_repetition" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .withColumn("grams", expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 1)),
+               i -> concat_ws(' ', slice(toks, i, 3)))"""))
+        .select(
+          col("doc_id"),
+          size(col("grams")).as("n_grams"),
+          size(array_distinct(col("grams"))).as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+            / size(col("grams"))).as("dup_frac"))
+        .withColumn("flag_repetitive", col("dup_frac") > 0.2),
+      oracle = Some("""
+        SELECT doc_id, n_grams, n_distinct,
+               1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_frac,
+               (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2
+                 AS flag_repetitive
+        FROM (
+          SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+                 CAST(len(list_distinct(grams)) AS INT) AS n_distinct
+          FROM (
+            SELECT doc_id,
+                   [array_to_string(toks[i:i+2], ' ')
+                    for i in generate_series(1, greatest(len(toks) - 2, 1))]
+                     AS grams
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents)))""")),
+
+    // ------------------------------------------------------------------
+    // Bigram language model with add-one smoothing: P(w2|w1) =
+    // (c(w1,w2)+1) / (c(w1·)+V). The follower count c(w1·) rides the
+    // SAME shuffle as the bigram counts (a window sum over w1), and the
+    // vocabulary size V is a broadcast scalar — two exchanges total for
+    // the whole model, independent of corpus size. Top-100 most
+    // predictive pairs via TakeOrderedAndProject.
+    "llm_ngram_lm" -> QuerySpec(
+      fn = (s, dir) => {
+        val pairs = docs(s, dir)
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) AS w1,
+                             element_at(toks, i + 1) AS w2))""")).as("p"))
+          .select(col("p.w1"), col("p.w2"))
+        val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .withColumn("c1", sum(col("c12")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        val vocab = pairs.select(countDistinct(col("w2")).as("v"))
+        counts.crossJoin(broadcast(vocab))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"),
+            ((col("c12") + 1).cast("double") / (col("c1") + col("v"))).as("p"))
+          .orderBy(col("p").desc, col("w1"), col("w2"))
+          .limit(100)
+      },
+      oracle = Some("""
+        WITH pairs AS (
+          SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                         for i in generate_series(1, len(toks) - 1)],
+                        recursive := true)
+          FROM (SELECT string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        counts AS (
+          SELECT w1, w2, COUNT(*) AS c12,
+                 SUM(COUNT(*)) OVER (PARTITION BY w1) AS c1
+          FROM pairs GROUP BY w1, w2),
+        vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM pairs)
+        SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+               CAST(c12 + 1 AS DOUBLE) / (c1 + v) AS p
+        FROM counts, vocab
+        ORDER BY p DESC, w1, w2 LIMIT 100""")))
 }

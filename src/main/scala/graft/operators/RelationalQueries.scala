@@ -1142,6 +1142,136 @@ object RelationalQueries extends QueryModule {
         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
                  WHERE o_custkey = c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
-        WHERE c_nationkey = 1"""))
+        WHERE c_nationkey = 1""")),
+
+    // ------------------------------------------------------------------
+    // SCD Type-2 dimension build: each customer's order-priority history
+    // becomes versioned rows with [valid_from, valid_to) intervals and an
+    // is_current flag. Change detection (lag) and interval closing (lead)
+    // share one partition key and sort order, so Catalyst plans a SINGLE
+    // shuffle + sort for both window passes — per-key history, never a
+    // self-join. At 100 TB the shuffle is on the dimension's natural key,
+    // exactly how an incremental SCD2 merge would partition.
+    "rel_scd2" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val changes = t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+          .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+          .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+        val w2 = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        changes
+          .withColumn("valid_to_ts", lead($"o_orderdate", 1).over(w2))
+          .select(
+            $"o_custkey",
+            $"o_orderpriority".as("priority"),
+            date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format($"valid_to_ts", "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+            $"valid_to_ts".isNull.as("is_current"))
+      },
+      oracle = Some("""
+        WITH changes AS (
+          SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+          FROM (
+            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                   lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders)
+          WHERE prev IS NULL OR prev <> o_orderpriority)
+        SELECT o_custkey, o_orderpriority AS priority,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d %H:%M:%S')
+                 AS valid_to,
+               (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        FROM changes""")),
+
+    // ------------------------------------------------------------------
+    // CDC changelog apply (latest-wins upsert + tombstones): orders are
+    // read as a change stream per customer — status 'F' is a delete, the
+    // rest are upserts — and the materialized current state keeps only
+    // each key's newest change when it isn't a tombstone. One shuffle on
+    // the key, rank-1 filter; state size = |live keys|, independent of
+    // changelog length — the shape a foreachBatch MERGE would take.
+    "rel_cdc_apply" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        t(s, dir, "orders")
+          .withColumn("op",
+            when($"o_orderstatus" === "F", lit("delete")).otherwise(lit("upsert")))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"op" === "upsert")
+          .select($"o_custkey", $"o_totalprice", $"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_totalprice, o_orderpriority FROM (
+          SELECT o_custkey, o_totalprice, o_orderpriority,
+                 CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                      ELSE 'upsert' END AS op,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+        WHERE rn = 1 AND op = 'upsert'""")),
+
+    // ------------------------------------------------------------------
+    // Z-order (Morton) data clustering: interleave the bits of two scan
+    // dimensions (customer bucket × order day) so rows sorted by the
+    // interleaved code land in file blocks whose min/max ranges are TIGHT
+    // in BOTH dimensions — the data-layout prerequisite for min-max data
+    // skipping at 100 TB (a lexicographic sort only prunes the leading
+    // column). The bit spread is five shift/mask steps per dimension,
+    // pure codegen arithmetic; the per-block stats emitted here are the
+    // footer stats a writer would persist. Verified bit-for-bit against
+    // the oracle's identical integer program.
+    "rel_zorder" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        def spread(x: String): String =
+          s"""(CAST((y5 | shiftleft(y5, 1)) & 6148914691236517205 AS BIGINT))"""
+            .replace("y5",
+              s"""((y4 | shiftleft(y4, 2)) & 3689348814741910323)""".replace("y4",
+                s"""((y3 | shiftleft(y3, 4)) & 1085102592571150095)""".replace("y3",
+                  s"""((y2 | shiftleft(y2, 8)) & 71777214294589695)""".replace("y2",
+                    s"""((y1 | shiftleft(y1, 16)) & 281470681808895)""".replace("y1",
+                      s"""(CAST(($x) AS BIGINT) & 65535)""")))))
+        val zc = s"(${spread("o_custkey")} | shiftleft(${spread("day_nr")}, 1))"
+        t(s, dir, "orders")
+          .withColumn("day_nr",
+            datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01"))))
+          .withColumn("z", expr(zc))
+          .withColumn("block", expr("shiftright(z, 14)"))
+          .groupBy($"block")
+          .agg(count(lit(1)).as("n"),
+            min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
+            min($"day_nr").as("min_day"), max($"day_nr").as("max_day"))
+      },
+      oracle = {
+        def spread(x: String): String =
+          s"""((y5 | (y5 << 1)) & 6148914691236517205)"""
+            .replace("y5",
+              s"""((y4 | (y4 << 2)) & 3689348814741910323)""".replace("y4",
+                s"""((y3 | (y3 << 4)) & 1085102592571150095)""".replace("y3",
+                  s"""((y2 | (y2 << 8)) & 71777214294589695)""".replace("y2",
+                    s"""((y1 | (y1 << 16)) & 281470681808895)""".replace("y1",
+                      s"""(CAST(($x) AS BIGINT) & 65535)""")))))
+        Some(s"""
+        SELECT (z >> 14) AS block, COUNT(*) AS n,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               MIN(day_nr) AS min_day, MAX(day_nr) AS max_day
+        FROM (
+          SELECT o_custkey, day_nr,
+                 (${spread("o_custkey")} | (${spread("day_nr")} << 1)) AS z
+          FROM (SELECT o_custkey,
+                       date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day_nr
+                FROM orders))
+        GROUP BY block""")
+      })
   )
 }

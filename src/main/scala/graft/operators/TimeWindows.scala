@@ -337,5 +337,53 @@ object TimeWindows extends QueryModule {
                     WHEN pv IS NULL THEN nv
                     WHEN nv IS NULL THEN pv
                     ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS v_interp
-        FROM w""")))
+        FROM w""")),
+
+    // ------------------------------------------------------------------
+    // Rolling z-score anomaly detection: each event is scored against the
+    // mean/stddev of the preceding 100 events of its type (a trailing
+    // baseline that adapts to drift), and |z| > 3 flags the outliers.
+    // One shuffle on event_type; the frame statistics are decimal-exact
+    // sums (order-independent, so Spark's sliding-frame accumulation and
+    // DuckDB's segment tree agree bit-for-bit), with the variance derived
+    // in double by the same expression on both engines. Per-row state is
+    // the 101-row frame — constant, so the operator streams at 100 TB
+    // (and the same trailing stats run under mapGroupsWithState live).
+    "ts_anomaly" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-100, -1)
+        Tables.load(s, dir, "events")
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("sm",
+            sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double"))
+          .withColumn("sq",
+            sum((col("value") * col("value")).cast(DecimalType(30, 6)))
+              .over(w).cast("double"))
+          .withColumn("mean", col("sm") / col("cnt"))
+          .withColumn("variance",
+            (col("sq") - col("sm") * col("sm") / col("cnt")) / (col("cnt") - 1))
+          .filter(col("cnt") >= 30 && col("variance") > 0 &&
+            abs((col("value") - col("mean")) / sqrt(col("variance"))) > 3)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("mean")) / sqrt(col("variance")), 4).as("z"))
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT event_id, event_type, value,
+                 COUNT(*) OVER wf AS cnt,
+                 CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER wf AS DOUBLE) AS sm,
+                 CAST(SUM(CAST((value * value) AS DECIMAL(30,6))) OVER wf
+                      AS DOUBLE) AS sq
+          FROM events
+          WINDOW wf AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, event_type, value,
+               ROUND((value - sm / cnt) /
+                     SQRT((sq - sm * sm / cnt) / (cnt - 1)), 4) AS z
+        FROM scored
+        WHERE cnt >= 30 AND (sq - sm * sm / cnt) / (cnt - 1) > 0
+          AND ABS((value - sm / cnt) /
+                  SQRT((sq - sm * sm / cnt) / (cnt - 1))) > 3""")))
 }
