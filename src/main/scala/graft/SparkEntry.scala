@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.operators.RelationalQueries,
     graft.operators.TimeWindows,
+    graft.operators.Graph,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.Knn,

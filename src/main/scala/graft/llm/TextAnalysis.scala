@@ -616,5 +616,60 @@ object TextAnalysis extends QueryModule {
         SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
                CAST(c12 + 1 AS DOUBLE) / (c1 + v) AS p
         FROM counts, vocab
-        ORDER BY p DESC, w1, w2 LIMIT 100""")))
+        ORDER BY p DESC, w1, w2 LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // LM-based quality scoring (CCNet-style, rational form): a reference
+    // bigram model is built from the trusted slice (sources src0–src4),
+    // and every OTHER document is scored by its in-model bigram fraction —
+    // low coverage = out-of-domain / junk. The score is int/int (no
+    // log-likelihood), so it is bit-identical across engines while ranking
+    // documents the same way a perplexity filter would. Grams are md5
+    // hashes (compact fixed-width join keys); the collision join is an
+    // equi-join on the hash — work scales with matches, never |docs|×|model|.
+    // At 100 TB the model side is the small one and broadcasts.
+    "llm_lm_score" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val trusted = Seq("src0", "src1", "src2", "src3", "src4")
+        val grams = docs(s, dir)
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr("""transform(sequence(1, size(toks) - 1),
+              i -> md5_long(concat_ws(' ', slice(toks, i, 2))))""")).as("gh"))
+        val model = grams.filter(col("source").isin(trusted: _*))
+          .select(col("gh")).distinct()
+          .withColumn("known", lit(1))
+        grams.filter(!col("source").isin(trusted: _*))
+          .join(broadcast(model), Seq("gh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            count(col("known")).as("n_known"))
+          .withColumn("coverage",
+            col("n_known").cast("double") / col("n_bigrams"))
+          .withColumn("flag_lowq", col("coverage") < 0.5)
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT doc_id, source,
+                 unnest([md5_number_upper(array_to_string(toks[i:i+1], ' '))
+                         for i in generate_series(1, len(toks) - 1)]) AS gh
+          FROM (SELECT doc_id, source,
+                       string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        model AS (
+          SELECT DISTINCT gh FROM g
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        scored AS (
+          SELECT g.doc_id, COUNT(*) AS n_bigrams,
+                 COUNT(m.gh) AS n_known
+          FROM g LEFT JOIN model m ON g.gh = m.gh
+          WHERE g.source NOT IN ('src0','src1','src2','src3','src4')
+          GROUP BY g.doc_id)
+        SELECT doc_id, n_bigrams, n_known,
+               CAST(n_known AS DOUBLE) / n_bigrams AS coverage,
+               (CAST(n_known AS DOUBLE) / n_bigrams) < 0.5 AS flag_lowq
+        FROM scored""")))
 }

@@ -10,6 +10,11 @@ class PlanAssertSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(FormattedMode)
 
+  /** Count shuffle exchanges in a formatted plan: detail headers look like
+    * `(7) Exchange` with an `Arguments: hashpartitioning(...)` line below. */
+  private def hashExchanges(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Exchange"""))
+
   test("rel_q1: date filter reaches the parquet scan; schema pruned") {
     val p = plan("rel_q1_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
@@ -114,5 +119,44 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "centroid array not broadcast")
     assert(!p.contains("CartesianProduct"), "IVF has a cartesian product")
+  }
+
+  test("rel_scd2: change detection and interval close share ONE shuffle") {
+    // Both window passes partition on o_custkey with the same ordering;
+    // Catalyst must plan a single Exchange (a second one would double the
+    // dimension-build cost at 100 TB for nothing).
+    val p = plan("rel_scd2")
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
+  }
+
+  test("rel_cdc_apply: latest-wins is one shuffle + rank filter") {
+    val p = plan("rel_cdc_apply")
+    assert(hashExchanges(p) == 1, s"expected 1 hash exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rel_zorder: interleave arithmetic stays inside whole-stage codegen") {
+    // Codegen ids only annotate the FINAL adaptive plan — execute first.
+    val df = SparkEntry.queries("rel_zorder")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("codegen id"), s"z-order compute fell out of codegen:\n$p")
+    // The executed explain repeats the tree (Final + Initial): count the
+    // final section only.
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val n = finalPlan.linesIterator.count(_.contains("- Exchange"))
+    assert(n == 1, s"expected only the block-agg exchange:\n$p")
+  }
+
+  test("llm_lm_score: reference model joins as a broadcast") {
+    val p = plan("llm_lm_score")
+    assert(p.contains("BroadcastHashJoin"), "model side not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rel_graph_pagerank: rank rounds broadcast the rank side, no cartesian") {
+    val p = plan("rel_graph_pagerank")
+    assert(!p.contains("CartesianProduct"), "pagerank has a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), "rank joins not broadcast at this scale")
   }
 }
