@@ -193,5 +193,39 @@ object MultimodalQueries extends QueryModule {
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                md5(text) AS digest,
                hex(encode(substring(text, 1, 4))) AS magic
-        FROM documents""")))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // Frame sampling over opaque video payloads: every OTHER 32-byte frame
+    // (stride 64) is sliced out of the binary column and fingerprinted —
+    // the byte-slicing shape of real video keyframe extraction, run on the
+    // deterministic stand-in payloads (UTF-8 text bytes, [[Multimodal
+    // .assets]] video kind = doc_id % 3 == 2). Pure codegen byte work:
+    // sequence → explode → substr(binary) → md5, no shuffle at all until
+    // a consumer aggregates. The oracle slices the identical BLOBs, so
+    // offsets, frame counts, AND frame bytes are differentially checked.
+    "llm_mm_frames" -> QuerySpec(
+      fn = (s, dir) => Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("asset_id"),
+          encode(col("text"), "UTF-8").as("media"))
+        .filter(length(col("media")) >= 32)
+        .select(col("asset_id"), col("media"),
+          explode(expr(
+            "sequence(0, CAST((length(media) - 32) div 64 AS INT))")).as("frame_idx"))
+        .select(col("asset_id"), col("frame_idx").cast("int").as("frame_idx"),
+          md5(expr("substr(media, frame_idx * 64 + 1, 32)")).as("frame_digest")),
+      oracle = Some("""
+        -- Payload text is ASCII, so VARCHAR slicing == byte slicing (DuckDB
+        -- has no BLOB substring); md5(varchar) hashes its UTF-8 bytes, the
+        -- same bytes Spark's substr(binary) feeds its md5.
+        SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substring(media, frame_idx * 64 + 1, 32)) AS frame_digest
+        FROM (
+          SELECT doc_id AS asset_id, text AS media,
+                 unnest(generate_series(
+                   0, (octet_length(encode(text)) - 32) // 64))
+                   AS frame_idx
+          FROM documents
+          WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 32)""")))
 }
