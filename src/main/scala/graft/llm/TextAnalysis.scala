@@ -671,5 +671,29 @@ object TextAnalysis extends QueryModule {
         SELECT doc_id, n_bigrams, n_known,
                CAST(n_known AS DOUBLE) / n_bigrams AS coverage,
                (CAST(n_known AS DOUBLE) / n_bigrams) < 0.5 AS flag_lowq
-        FROM scored""")))
+        FROM scored""")),
+
+    // ------------------------------------------------------------------
+    // Fixed-budget uniform sample: EXACTLY 100 documents, chosen by
+    // content-addressed hash order — no count pass, no sampleBy fraction
+    // drift, and the winners are a pure function of the data (stable
+    // across reruns and partitionings). Physically a TakeOrderedAndProject
+    // on the 32-bit-masked hash (signed/unsigned order agrees under the
+    // mask): each partition keeps its local top-100, the driver merges —
+    // O(parts × 100) memory, never a global sort, at any corpus size.
+    "llm_sample_fixed" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir)
+          .withColumn("pri",
+            expr("md5_long(concat('fix9:', CAST(doc_id AS STRING))) & 4294967295"))
+          .orderBy(col("pri"), col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("source"), col("lang"))
+      },
+      oracle = Some("""
+        SELECT doc_id, source, lang FROM documents
+        ORDER BY md5_number_upper('fix9:' || CAST(doc_id AS VARCHAR))
+                 & 4294967295, doc_id
+        LIMIT 100""")))
 }

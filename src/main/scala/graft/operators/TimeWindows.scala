@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.api.{Exact, QueryModule, QuerySpec}
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -385,5 +386,99 @@ object TimeWindows extends QueryModule {
         FROM scored
         WHERE cnt >= 30 AND (sq - sm * sm / cnt) / (cnt - 1) > 0
           AND ABS((value - sm / cnt) /
-                  SQRT((sq - sm * sm / cnt) / (cnt - 1))) > 3""")))
+                  SQRT((sq - sm * sm / cnt) / (cnt - 1))) > 3""")),
+
+    // ------------------------------------------------------------------
+    // M4 downsampling: per (event_type, hour) keep ONLY the first, last,
+    // min-value and max-value events — the decimation that preserves the
+    // visual/analytic extremes of a series while dropping ~everything
+    // else. All four ranks share one partitioning (a single shuffle, four
+    // in-partition sort orders); output size is ≤ 4 rows per bucket no
+    // matter how dense the input — at 100 TB that's the difference
+    // between plotting terabytes and kilobytes.
+    "ts_downsample_m4" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        def w(cols: Column*) = Window
+          .partitionBy($"event_type", $"bucket").orderBy(cols: _*)
+        Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .withColumn("rn_first", row_number().over(w($"ts", $"event_id")))
+          .withColumn("rn_last", row_number().over(w($"ts".desc, $"event_id".desc)))
+          .withColumn("rn_min", row_number().over(w($"value", $"event_id")))
+          .withColumn("rn_max", row_number().over(w($"value".desc, $"event_id".desc)))
+          .filter($"rn_first" === 1 || $"rn_last" === 1 ||
+            $"rn_min" === 1 || $"rn_max" === 1)
+          .select($"event_id", $"event_type",
+            date_format($"bucket", fmt).as("bucket"), $"value")
+      },
+      oracle = Some("""
+        SELECT event_id, event_type,
+               strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, value
+        FROM (
+          SELECT event_id, event_type, value, bucket,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts, event_id) AS rn_first,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY ts DESC, event_id DESC) AS rn_last,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value, event_id) AS rn_min,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                   ORDER BY value DESC, event_id DESC) AS rn_max
+          FROM (SELECT *, date_trunc('hour', ts) AS bucket FROM events))
+        WHERE rn_first = 1 OR rn_last = 1 OR rn_min = 1 OR rn_max = 1""")),
+
+    // ------------------------------------------------------------------
+    // Exponential smoothing (EWMA, α=0.3) over each type's hourly mean
+    // series, as a FINITE 12-bucket convolution: ewma_t =
+    // Σ wₖ·v₍t−k₎ / Σ wₖ over the lags present. Truncating the tail
+    // (w₁₁ ≈ 0.006) turns the recursive definition into pure window
+    // arithmetic — no sequential dependency, so it parallelizes like any
+    // window (one shuffle on event_type) instead of forcing a serial scan
+    // per key. Weights are compile-time double literals injected into
+    // BOTH engines' expressions, and the hourly means are decimal-exact,
+    // so the smoothed series is bit-identical.
+    "ts_ewma" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val alpha = 0.3
+        val ws = (0 until 12).map(k => alpha * math.pow(1 - alpha, k))
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .groupBy($"event_type", $"bucket")
+          .agg((dsum($"value") / count(lit(1))).as("v"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        val lags = ws.indices.map(k => lag($"v", k).over(w))
+        val num = ws.indices.map { k =>
+          when(lags(k).isNotNull, lit(ws(k)) * lags(k)).otherwise(lit(0.0))
+        }.reduceLeft(_ + _)
+        val den = ws.indices.map { k =>
+          when(lags(k).isNotNull, lit(ws(k))).otherwise(lit(0.0))
+        }.reduceLeft(_ + _)
+        hourly
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"v", (num / den).as("ewma"))
+      },
+      oracle = {
+        val alpha = 0.3
+        val ws = (0 until 12).map(k => alpha * math.pow(1 - alpha, k))
+        val num = ws.indices.map { k =>
+          s"""CASE WHEN lag(v, $k) OVER wt IS NOT NULL
+              THEN CAST(${ws(k)} AS DOUBLE) * lag(v, $k) OVER wt
+              ELSE 0.0 END"""
+        }.mkString(" + ")
+        val den = ws.indices.map { k =>
+          s"""CASE WHEN lag(v, $k) OVER wt IS NOT NULL
+              THEN CAST(${ws(k)} AS DOUBLE) ELSE 0.0 END"""
+        }.mkString(" + ")
+        Some(s"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 ${sqlSum("value")} / COUNT(*) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               v, ($num) / ($den) AS ewma
+        FROM hourly
+        WINDOW wt AS (PARTITION BY event_type ORDER BY bucket)""")
+      }))
 }
