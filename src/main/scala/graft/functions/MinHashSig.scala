@@ -126,6 +126,10 @@ object GraftFunctions {
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — or via
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(extensions.injectFunction)
+    // Constraint-aware optimizations Spark can't do without declared
+    // PK/FK metadata (see graft.plans.JoinElimination).
+    extensions.injectOptimizerRule(graft.plans.EliminatePkFkJoin)
+  }
 }

@@ -1272,6 +1272,29 @@ object RelationalQueries extends QueryModule {
                                  CAST(o_orderdate AS DATE)) AS day_nr
                 FROM orders))
         GROUP BY block""")
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // PK–FK join elimination (graft.plans.EliminatePkFkJoin): the query
+    // JOINS nation but reads nothing from it beyond the key, so under the
+    // declared constraints the optimizer rule deletes the join entirely —
+    // the physical plan is a single aggregate over customer (asserted by
+    // JoinEliminationSpec). The oracle RUNS the join in DuckDB, so the
+    // differential check proves the elimination is semantics-preserving,
+    // not just plan-pretty.
+    "rel_join_eliminated" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            dsum($"c_acctbal").as("total_bal"))
+      },
+      oracle = Some(s"""
+        SELECT n_nationkey, COUNT(*) AS n_customers,
+               ${sqlSum("c_acctbal")} AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey"""))
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The PK–FK join-elimination rule: fires only in the declared-safe shape,
+  * never changes results. */
+class JoinEliminationSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def customer = Tables.load(spark, sfDir, "customer")
+  private def nation   = Tables.load(spark, sfDir, "nation")
+
+  test("unreferenced dimension join is eliminated from the plan") {
+    val df = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"))
+    val p = physical(df)
+    assert(!p.contains("Join"), s"dimension join not eliminated:\n$p")
+  }
+
+  test("eliminated join returns exactly the fact-side rows with the key aliased") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).sorted
+    val eliminated = rows(customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey")))
+    val expected = rows(customer.select(col("c_custkey"), col("c_nationkey")))
+    assert(eliminated.sameElements(expected))
+  }
+
+  test("reading a dimension attribute keeps the join") {
+    val df = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    assert(physical(df).contains("Join"), "join wrongly eliminated (n_name is read)")
+  }
+
+  test("a filtered dimension keeps the join (could drop fact rows)") {
+    val df = customer
+      .join(nation.filter(col("n_regionkey") === 1), // real filter, not IsNotNull
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"))
+    assert(physical(df).contains("Join"), "join wrongly eliminated under a filter")
+  }
+
+  test("undeclared key pairs keep the join") {
+    // Self-join on an arbitrary column: no declaration, no elimination.
+    val a = nation.select(col("n_nationkey"), col("n_regionkey"))
+    val b = nation.select(col("n_nationkey").as("nk2"))
+    val df = a.join(b, col("n_regionkey") === col("nk2"))
+      .select(col("n_nationkey"), col("nk2"))
+    assert(physical(df).contains("Join"), "join wrongly eliminated for undeclared pair")
+  }
+}
