@@ -1295,6 +1295,68 @@ object RelationalQueries extends QueryModule {
         SELECT n_nationkey, COUNT(*) AS n_customers,
                ${sqlSum("c_acctbal")} AS total_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_nationkey"""))
+        GROUP BY n_nationkey""")),
+
+    // ------------------------------------------------------------------
+    // Data profiling: null rate / distinct count / min / max for a set of
+    // columns in ONE pass over the table (the ingestion-time quality
+    // snapshot). The three DISTINCTs share a single scan via Spark's
+    // Expand (3× row replication of the needed columns only — at 100 TB
+    // that beats three full scans; for very wide profiles switch to one
+    // approx_count_distinct pass instead). The wide aggregate row then
+    // unfolds into one row per column via an inline array — no shuffle
+    // beyond the aggregate's own.
+    "rel_profile" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val agg = t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n"),
+          sum(when($"l_quantity".isNull, 1).otherwise(0)).as("qty_nulls"),
+          countDistinct($"l_quantity").as("qty_distinct"),
+          min($"l_quantity".cast("decimal(18,2)")).cast("string").as("qty_min"),
+          max($"l_quantity".cast("decimal(18,2)")).cast("string").as("qty_max"),
+          sum(when($"l_returnflag".isNull, 1).otherwise(0)).as("rf_nulls"),
+          countDistinct($"l_returnflag").as("rf_distinct"),
+          min($"l_returnflag").as("rf_min"),
+          max($"l_returnflag").as("rf_max"),
+          sum(when($"l_shipdate".isNull, 1).otherwise(0)).as("sd_nulls"),
+          countDistinct($"l_shipdate").as("sd_distinct"),
+          date_format(min($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("sd_min"),
+          date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("sd_max"))
+        agg.select(explode(array(
+          struct(lit("l_quantity").as("column"), $"n",
+            $"qty_nulls".as("n_null"), $"qty_distinct".as("n_distinct"),
+            $"qty_min".as("min_s"), $"qty_max".as("max_s")),
+          struct(lit("l_returnflag").as("column"), $"n",
+            $"rf_nulls".as("n_null"), $"rf_distinct".as("n_distinct"),
+            $"rf_min".as("min_s"), $"rf_max".as("max_s")),
+          struct(lit("l_shipdate").as("column"), $"n",
+            $"sd_nulls".as("n_null"), $"sd_distinct".as("n_distinct"),
+            $"sd_min".as("min_s"), $"sd_max".as("max_s")))).as("p"))
+          .select($"p.*")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+                 COUNT(DISTINCT l_quantity) AS qty_distinct,
+                 CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS qty_min,
+                 CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS qty_max,
+                 CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
+                 COUNT(DISTINCT l_returnflag) AS rf_distinct,
+                 MIN(l_returnflag) AS rf_min,
+                 MAX(l_returnflag) AS rf_max,
+                 CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sd_nulls,
+                 COUNT(DISTINCT l_shipdate) AS sd_distinct,
+                 strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_min,
+                 strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS sd_max
+          FROM lineitem)
+        SELECT 'l_quantity' AS "column", n, qty_nulls AS n_null,
+               qty_distinct AS n_distinct, qty_min AS min_s, qty_max AS max_s
+        FROM a
+        UNION ALL
+        SELECT 'l_returnflag', n, rf_nulls, rf_distinct, rf_min, rf_max FROM a
+        UNION ALL
+        SELECT 'l_shipdate', n, sd_nulls, sd_distinct, sd_min, sd_max FROM a"""))
   )
 }

@@ -480,5 +480,48 @@ object TimeWindows extends QueryModule {
                v, ($num) / ($den) AS ewma
         FROM hourly
         WINDOW wt AS (PARTITION BY event_type ORDER BY bucket)""")
-      }))
+      }),
+
+    // ------------------------------------------------------------------
+    // Sliding DISTINCT count (trailing-24h active users per hour): no
+    // engine supports COUNT(DISTINCT) over a window frame, and naive
+    // per-hour re-scans are quadratic. The scalable shape: dedup the
+    // stream to (user, hour) pairs FIRST (the only pass over raw events,
+    // shrinking 100 TB to |users|×|hours|), then expand each pair into
+    // the ≤24 hour-buckets it is visible in — a bounded 24× fan-out of
+    // the SMALL deduped set — and count distinct users per bucket. Two
+    // shuffles over pair-scale data, never event-scale.
+    "ts_sliding_distinct" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val pairs = Tables.load(s, dir, "events")
+          .select($"user_id", date_trunc("hour", $"ts").as("hour"))
+          .distinct()
+        pairs
+          .select($"user_id", explode(expr(
+            "sequence(hour, hour + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+            .as("bucket"))
+          .groupBy($"bucket")
+          .agg(countDistinct($"user_id").as("active_24h"))
+          // Trailing windows only count buckets the data can fully reach;
+          // the tail past the last event is an artifact of the expansion.
+          .join(pairs.select(max($"hour").as("mx")).hint("broadcast"),
+            $"bucket" <= $"mx")
+          .select(date_format($"bucket", fmt).as("bucket"), $"active_24h")
+      },
+      oracle = Some("""
+        WITH pairs AS (
+          SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour
+          FROM events),
+        expanded AS (
+          SELECT user_id,
+                 unnest(generate_series(hour, hour + INTERVAL 23 HOURS,
+                                        INTERVAL 1 HOUR)) AS bucket
+          FROM pairs)
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               COUNT(DISTINCT user_id) AS active_24h
+        FROM expanded
+        WHERE bucket <= (SELECT max(hour) FROM pairs)
+        GROUP BY bucket"""))
+  )
 }
