@@ -353,15 +353,28 @@ object TimeWindows extends QueryModule {
     "ts_anomaly" -> QuerySpec(
       fn = (s, dir) => {
         import org.apache.spark.sql.types.DecimalType
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts"), col("event_id")).rowsBetween(-100, -1)
+        // O(n) frame stats via prefix sums: a sliding decimal SUM would be
+        // re-scanned per row (O(n·window) additions), but the trailing
+        // [-100,-1] frame equals cum(i−1) − cum(i−101) of the RUNNING sum,
+        // which Spark maintains incrementally. Decimal arithmetic is
+        // exact, so the subtraction form is bit-identical to the direct
+        // frame sum the oracle (and the live AnomalyStream) compute.
+        val run = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val seq = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        def trail(cum: Column): Column =
+          coalesce(lag(cum, 1).over(seq), lit(java.math.BigDecimal.ZERO)) -
+            coalesce(lag(cum, 101).over(seq), lit(java.math.BigDecimal.ZERO))
         Tables.load(s, dir, "events")
-          .withColumn("cnt", count(lit(1)).over(w))
-          .withColumn("sm",
-            sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double"))
-          .withColumn("sq",
-            sum((col("value") * col("value")).cast(DecimalType(30, 6)))
-              .over(w).cast("double"))
+          .withColumn("cum_v",
+            sum(col("value").cast(DecimalType(30, 6))).over(run))
+          .withColumn("cum_q",
+            sum((col("value") * col("value")).cast(DecimalType(30, 6))).over(run))
+          .withColumn("cnt", least(row_number().over(seq) - 1, lit(100)))
+          .withColumn("sm", trail(col("cum_v")).cast("double"))
+          .withColumn("sq", trail(col("cum_q")).cast("double"))
           .withColumn("mean", col("sm") / col("cnt"))
           .withColumn("variance",
             (col("sq") - col("sm") * col("sm") / col("cnt")) / (col("cnt") - 1))
