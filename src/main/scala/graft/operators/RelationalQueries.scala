@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.api.{Exact, QueryModule, QuerySpec}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1357,6 +1357,88 @@ object RelationalQueries extends QueryModule {
         UNION ALL
         SELECT 'l_returnflag', n, rf_nulls, rf_distinct, rf_min, rf_max FROM a
         UNION ALL
-        SELECT 'l_shipdate', n, sd_nulls, sd_distinct, sd_min, sd_max FROM a"""))
+        SELECT 'l_shipdate', n, sd_nulls, sd_distinct, sd_min, sd_max FROM a""")),
+
+    // ------------------------------------------------------------------
+    // Pearson correlation per group from decimal-exact moments: built-in
+    // corr() accumulates doubles in partition order (non-deterministic
+    // across engines/partitionings), so the six moments are summed exactly
+    // and the coefficient derived in one double expression both engines
+    // share. One hash-aggregate shuffle, map-side partials.
+    "rel_agg_corr" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum($"l_quantity").as("sx"),
+            dsum($"l_extendedprice").as("sy"),
+            dsum($"l_quantity" * $"l_quantity").as("sxx"),
+            dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
+            dsum($"l_quantity" * $"l_extendedprice").as("sxy"))
+          .select($"l_returnflag", $"n",
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+              (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+               sqrt($"n" * $"syy" - $"sy" * $"sy")), 8).as("corr_qty_price"))
+      },
+      oracle = Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 ${sqlSum("l_quantity")} AS sx,
+                 ${sqlSum("l_extendedprice")} AS sy,
+                 ${sqlSum("l_quantity * l_quantity")} AS sxx,
+                 ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+                 ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy) /
+                     (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 8)
+                 AS corr_qty_price
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // Two-sample (Welch) t-test between click and purchase event values:
+    // the A/B-readout operator. ONE conditional-aggregation pass computes
+    // both arms' moments (no join, no second scan); the t statistic is a
+    // single shared double expression over decimal-exact sums.
+    "rel_ab_ttest" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        def arm(v: String, c: Column) = struct(
+          count(when($"event_type" === v, 1)).as("n"),
+          dsum(when($"event_type" === v, c)).as("s"),
+          dsum(when($"event_type" === v, c * c)).as("q"))
+        Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .agg(arm("click", $"value").as("a"), arm("purchase", $"value").as("b"))
+          .select(
+            $"a.n".as("n_a"), $"b.n".as("n_b"),
+            ($"a.s" / $"a.n").as("mean_a"), ($"b.s" / $"b.n").as("mean_b"),
+            (($"a.q" - $"a.s" * $"a.s" / $"a.n") / ($"a.n" - 1)).as("var_a"),
+            (($"b.q" - $"b.s" * $"b.s" / $"b.n") / ($"b.n" - 1)).as("var_b"))
+          .select($"n_a", $"n_b", $"mean_a", $"mean_b", $"var_a", $"var_b",
+            round(($"mean_a" - $"mean_b") /
+              sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b"), 8).as("t_stat"))
+      },
+      oracle = Some(s"""
+        WITH m AS (
+          SELECT
+            COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+            COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b,
+            ${sqlSum("CASE WHEN event_type = 'click' THEN value END")} AS s_a,
+            ${sqlSum("CASE WHEN event_type = 'purchase' THEN value END")} AS s_b,
+            ${sqlSum("CASE WHEN event_type = 'click' THEN value * value END")} AS q_a,
+            ${sqlSum("CASE WHEN event_type = 'purchase' THEN value * value END")} AS q_b
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        d AS (
+          SELECT n_a, n_b, s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+                 (q_a - s_a * s_a / n_a) / (n_a - 1) AS var_a,
+                 (q_b - s_b * s_b / n_b) / (n_b - 1) AS var_b
+          FROM m)
+        SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+               ROUND((mean_a - mean_b) /
+                     SQRT(var_a / n_a + var_b / n_b), 8) AS t_stat
+        FROM d"""))
   )
 }

@@ -535,6 +535,90 @@ object TimeWindows extends QueryModule {
                COUNT(DISTINCT user_id) AS active_24h
         FROM expanded
         WHERE bucket <= (SELECT max(hour) FROM pairs)
-        GROUP BY bucket"""))
+        GROUP BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // Point-in-time join (the feature-store lookup): each order is joined
+    // to the customer's priority state STRICTLY BEFORE its own timestamp —
+    // the leakage-safe "features as of just before the event" semantics
+    // training pipelines need. No interval/theta join: state changes and
+    // probes union into one stream, and an IGNORE NULLS last_value window
+    // picks each probe's latest preceding change — one shuffle on the
+    // entity key regardless of how many versions an entity has. Equal
+    // timestamps sort probes before changes, so a same-instant change is
+    // correctly invisible to the probe.
+    "ts_pit_join" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val orders = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val changes = orders
+          .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+          .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+          .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+            lit(1).as("tag"), $"o_orderkey".as("oid"),
+            $"o_orderpriority".as("prio"))
+        val probes = orders.select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+          lit(0).as("tag"), $"o_orderkey".as("oid"),
+          lit(null).cast("string").as("prio"))
+        val wu = Window.partitionBy($"k").orderBy($"t", $"tag", $"oid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        changes.unionByName(probes)
+          .withColumn("prio_before", last($"prio", ignoreNulls = true).over(wu))
+          .filter($"tag" === 0)
+          .select($"oid".as("o_orderkey"), $"k".as("o_custkey"), $"prio_before")
+      },
+      oracle = Some("""
+        WITH changes AS (
+          SELECT o_custkey AS k, o_orderdate AS t, 1 AS tag,
+                 o_orderkey AS oid, o_orderpriority AS prio
+          FROM (
+            SELECT *, lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders)
+          WHERE prev IS NULL OR prev <> o_orderpriority),
+        probes AS (
+          SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+                 o_orderkey AS oid, CAST(NULL AS VARCHAR) AS prio
+          FROM orders),
+        uni AS (SELECT * FROM changes UNION ALL SELECT * FROM probes)
+        SELECT oid AS o_orderkey, k AS o_custkey,
+               last_value(prio IGNORE NULLS) OVER (PARTITION BY k
+                 ORDER BY t, tag, oid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS prio_before
+        FROM uni
+        QUALIFY tag = 0""")),
+
+    // ------------------------------------------------------------------
+    // Trending entities: top-3 most active users per hour (rank over
+    // hourly activity counts). Two exchanges — the (hour, user) count and
+    // the per-hour rank — both on aggregated rows; the raw event scan
+    // never shuffles twice.
+    "ts_trending" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"bucket")
+          .orderBy($"n".desc, $"user_id")
+        Tables.load(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("bucket"), $"user_id")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select(date_format($"bucket", fmt).as("bucket"),
+            $"user_id", $"n", $"rnk".cast("int").as("rnk"))
+      },
+      oracle = Some("""
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               user_id, n, CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT bucket, user_id, n,
+                 row_number() OVER (PARTITION BY bucket
+                   ORDER BY n DESC, user_id) AS rnk
+          FROM (SELECT date_trunc('hour', ts) AS bucket, user_id,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2))
+        WHERE rnk <= 3"""))
   )
 }
