@@ -695,5 +695,90 @@ object TextAnalysis extends QueryModule {
         SELECT doc_id, source, lang FROM documents
         ORDER BY md5_number_upper('fix9:' || CAST(doc_id AS VARCHAR))
                  & 4294967295, doc_id
-        LIMIT 100""")))
+        LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Sub-document (chunk-level) dedup: content-defined chunks shared by
+    // ≥2 documents are the corpus's boilerplate — the dedup granularity
+    // that catches repeated headers/footers whole-document hashing never
+    // sees. One codegen chunking pass (cdc_chunks) + one hash aggregate on
+    // (hash, len); work scales with chunk count, and because CDC
+    // boundaries move with content, an edited copy still shares all its
+    // untouched chunks.
+    "llm_chunk_dedup" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir)
+          .select(col("doc_id"), explode(expr("cdc_chunks(text)")).as("c"))
+          .groupBy(col("c.hash").as("chunk_hash"), col("c.len").as("chunk_len"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+      },
+      oracle = Some(s"""
+        WITH chunks AS ($chunkDerivationSql)
+        SELECT chunk_hash, chunk_len,
+               COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        FROM chunks
+        GROUP BY chunk_hash, chunk_len
+        HAVING COUNT(DISTINCT doc_id) >= 2""")),
+
+    // ------------------------------------------------------------------
+    // BPE merge step (tokenizer induction): the 20 most frequent adjacent
+    // character pairs inside words — iteration one of byte-pair-encoding
+    // training, the corpus-scale statistic a tokenizer pipeline computes
+    // before anything else. Per-row work is one array HOF chain (filter →
+    // nested transform → flatten), corpus work is a single pair-count
+    // shuffle + TakeOrderedAndProject.
+    "llm_bpe_step" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), "\\s+"))
+        .select(explode(expr(
+          """flatten(transform(filter(toks, w -> length(w) >= 2),
+               w -> transform(sequence(1, length(w) - 1),
+                              i -> substring(w, i, 2))))""")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20),
+      oracle = Some("""
+        SELECT pair, COUNT(*) AS cnt FROM (
+          SELECT unnest(flatten(
+                   [[substring(w, i, 2)
+                     for i in generate_series(1, length(w) - 1)]
+                    for w in list_filter(
+                      string_split_regex(lower(text), '\s+'),
+                      w -> length(w) >= 2)])) AS pair
+          FROM documents)
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")))
+
+  /** The chunk relation (doc_id, chunk_hash, chunk_len) exactly as
+    * `llm_text_chunk`'s oracle derives it — shared so chunk-consuming
+    * oracles stay literally the same derivation. */
+  private def chunkDerivationSql: String = {
+    def pf(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))),
+          (h, c) -> (h * 31 + c) % 1000000007)"""
+    s"""
+        SELECT doc_id,
+               ${pf("substring(text, c.start, c.len)")} AS chunk_hash,
+               CAST(c.len AS INT) AS chunk_len
+        FROM (
+          SELECT doc_id, text,
+                 unnest([{'start': starts[j + 1],
+                          'len': (CASE WHEN j + 1 < len(starts)
+                                       THEN starts[j + 2]
+                                       ELSE length(text) + 1 END) - starts[j + 1]}
+                         for j in generate_series(0, len(starts) - 1)]) AS c
+          FROM (
+            SELECT doc_id, text,
+                   CASE WHEN len(bnds) > 0 AND bnds[1] = 1 THEN bnds
+                        ELSE list_concat([1], bnds) END AS starts
+            FROM (
+              SELECT doc_id, text,
+                     list_filter([i for i in generate_series(1, greatest(length(text) - 7, 1))],
+                                 i -> ${pf("substring(text, i, 8)")} % 64 = 0) AS bnds
+              FROM documents)))"""
+  }
 }
