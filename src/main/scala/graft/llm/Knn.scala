@@ -168,6 +168,40 @@ object Knn extends QueryModule {
         FROM ranked WHERE rank <= 10"""),
       bench = true),
 
+    // ------------------------------------------------------------------
+    // Filtered vector search (the vector-db staple): top-k among ONLY the
+    // corpus rows passing a metadata predicate (label = 2). The filter
+    // applies BEFORE scoring — pushed to the parquet scan, so the pass
+    // streams |filtered corpus| rows, not |corpus| — which is also why
+    // pre-filtering beats post-filtering a k-larger unfiltered result:
+    // post-filtering can return < k rows when a query's neighbors cluster
+    // in the excluded labels.
+    "llm_knn_filtered" -> QuerySpec(
+      fn = (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+        bruteTopK(
+          base.filter(col("label") === 2).select(col("vec_id"), col("ve")),
+          base.filter(col("vec_id") < 20).select(col("vec_id"), col("ve")),
+          k = 10)
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id, label,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ${cosSql("q.ve", "c.ve")} AS cosine
+          FROM base q JOIN base c
+            ON q.vec_id < 20 AND c.label = 2 AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10""")),
+
     // ANN top-10 on the planted-neighbor corpus (recall pinned by KnnSpec).
     // Differential-checked bit-for-bit: the MD5-Rademacher hyperplanes
     // ([[graft.functions.HyperplaneCodesMd5]]) are reconstructible in

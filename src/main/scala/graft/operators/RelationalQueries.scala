@@ -1232,15 +1232,7 @@ object RelationalQueries extends QueryModule {
     "rel_zorder" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        def spread(x: String): String =
-          s"""(CAST((y5 | shiftleft(y5, 1)) & 6148914691236517205 AS BIGINT))"""
-            .replace("y5",
-              s"""((y4 | shiftleft(y4, 2)) & 3689348814741910323)""".replace("y4",
-                s"""((y3 | shiftleft(y3, 4)) & 1085102592571150095)""".replace("y3",
-                  s"""((y2 | shiftleft(y2, 8)) & 71777214294589695)""".replace("y2",
-                    s"""((y1 | shiftleft(y1, 16)) & 281470681808895)""".replace("y1",
-                      s"""(CAST(($x) AS BIGINT) & 65535)""")))))
-        val zc = s"(${spread("o_custkey")} | shiftleft(${spread("day_nr")}, 1))"
+        val zc = ZOrder.mortonSql("o_custkey", "day_nr")
         t(s, dir, "orders")
           .withColumn("day_nr",
             datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01"))))
@@ -1251,28 +1243,18 @@ object RelationalQueries extends QueryModule {
             min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
             min($"day_nr").as("min_day"), max($"day_nr").as("max_day"))
       },
-      oracle = {
-        def spread(x: String): String =
-          s"""((y5 | (y5 << 1)) & 6148914691236517205)"""
-            .replace("y5",
-              s"""((y4 | (y4 << 2)) & 3689348814741910323)""".replace("y4",
-                s"""((y3 | (y3 << 4)) & 1085102592571150095)""".replace("y3",
-                  s"""((y2 | (y2 << 8)) & 71777214294589695)""".replace("y2",
-                    s"""((y1 | (y1 << 16)) & 281470681808895)""".replace("y1",
-                      s"""(CAST(($x) AS BIGINT) & 65535)""")))))
-        Some(s"""
+      oracle = Some(s"""
         SELECT (z >> 14) AS block, COUNT(*) AS n,
                MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
                MIN(day_nr) AS min_day, MAX(day_nr) AS max_day
         FROM (
           SELECT o_custkey, day_nr,
-                 (${spread("o_custkey")} | (${spread("day_nr")} << 1)) AS z
+                 ${ZOrder.mortonDuckSql("o_custkey", "day_nr")} AS z
           FROM (SELECT o_custkey,
                        date_diff('day', DATE '1992-01-01',
                                  CAST(o_orderdate AS DATE)) AS day_nr
                 FROM orders))
-        GROUP BY block""")
-      }),
+        GROUP BY block""")),
 
     // ------------------------------------------------------------------
     // PK–FK join elimination (graft.plans.EliminatePkFkJoin): the query

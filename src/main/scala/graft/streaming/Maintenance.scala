@@ -74,7 +74,9 @@ object Maintenance {
       tableDir: String,
       partition: String, // e.g. "event_date=2024-03-01"
       targetFileMB: Int = 128,
-      committed: Option[Set[String]] = None): (Int, Int) = {
+      committed: Option[Set[String]] = None,
+      zorder: Option[(String, String)] = None,
+      targetFilesOverride: Option[Int] = None): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val partPath = new Path(s"$tableDir/$partition")
     val fs = partPath.getFileSystem(conf)
@@ -93,7 +95,8 @@ object Maintenance {
     }
     val hasOrphans = toRead.length != originals.length
     val totalBytes = toRead.map(_.getLen).sum
-    val targetFiles = math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt)
+    val targetFiles = targetFilesOverride.getOrElse(
+      math.max(1, (totalBytes / (targetFileMB * 1024L * 1024L)).toInt))
     if (!hasOrphans && originals.length <= targetFiles)
       return (originals.length, originals.length)
     if (toRead.isEmpty) {
@@ -102,9 +105,57 @@ object Maintenance {
       return (originals.length, 0)
     }
 
-    spark.read.parquet(toRead.map(_.getPath.toString).toIndexedSeq: _*)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val source = spark.read.parquet(toRead.map(_.getPath.toString).toIndexedSeq: _*)
+    val rewritten = zorder match {
+      case None => source.repartition(targetFiles)
+      // Z-ordered rewrite: equal-WIDTH Morton-code blocks + in-file sort,
+      // so every output file covers a tight min/max range in BOTH
+      // dimensions — the footer stats a later scan prunes on. Equal-width
+      // (not sampled-quantile) boundaries stay aligned with the code's
+      // bit structure: a sampled boundary that lands mid-block would let
+      // one file straddle a dimension's midpoint and ruin its span. The
+      // extra max(z) pass is over the partition being rewritten anyway;
+      // the helper columns never reach the files.
+      case Some((a, b)) =>
+        import org.apache.spark.sql.functions.{col, expr, least, lit, floor}
+        val z = source.withColumn("__z",
+          expr(graft.operators.ZOrder.mortonSql(a, b)))
+        val maxZ = z.agg(org.apache.spark.sql.functions.max("__z")).head().getLong(0)
+        // Power-of-two width (rounded up): block boundaries must fall on
+        // Morton bit boundaries or a block straddles a dimension's
+        // midpoint.
+        val w0 = math.max(1L, maxZ / targetFiles + 1)
+        val width =
+          if ((w0 & (w0 - 1)) == 0) w0
+          else java.lang.Long.highestOneBit(w0) * 2
+        z.withColumn("__zb",
+            least(floor(col("__z") / lit(width)), lit(targetFiles - 1)))
+          .drop("__z")
+    }
+    if (zorder.isEmpty) {
+      rewritten.write.mode("overwrite").parquet(tmp.toString)
+    } else {
+      // One file per z block, written per block: an exact value split
+      // (RangePartitioner's sampled bounds can merge two blocks into one
+      // file, which straddles a quadrant and ruins its span). The block
+      // column is tiny and the per-block filter re-reads only the
+      // partition being rewritten; a cluster-scale variant would use one
+      // job with an explicit key partitioner.
+      import org.apache.spark.sql.functions.{col, expr}
+      val cached = rewritten.cache()
+      try {
+        val blocks = cached.select("__zb").distinct()
+          .collect().map(_.getLong(0)).sorted
+        fs.delete(tmp, true)
+        blocks.foreach { bId =>
+          cached.filter(col("__zb") === bId).drop("__zb")
+            .coalesce(1)
+            .sortWithinPartitions(expr(graft.operators.ZOrder.mortonSql(
+              zorder.get._1, zorder.get._2)))
+            .write.mode("append").parquet(tmp.toString)
+        }
+      } finally cached.unpersist()
+    }
     // Commit point: record exactly which files the rewrite replaces. The
     // manifest is staged and RENAMED into place — creation+write is not
     // atomic, and a truncated manifest read as committed would leave the

@@ -129,4 +129,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter($"v" === "orphan").isEmpty)
     assert(!orphanDest.exists(), "orphan file must be garbage-collected")
   }
+
+  test("z-ordered compaction clusters every output file in BOTH dimensions") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("compact_zorder")
+    val part = "event_date=2024-03-01"
+    // Uniform 2D data (seeded hash spread) in 16 fragments.
+    val n = 8192
+    (0 until n).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"z$i").toLong & 0xffffffffL
+      (i.toLong, h % 4096, (h / 4096) % 4096)
+    }.toDF("id", "x", "y")
+      .repartition(16).write.mode("overwrite").parquet(s"$dir/$part")
+    val before = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+
+    val (nBefore, nAfter) = Maintenance.compactPartition(
+      spark, dir, part, zorder = Some(("x", "y")),
+      targetFilesOverride = Some(4))
+    assert(nBefore === 16 && nAfter === 4)
+
+    // Content preserved exactly.
+    val after = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+    assert(after === before, "z-ordered rewrite changed table contents")
+
+    // Every output FILE must be tight in both x and y: with ≥4 z-range
+    // files over uniform data, each covers about half the domain per
+    // dimension. A lexicographic (x, y) sort would leave y at full span.
+    val files = new java.io.File(s"$dir/$part").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 4, s"expected >= 4 output files, got ${files.length}")
+    files.foreach { f =>
+      val st = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      val spanX = st.getLong(1) - st.getLong(0)
+      val spanY = st.getLong(3) - st.getLong(2)
+      assert(spanX <= 2600 && spanY <= 2600,
+        s"file $f spans x=$spanX y=$spanY of 4096 — not z-clustered")
+    }
+  }
 }
