@@ -750,7 +750,80 @@ object TextAnalysis extends QueryModule {
                       string_split_regex(lower(text), '\s+'),
                       w -> length(w) >= 2)])) AS pair
           FROM documents)
-        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")))
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Sequence packing plan (training-window assembly): documents are
+    // dealt into 32 content-hash shards, ordered deterministically within
+    // each shard, and assigned (bin, offset) positions against a 512-token
+    // window capacity via a running token cumsum — the layout a packing
+    // writer consumes. Packing per shard (not globally) is what scales: a
+    // global running sum would serialize the corpus through one partition,
+    // while shards pack independently — one bounded window per shard,
+    // 100 TB in parallel. Straddling docs split/pad downstream; the plan
+    // records where each doc starts.
+    "llm_pack_sequences" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docs(s, dir)
+          .select(col("doc_id"),
+            size(split(lower(col("text")), "\\s+")).as("n_tokens"),
+            expr("md5_long(concat('pack3:', CAST(doc_id AS STRING)))").as("h"))
+          .withColumn("shard", expr("h & 31"))
+          .withColumn("pri", expr("h & 4294967295"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            expr("(cum - n_tokens) div 512").as("bin"),
+            expr("(cum - n_tokens) % 512").as("offset"))
+      },
+      oracle = Some("""
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+               CAST((cum - n_tokens) % 512 AS BIGINT) AS "offset"
+        FROM (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pri, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                     AS n_tokens,
+                   md5_number_upper('pack3:' || CAST(doc_id AS VARCHAR)) & 31
+                     AS shard,
+                   md5_number_upper('pack3:' || CAST(doc_id AS VARCHAR))
+                     & 4294967295 AS pri
+            FROM documents))""")),
+
+    // ------------------------------------------------------------------
+    // Training-mix planning: per-source token inventories and the sampling
+    // rate that caps every source at a 10k-token budget — the arithmetic
+    // behind "N% web, M% code" mixture specs, as one aggregate over the
+    // corpus. Feeding the rate into the content-addressed samplers above
+    // (llm_sample_stratified / llm_source_cap) executes the plan.
+    "llm_mix_weights" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(lower(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        .withColumn("sample_rate",
+          least(lit(1.0), lit(10000.0) / col("n_tokens")))
+        .withColumn("expected_tokens",
+          floor(col("n_tokens") * col("sample_rate"))),
+      oracle = Some("""
+        SELECT source, n_docs, n_tokens,
+               LEAST(CAST(1.0 AS DOUBLE), CAST(10000.0 AS DOUBLE) / n_tokens)
+                 AS sample_rate,
+               CAST(FLOOR(n_tokens * LEAST(CAST(1.0 AS DOUBLE),
+                    CAST(10000.0 AS DOUBLE) / n_tokens)) AS BIGINT)
+                 AS expected_tokens
+        FROM (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+                      AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source)""")))
 
   /** The chunk relation (doc_id, chunk_hash, chunk_len) exactly as
     * `llm_text_chunk`'s oracle derives it — shared so chunk-consuming
