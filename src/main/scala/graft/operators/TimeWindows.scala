@@ -619,6 +619,42 @@ object TimeWindows extends QueryModule {
           FROM (SELECT date_trunc('hour', ts) AS bucket, user_id,
                        COUNT(*) AS n
                 FROM events GROUP BY 1, 2))
-        WHERE rnk <= 3"""))
+        WHERE rnk <= 3""")),
+
+    // ------------------------------------------------------------------
+    // Gaps and islands (longest consecutive-day streak per user): the
+    // island id is day − row_number — constant exactly while days run
+    // consecutively — so streaks fall out of two cheap aggregations after
+    // a (user, day) dedup. Everything shuffles on user_id at (user, day)
+    // granularity, never event granularity; no self-joins over gaps.
+    "ts_streaks" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        Tables.load(s, dir, "events")
+          .select($"user_id",
+            datediff(to_date($"ts"), to_date(lit("2024-01-01"))).as("day"))
+          .distinct()
+          .withColumn("grp", $"day" - row_number().over(w))
+          .groupBy($"user_id", $"grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy($"user_id")
+          .agg(max($"len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      },
+      oracle = Some("""
+        SELECT user_id, MAX(len) AS longest_streak,
+               COUNT(*) AS n_streaks
+        FROM (
+          SELECT user_id, grp, COUNT(*) AS len
+          FROM (
+            SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM (SELECT DISTINCT user_id,
+                         date_diff('day', DATE '2024-01-01',
+                                   CAST(ts AS DATE)) AS day
+                  FROM events))
+          GROUP BY user_id, grp)
+        GROUP BY user_id"""))
   )
 }
