@@ -1161,10 +1161,8 @@ object RelationalQueries extends QueryModule {
           .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
           .withColumn("prev", lag($"o_orderpriority", 1).over(w))
           .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
-        val w2 = Window.partitionBy($"o_custkey")
-          .orderBy($"o_orderdate", $"o_orderkey")
         changes
-          .withColumn("valid_to_ts", lead($"o_orderdate", 1).over(w2))
+          .withColumn("valid_to_ts", lead($"o_orderdate", 1).over(w))
           .select(
             $"o_custkey",
             $"o_orderpriority".as("priority"),

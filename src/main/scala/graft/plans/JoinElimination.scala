@@ -65,29 +65,44 @@ case class EliminatePkFkJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** True iff `attr` is produced by a LEAF relation in `plan` — i.e. it is
+    * a real stored column, not an Alias of derived work. Matching the
+    * declaration by NAME alone would let `expr.as("c_nationkey")` activate
+    * elimination on values with no integrity guarantee. */
+  private def isBaseColumn(plan: LogicalPlan, attr: AttributeReference): Boolean =
+    plan.collectLeaves().exists(_.output.exists(_.exprId == attr.exprId))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner,
         Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
-      val (fk, pk, fkSide, pkSide) =
-        if (left.outputSet.contains(a)) (a, b, left, right)
-        else (b, a, right, left)
-      val eligible =
-        declaredFkPk.get(fk.name).contains(pk.name) &&
-          fkSide.outputSet.contains(fk) && pkSide.outputSet.contains(pk) &&
-          // Column pruning must have reduced the dimension to its key —
-          // any other surviving column means somebody reads it.
-          pkSide.output.forall(_.exprId == pk.exprId) &&
-          pkOnlyScan(pkSide, pk)
-      if (eligible) {
-        // The join's output minus the dimension = the fact side; the
-        // dimension key equals the foreign key on every surviving row, so
-        // alias it (keeping the key's exprId, which upstream references
-        // resolve against).
-        val projected: Seq[NamedExpression] = j.output.map { attr =>
-          if (attr.exprId == pk.exprId) Alias(fk, pk.name)(exprId = pk.exprId)
-          else attr
-        }
-        Project(projected, fkSide)
-      } else j
+      // The declaration decides which operand is the FK — not operand or
+      // join order (customer ⋈ nation and nation ⋈ customer both count).
+      val oriented = Seq((a, b), (b, a)).collectFirst {
+        case (fk, pk) if declaredFkPk.get(fk.name).contains(pk.name) &&
+            (left.outputSet.contains(fk) ^ right.outputSet.contains(fk)) =>
+          val (fkSide, pkSide) =
+            if (left.outputSet.contains(fk)) (left, right) else (right, left)
+          (fk, pk, fkSide, pkSide)
+      }
+      oriented match {
+        case Some((fk, pk, fkSide, pkSide))
+            if pkSide.outputSet.contains(pk) &&
+              // Both keys must be genuine stored columns of their scans.
+              isBaseColumn(fkSide, fk) && isBaseColumn(pkSide, pk) &&
+              // Column pruning must have reduced the dimension to its key —
+              // any other surviving column means somebody reads it.
+              pkSide.output.forall(_.exprId == pk.exprId) &&
+              pkOnlyScan(pkSide, pk) =>
+          // The join's output minus the dimension = the fact side; the
+          // dimension key equals the foreign key on every surviving row, so
+          // alias it (keeping the key's exprId, which upstream references
+          // resolve against).
+          val projected: Seq[NamedExpression] = j.output.map { attr =>
+            if (attr.exprId == pk.exprId) Alias(fk, pk.name)(exprId = pk.exprId)
+            else attr
+          }
+          Project(projected, fkSide)
+        case _ => j
+      }
   }
 }

@@ -106,55 +106,51 @@ object Maintenance {
     }
 
     val source = spark.read.parquet(toRead.map(_.getPath.toString).toIndexedSeq: _*)
-    val rewritten = zorder match {
-      case None => source.repartition(targetFiles)
-      // Z-ordered rewrite: equal-WIDTH Morton-code blocks + in-file sort,
-      // so every output file covers a tight min/max range in BOTH
-      // dimensions — the footer stats a later scan prunes on. Equal-width
-      // (not sampled-quantile) boundaries stay aligned with the code's
-      // bit structure: a sampled boundary that lands mid-block would let
-      // one file straddle a dimension's midpoint and ruin its span. The
-      // extra max(z) pass is over the partition being rewritten anyway;
-      // the helper columns never reach the files.
+    zorder match {
+      case None =>
+        source.repartition(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+      // Z-ordered rewrite: each dimension is range-NORMALIZED into the
+      // interleave's 16-bit domain (the raw-value mask would silently
+      // wrap any dimension exceeding 65535 and destroy clustering), then
+      // rows split into equal-width Morton blocks — power-of-two widths,
+      // so boundaries fall on code bit edges and every file stays tight
+      // in BOTH dimensions. One file per block, written per block: an
+      // exact value split (RangePartitioner's sampled bounds can merge
+      // two blocks into one file, which straddles a quadrant and ruins
+      // its span). The stats/max passes re-read only the partition being
+      // rewritten; a cluster-scale variant would use one job with an
+      // explicit key partitioner. Helper columns never reach the files.
       case Some((a, b)) =>
-        import org.apache.spark.sql.functions.{col, expr, least, lit, floor}
-        val z = source.withColumn("__z",
-          expr(graft.operators.ZOrder.mortonSql(a, b)))
-        val maxZ = z.agg(org.apache.spark.sql.functions.max("__z")).head().getLong(0)
-        // Power-of-two width (rounded up): block boundaries must fall on
-        // Morton bit boundaries or a block straddles a dimension's
-        // midpoint.
+        import org.apache.spark.sql.functions.{col, expr, least, lit, floor, min, max}
+        val st = source.agg(
+          min(col(a)), max(col(a)), min(col(b)), max(col(b))).head()
+        def lo(i: Int) = st.getAs[Number](i).longValue
+        def normSql(c: String, mn: Long, mx: Long): String =
+          s"CAST((CAST($c AS DOUBLE) - $mn) * 65535.0 / ${math.max(1L, mx - mn)} AS BIGINT)"
+        val zSql = graft.operators.ZOrder.mortonSql(
+          normSql(a, lo(0), lo(1)), normSql(b, lo(2), lo(3)))
+        val z = source.withColumn("__z", expr(zSql))
+        val maxZ = z.agg(max("__z")).head().getLong(0)
         val w0 = math.max(1L, maxZ / targetFiles + 1)
         val width =
           if ((w0 & (w0 - 1)) == 0) w0
           else java.lang.Long.highestOneBit(w0) * 2
-        z.withColumn("__zb",
-            least(floor(col("__z") / lit(width)), lit(targetFiles - 1)))
-          .drop("__z")
-    }
-    if (zorder.isEmpty) {
-      rewritten.write.mode("overwrite").parquet(tmp.toString)
-    } else {
-      // One file per z block, written per block: an exact value split
-      // (RangePartitioner's sampled bounds can merge two blocks into one
-      // file, which straddles a quadrant and ruins its span). The block
-      // column is tiny and the per-block filter re-reads only the
-      // partition being rewritten; a cluster-scale variant would use one
-      // job with an explicit key partitioner.
-      import org.apache.spark.sql.functions.{col, expr}
-      val cached = rewritten.cache()
-      try {
-        val blocks = cached.select("__zb").distinct()
-          .collect().map(_.getLong(0)).sorted
-        fs.delete(tmp, true)
-        blocks.foreach { bId =>
-          cached.filter(col("__zb") === bId).drop("__zb")
-            .coalesce(1)
-            .sortWithinPartitions(expr(graft.operators.ZOrder.mortonSql(
-              zorder.get._1, zorder.get._2)))
-            .write.mode("append").parquet(tmp.toString)
-        }
-      } finally cached.unpersist()
+        val blocked = z.withColumn("__zb",
+          least(floor(col("__z") / lit(width)), lit(targetFiles - 1)))
+        val cached = blocked.cache()
+        try {
+          val blocks = cached.select("__zb").distinct()
+            .collect().map(_.getLong(0)).sorted
+          fs.delete(tmp, true)
+          blocks.foreach { bId =>
+            cached.filter(col("__zb") === bId)
+              .coalesce(1)
+              .sortWithinPartitions("__z")
+              .drop("__z", "__zb")
+              .write.mode("append").parquet(tmp.toString)
+          }
+        } finally cached.unpersist()
     }
     // Commit point: record exactly which files the rewrite replaces. The
     // manifest is staged and RENAMED into place — creation+write is not

@@ -49,8 +49,7 @@ object Scd2Stream {
     events
       .withColumn("prev", lag(col("prio"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("prio"))
-      .withColumn("valid_to", lead(col("t"), 1).over(
-        Window.partitionBy(col("k")).orderBy(col("t"), col("oid"))))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
       .select(col("k"), col("prio"), col("t").as("valid_from"),
         col("valid_to"), col("oid").as("opened_by"))
   }
@@ -58,13 +57,27 @@ object Scd2Stream {
   /** Merge one micro-batch of change events into the dimension at
     * `tableDir`. */
   def applyBatch(spark: SparkSession, batch: DataFrame, tableDir: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = tablePath.getFileSystem(hadoopConf)
+    val stagedPath = new org.apache.hadoop.fs.Path(tableDir + ".staging")
+    val retiredPath = new org.apache.hadoop.fs.Path(tableDir + ".retired")
+    // Crash recovery FIRST — even for an empty batch: a missing table next
+    // to a COMPLETE staging dir means the previous batch died between its
+    // two renames, and the publish must finish before anyone reads.
+    if (!fs.exists(tablePath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stagedPath, "_SUCCESS"))) {
+      require(fs.rename(stagedPath, tablePath),
+        s"could not recover staged dimension generation into $tablePath")
+    }
+
     val events = batch.select(
       col("o_custkey").as("k"), col("o_orderdate").as("t"),
       col("o_orderkey").as("oid"), col("o_orderpriority").as("prio"))
     if (events.isEmpty) return
 
     val existing: Option[DataFrame] =
-      if (new java.io.File(tableDir).exists()) Some(spark.read.parquet(tableDir))
+      if (fs.exists(tablePath)) Some(spark.read.parquet(tableDir))
       else None
 
     val merged = existing match {
@@ -81,12 +94,23 @@ object Scd2Stream {
         untouched.unionByName(derive(replay.unionByName(events)))
     }
 
-    // Atomic-enough local swap: stage, then overwrite. At scale this is
-    // the per-partition swap protocol in streaming/Maintenance.scala.
-    val staged = merged.select(tableCols.map(col): _*).cache()
-    staged.count()
-    staged.write.mode(SaveMode.Overwrite).parquet(tableDir)
-    staged.unpersist()
+    // The merged plan READS the table it replaces, so the rewrite must
+    // fully materialize before the old generation disappears: stage to a
+    // sibling dir (a real write, not a cache — cache eviction under
+    // memory pressure would re-read deleted inputs), then swap via
+    // renames. A crash between the renames leaves either the old or the
+    // new generation; the checkpointed batch replays idempotently. At
+    // partitioned scale this is Maintenance.compactPartition's manifest
+    // protocol per touched partition.
+    fs.delete(stagedPath, true)
+    fs.delete(retiredPath, true)
+    merged.select(tableCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath.toString)
+    if (fs.exists(tablePath)) require(fs.rename(tablePath, retiredPath),
+      s"could not retire previous dimension generation at $tablePath")
+    require(fs.rename(stagedPath, tablePath),
+      s"could not publish new dimension generation to $tablePath")
+    fs.delete(retiredPath, true)
   }
 
   /** Run the maintenance stream over a changelog source. */

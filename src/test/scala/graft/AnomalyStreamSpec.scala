@@ -20,6 +20,7 @@ class AnomalyStreamSpec extends SparkSpec {
     val batch = SparkEntry.queries("ts_anomaly")(spark, sfDir)
       .select($"event_id", round($"z", 4).as("z")).as[(Long, Double)]
       .collect().toMap
+    assert(batch.nonEmpty, "fixture produced no anomalies — parity test is vacuous")
 
     // Same rows, event-time order, split into 4 micro-batches.
     val events = Tables.load(spark, sfDir, "events")

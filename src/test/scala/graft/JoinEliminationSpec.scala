@@ -46,6 +46,26 @@ class JoinEliminationSpec extends SparkSpec {
     assert(physical(df).contains("Join"), "join wrongly eliminated under a filter")
   }
 
+  test("a DERIVED column named like a declared FK keeps the join") {
+    // expr.as("c_nationkey") carries no integrity declaration: eliminating
+    // here would return every fact row though the join matches none.
+    val derived = customer.select(col("c_custkey"),
+      (col("c_custkey") + 1000000).as("c_nationkey"))
+    val df = derived
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"))
+    assert(physical(df).contains("Join"), "join wrongly eliminated on derived FK")
+    assert(df.count() == 0, "no derived value matches a nation key")
+  }
+
+  test("elimination fires regardless of join or operand order") {
+    val df = nation
+      .join(customer, col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"))
+    assert(!physical(df).contains("Join"),
+      "dimension-on-the-left join not eliminated")
+  }
+
   test("undeclared key pairs keep the join") {
     // Self-join on an arbitrary column: no declaration, no elimination.
     val a = nation.select(col("n_nationkey"), col("n_regionkey"))

@@ -46,29 +46,26 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # One execution per side: rows AND pandas dtype kinds both come off
+        # the same DataFrame (re-running heavy oracles just for .dtypes
+        # doubled the gate's runtime). The dtype-kind check replicates the
+        # driver's canonicalizer behavior: a HUGEINT oracle column becomes
+        # float64 in pandas ('5.0') while the Spark parquet column stays
+        # int64 ('5') — same values, different rendering, hash mismatch.
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in spark_rel.description]
-            s_rows = spark_rel.fetchall()
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
-            d_rows = duck_rel.fetchall()
+            s_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            s_cols = list(s_df.columns)
+            s_rows = [tuple(r) for r in s_df.itertuples(index=False, name=None)]
+            d_df = con.execute(sql).df()
+            d_cols = list(d_df.columns)
+            d_rows = [tuple(r) for r in d_df.itertuples(index=False, name=None)]
+            s_kinds = [d.kind for d in s_df.dtypes]
+            d_kinds = [d.kind for d in d_df.dtypes]
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        # Replicate the driver's pandas canonicalizer dtype behavior: a
-        # HUGEINT oracle column becomes float64 in pandas ('5.0') while the
-        # Spark parquet column stays int64 ('5') — same values, different
-        # rendering, hash mismatch at the driver. Compare dtype *kinds*
-        # (both sides materialized through duckdb .df()) to catch it here.
-        try:
-            s_kinds = [d.kind for d in con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df().dtypes]
-            d_kinds = [d.kind for d in con.execute(sql).df().dtypes]
-        except Exception:
-            s_kinds = d_kinds = None
         sc, sr = canon(s_rows, s_cols)
         dc, dr = canon(d_rows, d_cols)
         if s_kinds is not None and sorted(zip(s_cols, s_kinds)) != sorted(
