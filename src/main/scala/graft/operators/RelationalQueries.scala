@@ -1340,6 +1340,84 @@ object RelationalQueries extends QueryModule {
         SELECT 'l_shipdate', n, sd_nulls, sd_distinct, sd_min, sd_max FROM a""")),
 
     // ------------------------------------------------------------------
+    // TPC-H Q6 analog (forecast revenue): the pure scan-aggregate — every
+    // predicate pushes to parquet (PushedFilters carries all three), zero
+    // joins, one partial-aggregated shuffle of a single row. The query
+    // 100 TB engines are measured on for raw scan throughput.
+    "rel_q6_forecast_revenue" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-01-01").cast("timestamp") &&
+            $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+            $"l_quantity" < 24)
+          .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q4 analog (late-shipping orders by priority): EXISTS spelled
+    // as a LEFT SEMI join — one shuffle pair on the order key, the fact
+    // side never duplicates however many lineitems match.
+    "rel_q4_late_orders" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val late = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate")
+          .select($"l_orderkey").distinct()
+        t(s, dir, "orders")
+          .join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q12 analog (priority buckets per line status): the join
+    // feeds conditional counts — urgent/high vs the rest — aggregated in
+    // the same pass, no per-bucket re-scan.
+    "rel_q12_priority_buckets" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)
+              .otherwise(0)).cast("long").as("high_line_count"),
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0)
+              .otherwise(1)).cast("long").as("low_line_count"))
+      },
+      oracle = Some("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus""")),
+
+    // ------------------------------------------------------------------
     // Pearson correlation per group from decimal-exact moments: built-in
     // corr() accumulates doubles in partition order (non-deterministic
     // across engines/partitionings), so the six moments are summed exactly
