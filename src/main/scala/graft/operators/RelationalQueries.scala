@@ -1389,6 +1389,39 @@ object RelationalQueries extends QueryModule {
         GROUP BY o_orderpriority""")),
 
     // ------------------------------------------------------------------
+    // TPC-H Q15 analog (top supplier): per-supplier quarterly revenue vs
+    // a scalar-subquery maximum. The revenue relation computes ONCE and
+    // feeds both sides (self-referencing scalar subquery); revenue is
+    // decimal-exact so the equality join against max() is safe on both
+    // engines. Ties all surface — no arbitrary pick.
+    "rel_q15_top_supplier" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val revenue = t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("total_revenue"))
+        val top = revenue.agg(max($"total_revenue").as("mx"))
+        t(s, dir, "supplier")
+          .join(revenue, $"s_suppkey" === $"l_suppkey")
+          .join(broadcast(top), $"total_revenue" === $"mx")
+          .select($"s_suppkey", $"s_name", $"total_revenue")
+      },
+      oracle = Some(s"""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")),
+
+    // ------------------------------------------------------------------
     // TPC-H Q12 analog (priority buckets per line status): the join
     // feeds conditional counts — urgent/high vs the rest — aggregated in
     // the same pass, no per-bucket re-scan.

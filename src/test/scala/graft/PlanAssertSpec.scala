@@ -121,6 +121,13 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "IVF has a cartesian product")
   }
 
+  test("rel_q6: every predicate reaches the parquet scan") {
+    val p = plan("rel_q6_forecast_revenue")
+    val pushed = p.linesIterator.find(_.trim.startsWith("PushedFilters")).get
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed to scan: $pushed")
+  }
+
   test("rel_scd2: change detection and interval close share ONE shuffle") {
     // Both window passes partition on o_custkey with the same ordering;
     // Catalyst must plan a single Exchange (a second one would double the
