@@ -676,6 +676,41 @@ object RelationalQueries extends QueryModule {
         EXCEPT
         SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000""")),
 
+    // Multiset (bag) variants — duplicate-count semantics, a different
+    // physical shape: Spark plans these as count-compare aggregations +
+    // generate, not a distinct-hash, so each surviving row repeats
+    // max(n_left − n_right, 0) / min(n_left, n_right) times.
+    "rel_set_except_all" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").select($"o_orderpriority".as("p"))
+          .exceptAll(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+            .select($"o_orderpriority".as("p")))
+          .groupBy($"p").agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT p, COUNT(*) AS n FROM (
+          SELECT o_orderpriority AS p FROM orders
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY p""")),
+
+    "rel_set_intersect_all" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").filter($"o_orderstatus" === "O")
+          .select($"o_orderpriority".as("p"))
+          .intersectAll(t(s, dir, "orders").filter($"o_orderstatus" === "P")
+            .select($"o_orderpriority".as("p")))
+          .groupBy($"p").agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT p, COUNT(*) AS n FROM (
+          SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P')
+        GROUP BY p""")),
+
     // ------------------------------------------------------------------
     // Scalar families (SURVEY §2.7 north-star additions).
     "rel_scalar_string" -> QuerySpec(

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.pipeline.ActivityPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_date}
+import org.apache.spark.sql.functions.{col, count, lit, to_date}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DateType, StructField, StructType}
 
@@ -81,6 +81,10 @@ object Medallion {
     val parsed = ActivityPipeline.parseRaw(raw)
     val valid = ActivityPipeline.bronzeValid(parsed)
       .withColumn("event_date", to_date(col("timestamp")))
+      // Business-level gate counter riding the plan (Dataset.observe):
+      // surfaces per-batch pass counts through the progress listener
+      // (Metrics.observedSnapshot) with zero extra passes over the data.
+      .observe("bronze_gate", count(lit(1)).as("rows_passed"))
       .writeStream
       .format("parquet")
       .outputMode("append")

@@ -23,6 +23,8 @@ object Metrics {
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
+    private val observed = new ConcurrentHashMap[String, java.lang.Long]()
+
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val name = Option(p.name).getOrElse(p.id.toString)
@@ -36,7 +38,29 @@ object Metrics {
           a.inputRows + b.inputRows,
           a.droppedByWatermark + b.droppedByWatermark,
           b.stateRows)) // state size is a gauge: latest wins
+      // Dataset.observe metrics (business-level counters riding the plan —
+      // e.g. Medallion's bronze gate): sum numeric fields per batch under
+      // "<observation>.<field>".
+      p.observedMetrics.forEach { (obsName, row) =>
+        row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!row.isNullAt(i)) row.get(i) match {
+            case n: Number =>
+              observed.merge(s"$obsName.${f.name}",
+                java.lang.Long.valueOf(n.longValue),
+                (a: java.lang.Long, b: java.lang.Long) =>
+                  java.lang.Long.valueOf(a + b))
+            case _ => ()
+          }
+        }
+      }
       ()
+    }
+
+    /** Accumulated Dataset.observe counters, keyed "observation.field". */
+    def observedSnapshot: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      observed.forEach((k, v) => b += (k -> v.longValue))
+      b.result()
     }
 
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -42,4 +42,32 @@ class MetricsSpec extends SparkSpec {
     assert(m.get.droppedByWatermark >= 1L, s"late drop not counted: ${m.get}")
     assert(m.get.batches >= 3L)
   }
+
+  test("Dataset.observe counters accumulate across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val listener = Metrics.attach(spark)
+    val mem = MemoryStream[(Long, Double)]
+    val observed = mem.toDF().toDF("id", "value")
+      .observe("probe_gate",
+        count(lit(1)).as("rows_seen"),
+        sum(when($"value" > 0, 1).otherwise(0)).as("rows_positive"))
+    val q = observed.writeStream.format("memory").queryName("observe_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1.0), (2L, -1.0)); q.processAllAvailable()
+      mem.addData((3L, 2.0)); q.processAllAvailable()
+    } finally q.stop()
+    spark.streams.removeListener(listener)
+
+    var snap = listener.observedSnapshot
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (snap.getOrElse("probe_gate.rows_seen", 0L) < 3L &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(100); snap = listener.observedSnapshot
+    }
+    assert(snap.get("probe_gate.rows_seen").contains(3L), s"snapshot: $snap")
+    assert(snap.get("probe_gate.rows_positive").contains(2L), s"snapshot: $snap")
+  }
 }
