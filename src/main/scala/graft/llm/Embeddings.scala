@@ -154,6 +154,70 @@ object Embeddings extends QueryModule {
                  AS centroid
         FROM a, generate_series(1, 64) gs(dim)
         WHERE rn = 1
-        GROUP BY cid, dim"""))
+        GROUP BY cid, dim""")),
+
+    // ------------------------------------------------------------------
+    // Distributed PCA top component (power iteration over the Gram
+    // matrix, first 16 dims): ONE corpus pass builds the 16×16 Gram
+    // relation (a bounded 256× pair fan-out feeding a hash aggregate —
+    // the only data-sized work); five matrix-vector rounds then run on
+    // the 256-row Gram — O(dims²) per round, corpus-independent, exactly
+    // the split that makes power iteration scale (the same shape as
+    // [[graft.operators.Graph]]'s rank rounds). Decimal-exact sums keep
+    // every round bit-identical to the oracle's unrolled CTE iterations;
+    // x₀ = 1/√16 = 0.25 exactly, so even the start is representable.
+    "llm_embed_pca" -> QuerySpec(
+      fn = (s, dir) => {
+        import graft.api.Exact.dsum
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+        val pairs = e.select(explode(expr(
+          """flatten(transform(sequence(1, 16), i ->
+               transform(sequence(1, 16), j ->
+                 named_struct('i', i, 'j', j,
+                   'prod', element_at(ve, i) * element_at(ve, j)))))"""))
+          .as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
+        val gram = pairs.groupBy(col("i"), col("j")).agg(dsum(col("prod")).as("g"))
+        var x = s.range(1, 17)
+          .select(col("id").cast("int").as("j"), lit(0.25).as("v"))
+        for (_ <- 1 to 5) {
+          val y = gram.join(x, "j")
+            .groupBy(col("i")).agg(dsum(col("g") * col("v")).as("y"))
+          val nrm = y.agg(sqrt(dsum(col("y") * col("y"))).as("nrm"))
+          x = y.crossJoin(broadcast(nrm))
+            .select(col("i").as("j"), (col("y") / col("nrm")).as("v"))
+        }
+        x.select(col("j").as("dim"), round(col("v"), 8).as("component"))
+      },
+      oracle = {
+        import graft.api.Exact.sqlSum
+        val base = s"""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 16)] AS ve
+          FROM embeddings),
+        pairs AS (
+          SELECT unnest(flatten(
+                   [[{'i': i, 'j': j, 'prod': ve[i] * ve[j]}
+                     for j in generate_series(1, 16)]
+                    for i in generate_series(1, 16)]), recursive := true)
+          FROM e),
+        g AS (SELECT i, j, ${sqlSum("prod")} AS g FROM pairs GROUP BY i, j),
+        x0 AS (SELECT i AS j, CAST(0.25 AS DOUBLE) AS v
+               FROM generate_series(1, 16) t(i))"""
+        val iters = (1 to 5).map { k =>
+          s"""
+        y$k AS (
+          SELECT g.i, ${sqlSum("g.g * p.v")} AS y
+          FROM g JOIN x${k - 1} p ON g.j = p.j GROUP BY g.i),
+        x$k AS (
+          SELECT i AS j,
+                 y / (SELECT SQRT(${sqlSum("y * y")}) FROM y$k) AS v
+          FROM y$k)"""
+        }.mkString(",")
+        Some(s"""$base,$iters
+        SELECT CAST(j AS INT) AS dim, ROUND(v, 8) AS component FROM x5""")
+      })
   )
 }
