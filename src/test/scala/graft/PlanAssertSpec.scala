@@ -121,6 +121,33 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "IVF has a cartesian product")
   }
 
+  test("dynamic partition pruning fires for a dim-filtered join on the partition key") {
+    // The 100 TB pattern: fact partitioned by key, predicate only on the
+    // dimension — the fact scan must receive a DYNAMIC pruning filter
+    // built from the dim side at runtime, not read every partition.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("dpp")
+    spark.range(1000)
+      .select($"id", ($"id" % 10).as("k"))
+      .write.mode("overwrite").partitionBy("k").parquet(dir)
+    // The partition column reads back as INT (directory-value inference);
+    // a cast around it would disqualify the scan from DPP. The dim is a
+    // real parquet table with a selective predicate — the shape the
+    // pruning rule's benefit estimate recognizes.
+    val dimDir = tempDir("dpp_dim")
+    spark.range(10).select($"id".cast("int").as("dk"),
+      concat(lit("t"), $"id").as("tag"))
+      .write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir), $"k" === $"dk")
+      .filter($"tag" === "t3")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+  }
+
   test("rel_q6: every predicate reaches the parquet scan") {
     val p = plan("rel_q6_forecast_revenue")
     val pushed = p.linesIterator.find(_.trim.startsWith("PushedFilters")).get
