@@ -1486,6 +1486,48 @@ object RelationalQueries extends QueryModule {
         GROUP BY l_linestatus""")),
 
     // ------------------------------------------------------------------
+    // Exact grouped quantiles (nearest-rank p50/p90/p99): one sort-based
+    // window pass — no per-group value buffering (the same spill-safe
+    // shape as the exact median), ranks computed from the SAME double
+    // expression on both engines so the selected rows agree exactly.
+    "rel_agg_quantiles" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val part = Window.partitionBy($"l_linestatus")
+        val w = part.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        def rank(q: Double) =
+          ceil(lit(q) * $"n").cast("long")
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(part))
+          .filter($"rn" === rank(0.5) || $"rn" === rank(0.9) ||
+            $"rn" === rank(0.99))
+          .groupBy($"l_linestatus")
+          .agg(
+            max(when($"rn" === rank(0.5), $"l_extendedprice")).as("p50"),
+            max(when($"rn" === rank(0.9), $"l_extendedprice")).as("p90"),
+            max(when($"rn" === rank(0.99), $"l_extendedprice")).as("p99"))
+      },
+      oracle = Some("""
+        SELECT l_linestatus,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p90,
+               MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p99
+        FROM (
+          SELECT l_linestatus, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM lineitem)
+        WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+           OR rn = CAST(CEIL(0.9 * n) AS BIGINT)
+           OR rn = CAST(CEIL(0.99 * n) AS BIGINT)
+        GROUP BY l_linestatus""")),
+
+    // ------------------------------------------------------------------
     // Pearson correlation per group from decimal-exact moments: built-in
     // corr() accumulates doubles in partition order (non-deterministic
     // across engines/partitionings), so the six moments are summed exactly
