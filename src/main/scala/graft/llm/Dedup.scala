@@ -103,8 +103,7 @@ object Dedup extends QueryModule {
     *
     * The DuckDB oracle runs the naive definition; this plan must (and does)
     * hash-match it. */
-  private def exactJaccardPairs(corpus: DataFrame): DataFrame = {
-    val tau = 0.8
+  private def exactJaccardPairs(corpus: DataFrame, tau: Double = 0.8): DataFrame = {
     val sh = shingles(corpus)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // Per-doc shingle array in global rarest-first order, with set size.
@@ -125,12 +124,12 @@ object Dedup extends QueryModule {
     // Exact verification on candidates only — the same join verifyPairs
     // runs for the LSH and incremental paths (one implementation for the
     // semantics the oracle requires all three to agree on).
-    verifyPairs(cand, ordered.select(col("doc_id"), col("sorted_sh").as("sh"), col("n")))
+    verifyPairs(cand, ordered.select(col("doc_id"), col("sorted_sh").as("sh"), col("n")), tau)
   }
 
   /** shingles → counts → intersections → Jaccard-≥0.8 pairs, over whatever
     * `corpus` CTE precedes it (composable across the dedup oracles). */
-  private val pairsFromCorpusSql = s"""$shinglesSql,
+  private def pairsFromCorpusSqlAt(tau: Double) = s"""$shinglesSql,
     cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -139,7 +138,9 @@ object Dedup extends QueryModule {
     pairs AS (
       SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
       FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)"""
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $tau)"""
+
+  private val pairsFromCorpusSql = pairsFromCorpusSqlAt(0.8)
 
   private val jaccardPairsCtes = s"""$nearCorpusSql, $pairsFromCorpusSql"""
 
@@ -202,13 +203,14 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
 
   /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs. */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame =
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      tau: Double = 0.8): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
 
   def minhashPairs(corpus: DataFrame): DataFrame = {
@@ -443,6 +445,30 @@ object Dedup extends QueryModule {
     "llm_dedup_jaccard" -> QuerySpec(
       fn = (s, dir) => exactJaccardPairs(nearCorpus(s, dir)),
       oracle = Some(jaccardOracle)),
+
+    // Threshold calibration sweep: pair counts at several Jaccard cut
+    // points from ONE candidate pass at the loosest threshold (0.7) —
+    // how an operator picks the dedup threshold before committing to a
+    // corpus-wide run. The prefix filter relaxes with tau, so the 0.7
+    // pass's candidates are a superset of every stricter cut; one
+    // conditional aggregation then buckets them.
+    "llm_dedup_threshold_sweep" -> QuerySpec(
+      fn = (s, dir) => {
+        val pairs = exactJaccardPairs(nearCorpus(s, dir), tau = 0.7)
+        pairs.agg(
+          sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).cast("long").as("ge_070"),
+          sum(when(col("jaccard") >= 0.8, 1).otherwise(0)).cast("long").as("ge_080"),
+          sum(when(col("jaccard") >= 0.9, 1).otherwise(0)).cast("long").as("ge_090"),
+          sum(when(col("jaccard") >= 0.95, 1).otherwise(0)).cast("long").as("ge_095"))
+      },
+      oracle = Some(s"""
+        WITH $nearCorpusSql, ${pairsFromCorpusSqlAt(0.7)}
+        SELECT
+          CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_070,
+          CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_080,
+          CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_090,
+          CAST(SUM(CASE WHEN jaccard >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS ge_095
+        FROM pairs""")),
 
     // MinHash-LSH near-dup: must reproduce the exact-Jaccard pair set.
     "llm_dedup_minhash" -> QuerySpec(
