@@ -22,7 +22,105 @@ object RelationalQueries extends QueryModule {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
   import Exact.{dsum, davg, sqlSum, sqlAvg}
+
+  // The TPC-H decorrelation-shape analogs (Q2/Q13/Q17/Q20/Q21/Q22) are
+  // written once as engine-portable SQL and executed VERBATIM by both Spark
+  // and the DuckDB oracle: the correlated subqueries are the point of the
+  // exercise, so Spark must see the correlated form (and decorrelate it
+  // itself), not a hand-decorrelated DataFrame plan. Determinism rules as
+  // everywhere: aggregates that feed comparisons or output are exact
+  // DECIMAL(30,6) sums (cast to double only at the end), and every LIMIT
+  // carries a total tiebreak order.
+
+  private val q2Sql = """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           l_extendedprice AS min_price
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size <= 10 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  private val q13Sql = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+      GROUP BY c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  private val q17Sql = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_type = 'PROMO'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                        / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  private val q20Sql = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 50)
+    ORDER BY s_name"""
+
+  private val q21Sql = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100"""
+
+  private val q22Sql = """
+    SELECT bucket, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 18, 1) AS bucket, c_acctbal, c_custkey
+      FROM customer
+      WHERE substring(c_name, 18, 1) IN ('1','3','5','7')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                   / COUNT(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND substring(c2.c_name, 18, 1) IN ('1','3','5','7'))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-06-01')) t
+    GROUP BY bucket
+    ORDER BY bucket"""
 
   def queries: Map[String, QuerySpec] = Map(
     // ------------------------------------------------------------------
@@ -234,6 +332,94 @@ object RelationalQueries extends QueryModule {
                AND l_quantity BETWEEN 10 AND 40)
            OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50
                AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q2 analog: multi-level correlated scalar MIN — for each
+    // qualifying part, the region's suppliers offering it at the minimum
+    // observed price (the correlated subquery re-joins supplier⋈nation⋈
+    // region). Catalyst decorrelates the scalar MIN into a per-part
+    // aggregate joined back on the correlation key — one shuffle on
+    // l_partkey, never a per-row re-execution. Identical SQL text runs on
+    // both engines, so the decorrelated plan is differentially checked
+    // against DuckDB's own decorrelation. (This fixture has no partsupp;
+    // lineitem stands in as the part×supplier offer relation.)
+    "rel_q2_min_cost_supplier" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "part", "supplier", "lineitem", "nation", "region")
+        s.sql(q2Sql)
+      },
+      oracle = Some(q2Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 analog: outer-join-groupby with a NOT LIKE join filter —
+    // the order-count distribution MUST keep zero-order customers, so the
+    // NOT LIKE lives in the JOIN condition, not a WHERE (a where-clause
+    // filter would silently turn the outer join inner). Two aggregates:
+    // per-customer counts ride the join's shuffle, the distribution
+    // re-shuffles only |customers| rows.
+    "rel_q13_order_distribution" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "customer", "orders")
+        s.sql(q13Sql)
+      },
+      oracle = Some(q13Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 analog: correlated AVG threshold — lineitems of a brand's
+    // promo parts in quantities below 20% of that part's own average.
+    // Decorrelates to a per-part aggregate broadcast back onto the probe
+    // side. The average is computed as an exact DECIMAL sum cast to
+    // double over a bigint count, so the threshold (and therefore the
+    // qualifying row set) is bit-identical across engines — a raw
+    // double AVG would be summation-order-dependent.
+    "rel_q17_small_qty_revenue" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "lineitem", "part")
+        s.sql(q17Sql)
+      },
+      oracle = Some(q17Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q20 analog: nested semi-join — suppliers (of one nation) who
+    // moved more than a threshold volume of ECONOMY parts; the IN
+    // subquery itself contains another IN (parts of the type) plus a
+    // HAVING over an exact decimal sum. Both IN levels become left-semi
+    // hash joins; the aggregate runs once over the semi-joined lineitem,
+    // not per outer row.
+    "rel_q20_volume_suppliers" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "supplier", "nation", "lineitem", "part")
+        s.sql(q20Sql)
+      },
+      oracle = Some(q20Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 analog: multi-EXISTS + NOT EXISTS — suppliers solely
+    // responsible for the returned lines of finished multi-supplier
+    // orders: another supplier's line EXISTS in the order, and NO other
+    // supplier's line was returned. EXISTS → left-semi, NOT EXISTS →
+    // left-anti, both on l_orderkey with the <>-supplier residual in the
+    // join condition; three lineitem scans but zero cartesian products.
+    "rel_q21_sole_blame" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "supplier", "lineitem", "orders", "nation")
+        s.sql(q21Sql)
+      },
+      oracle = Some(q21Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 analog: anti-join over substring buckets — lapsed
+    // high-balance customers (no order since the cutoff) grouped by a
+    // name-derived bucket. The uncorrelated scalar AVG (exact decimal
+    // form) broadcasts as a single-row threshold; NOT EXISTS becomes a
+    // left-anti join against only the orders past the cutoff (the date
+    // predicate pushes into the anti side's scan).
+    "rel_q22_lapsed_customers" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "customer", "orders")
+        s.sql(q22Sql)
+      },
+      oracle = Some(q22Sql)),
 
     // ------------------------------------------------------------------
     // Blocked fuzzy-match entity resolution, incoming-batch-vs-master

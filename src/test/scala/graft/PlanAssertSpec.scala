@@ -40,6 +40,33 @@ class PlanAssertSpec extends SparkSpec {
       s"scan reads unused columns: $read")
   }
 
+  test("decorrelation analogs: semi/anti shapes, no cartesian, no re-execution") {
+    // The six TPC-H decorrelation-pattern analogs must compile to joins —
+    // a correlated subquery that survives to execution would re-run per
+    // outer row (plan would show a CartesianProduct or an in-loop
+    // subquery). EXISTS → LeftSemi, NOT EXISTS → LeftAnti, IN → LeftSemi,
+    // correlated scalar agg → aggregate + equi-join on the correlation key.
+    val all = Seq("rel_q2_min_cost_supplier", "rel_q13_order_distribution",
+      "rel_q17_small_qty_revenue", "rel_q20_volume_suppliers",
+      "rel_q21_sole_blame", "rel_q22_lapsed_customers")
+    val plans = all.map(n => n -> plan(n)).toMap
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+    assert(plans("rel_q21_sole_blame").contains("LeftSemi") &&
+      plans("rel_q21_sole_blame").contains("LeftAnti"),
+      "Q21's EXISTS/NOT EXISTS must be semi + anti joins")
+    assert(plans("rel_q20_volume_suppliers").contains("LeftSemi"),
+      "Q20's nested IN must be a semi join")
+    assert(plans("rel_q22_lapsed_customers").contains("LeftAnti"),
+      "Q22's NOT EXISTS must be an anti join")
+    assert(plans("rel_q13_order_distribution").contains("LeftOuter"),
+      "Q13 must keep the outer join (NOT LIKE stays in the join condition)")
+    // The correlated scalar aggregates decorrelate into real aggregates.
+    assert(plans("rel_q2_min_cost_supplier").contains("HashAggregate"))
+    assert(plans("rel_q17_small_qty_revenue").contains("HashAggregate"))
+  }
+
   test("headline queries contain no cartesian product over large inputs") {
     for (n <- Seq("rel_q1_pricing_summary", "rel_q3_shipping_priority",
         "rel_q5_local_supplier", "pipe_gold", "llm_dedup_minhash",
