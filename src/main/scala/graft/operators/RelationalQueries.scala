@@ -1440,40 +1440,69 @@ object RelationalQueries extends QueryModule {
 
     // ------------------------------------------------------------------
     // Z-order (Morton) data clustering: interleave the bits of two scan
-    // dimensions (customer bucket × order day) so rows sorted by the
+    // dimensions (customer key × order day) so rows sorted by the
     // interleaved code land in file blocks whose min/max ranges are TIGHT
     // in BOTH dimensions — the data-layout prerequisite for min-max data
     // skipping at 100 TB (a lexicographic sort only prunes the leading
-    // column). The bit spread is five shift/mask steps per dimension,
-    // pure codegen arithmetic; the per-block stats emitted here are the
-    // footer stats a writer would persist. Verified bit-for-bit against
-    // the oracle's identical integer program.
+    // column). Each dimension is first range-NORMALIZED into the
+    // interleave's 16-bit domain from a one-row stats aggregate
+    // (broadcast): interleaving raw values would silently wrap any key
+    // past 65535 under the spread mask and destroy locality at SF where
+    // custkey outgrows 16 bits — the same discipline as Maintenance's
+    // z-ordered writer. FLOOR before the BIGINT cast keeps both engines
+    // identical (Spark CAST truncates, DuckDB CAST rounds). The bit
+    // spread is five shift/mask steps per dimension, pure codegen
+    // arithmetic; z >> 24 buckets into ≤256 blocks, the per-block stats
+    // are the footer stats a writer would persist. Verified bit-for-bit
+    // against the oracle's identical integer program.
     "rel_zorder" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        val zc = ZOrder.mortonSql("o_custkey", "day_nr")
-        t(s, dir, "orders")
+        val base = t(s, dir, "orders")
           .withColumn("day_nr",
             datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01"))))
+        val stats = base.agg(
+          min($"o_custkey").as("ck_mn"), max($"o_custkey").as("ck_mx"),
+          min($"day_nr").as("dy_mn"), max($"day_nr").as("dy_mx"))
+        def norm(c: String, mn: String, mx: String): String =
+          s"CAST(FLOOR((CAST($c AS DOUBLE) - $mn) * 65535.0" +
+            s" / GREATEST(1, $mx - $mn)) AS BIGINT)"
+        val zc = ZOrder.mortonSql(
+          norm("o_custkey", "ck_mn", "ck_mx"), norm("day_nr", "dy_mn", "dy_mx"))
+        base.crossJoin(broadcast(stats))
           .withColumn("z", expr(zc))
-          .withColumn("block", expr("shiftright(z, 14)"))
+          .withColumn("block", expr("shiftright(z, 24)"))
           .groupBy($"block")
           .agg(count(lit(1)).as("n"),
             min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
             min($"day_nr").as("min_day"), max($"day_nr").as("max_day"))
       },
-      oracle = Some(s"""
-        SELECT (z >> 14) AS block, COUNT(*) AS n,
+      oracle = Some {
+        def norm(c: String, mn: String, mx: String): String =
+          s"CAST(FLOOR((CAST($c AS DOUBLE) - $mn) * 65535.0" +
+            s" / GREATEST(1, $mx - $mn)) AS BIGINT)"
+        s"""
+        SELECT (z >> 24) AS block, COUNT(*) AS n,
                MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
                MIN(day_nr) AS min_day, MAX(day_nr) AS max_day
         FROM (
           SELECT o_custkey, day_nr,
-                 ${ZOrder.mortonDuckSql("o_custkey", "day_nr")} AS z
+                 ${ZOrder.mortonDuckSql(
+                   norm("o_custkey", "ck_mn", "ck_mx"),
+                   norm("day_nr", "dy_mn", "dy_mx"))} AS z
           FROM (SELECT o_custkey,
                        date_diff('day', DATE '1992-01-01',
                                  CAST(o_orderdate AS DATE)) AS day_nr
-                FROM orders))
-        GROUP BY block""")),
+                FROM orders)
+          CROSS JOIN (
+            SELECT MIN(o_custkey) AS ck_mn, MAX(o_custkey) AS ck_mx,
+                   MIN(day_nr) AS dy_mn, MAX(day_nr) AS dy_mx
+            FROM (SELECT o_custkey,
+                         date_diff('day', DATE '1992-01-01',
+                                   CAST(o_orderdate AS DATE)) AS day_nr
+                  FROM orders)))
+        GROUP BY block"""
+      }),
 
     // ------------------------------------------------------------------
     // PK–FK join elimination (graft.plans.EliminatePkFkJoin): the query

@@ -115,42 +115,60 @@ object Maintenance {
       // wrap any dimension exceeding 65535 and destroy clustering), then
       // rows split into equal-width Morton blocks — power-of-two widths,
       // so boundaries fall on code bit edges and every file stays tight
-      // in BOTH dimensions. One file per block, written per block: an
-      // exact value split (RangePartitioner's sampled bounds can merge
-      // two blocks into one file, which straddles a quadrant and ruins
-      // its span). The stats/max passes re-read only the partition being
-      // rewritten; a cluster-scale variant would use one job with an
-      // explicit key partitioner. Helper columns never reach the files.
+      // in BOTH dimensions. The whole rewrite is ONE job: rows hash-
+      // partition on the block id and a dynamic-partition write emits
+      // exactly one file per block (the writer starts a new file per
+      // partition value, and each block lives in exactly one task) — an
+      // exact value split, where RangePartitioner's sampled bounds could
+      // merge two blocks into one file straddling a quadrant, and a
+      // driver-side per-block loop would issue O(blocks) jobs. The one
+      // stats pass reads only the partition being rewritten; block
+      // widths derive from the full 2^32 code domain, not an observed
+      // max, so no second pass. Helper columns never reach the files.
       case Some((a, b)) =>
-        import org.apache.spark.sql.functions.{col, expr, least, lit, floor, min, max}
+        import org.apache.spark.sql.functions.{col, expr, lit, floor, min, max}
         val st = source.agg(
           min(col(a)), max(col(a)), min(col(b)), max(col(b))).head()
-        def lo(i: Int) = st.getAs[Number](i).longValue
+        // An all-null dimension has null min/max → constant 0; rows with a
+        // null dimension VALUE normalize at the dimension minimum (a
+        // deterministic edge block) instead of null-propagating into an
+        // arbitrary block.
+        def lo(i: Int): Long =
+          Option(st.getAs[Number](i)).map(_.longValue).getOrElse(0L)
         def normSql(c: String, mn: Long, mx: Long): String =
-          s"CAST((CAST($c AS DOUBLE) - $mn) * 65535.0 / ${math.max(1L, mx - mn)} AS BIGINT)"
+          s"CAST((COALESCE(CAST($c AS DOUBLE), ${mn}.0D) - $mn) * 65535.0" +
+            s" / ${math.max(1L, mx - mn)} AS BIGINT)"
         val zSql = graft.operators.ZOrder.mortonSql(
           normSql(a, lo(0), lo(1)), normSql(b, lo(2), lo(3)))
-        val z = source.withColumn("__z", expr(zSql))
-        val maxZ = z.agg(max("__z")).head().getLong(0)
-        val w0 = math.max(1L, maxZ / targetFiles + 1)
+        // Codes span [0, 2^32); the smallest power-of-two width yielding
+        // ≤ targetFiles blocks keeps boundaries on code bit edges.
+        val domain = 1L << 32
+        val w0 = (domain + targetFiles - 1) / targetFiles
         val width =
           if ((w0 & (w0 - 1)) == 0) w0
           else java.lang.Long.highestOneBit(w0) * 2
-        val blocked = z.withColumn("__zb",
-          least(floor(col("__z") / lit(width)), lit(targetFiles - 1)))
-        val cached = blocked.cache()
-        try {
-          val blocks = cached.select("__zb").distinct()
-            .collect().map(_.getLong(0)).sorted
-          fs.delete(tmp, true)
-          blocks.foreach { bId =>
-            cached.filter(col("__zb") === bId)
-              .coalesce(1)
-              .sortWithinPartitions("__z")
-              .drop("__z", "__zb")
-              .write.mode("append").parquet(tmp.toString)
+        fs.delete(tmp, true)
+        source.withColumn("__z", expr(zSql))
+          .withColumn("__zb", floor(col("__z") / lit(width)))
+          .repartition(targetFiles, col("__zb"))
+          .sortWithinPartitions("__zb", "__z")
+          .drop("__z")
+          .write.partitionBy("__zb").mode("overwrite").parquet(tmp.toString)
+        // Flatten the write-side __zb=N/ layout into the tmp root (driver
+        // metadata renames, not jobs); block-tagged names keep them unique.
+        fs.listStatus(tmp)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("__zb="))
+          .foreach { d =>
+            val bId = d.getPath.getName.drop("__zb=".length)
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && isDataFile(f.getPath.getName))
+              .foreach { f =>
+                val dest = new Path(tmp, s"zb$bId-${f.getPath.getName}")
+                require(fs.rename(f.getPath, dest),
+                  s"z-order flatten rename failed: ${f.getPath} -> $dest")
+              }
+            fs.delete(d.getPath, true)
           }
-        } finally cached.unpersist()
     }
     // Commit point: record exactly which files the rewrite replaces. The
     // manifest is staged and RENAMED into place — creation+write is not

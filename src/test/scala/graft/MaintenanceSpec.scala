@@ -130,6 +130,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(!orphanDest.exists(), "orphan file must be garbage-collected")
   }
 
+  test("z-ordered compaction tolerates null dimension values and all-null dims") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("compact_zorder_nulls")
+    val part = "event_date=2024-03-01"
+    // x nullable on a third of rows; y ENTIRELY null (the NPE shape: the
+    // min/max stats row is null, and null values must land in a
+    // deterministic block, not ride null-propagation into an arbitrary one).
+    (0 until 600).map { i =>
+      (i.toLong,
+        if (i % 3 == 0) None else Some(i.toLong % 512),
+        None: Option[Long])
+    }.toDF("id", "x", "y")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/$part")
+    val before = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+
+    val (nBefore, nAfter) = Maintenance.compactPartition(
+      spark, dir, part, zorder = Some(("x", "y")),
+      targetFilesOverride = Some(2))
+    assert(nBefore === 8 && nAfter <= 2 && nAfter >= 1)
+    val after = spark.read.parquet(s"$dir/$part").orderBy("id").collect()
+    assert(after === before, "null-dim z-order rewrite changed table contents")
+  }
+
   test("z-ordered compaction clusters every output file in BOTH dimensions") {
     val s = spark
     import s.implicits._

@@ -206,7 +206,9 @@ class PlanAssertSpec extends SparkSpec {
     // final section only.
     val finalPlan = p.split("== Initial Plan ==")(0)
     val n = finalPlan.linesIterator.count(_.contains("- Exchange"))
-    assert(n == 1, s"expected only the block-agg exchange:\n$p")
+    // Two shuffles: the one-row range-stats aggregate (SinglePartition,
+    // broadcast back for normalization) and the block aggregation itself.
+    assert(n == 2, s"expected the stats + block-agg exchanges only:\n$p")
   }
 
   test("llm_lm_score: reference model joins as a broadcast") {
