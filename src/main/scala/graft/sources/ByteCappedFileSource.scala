@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     offset is "number of files consumed" over the name-sorted listing,
   *     so restarts resume exactly-once from the checkpoint;
   *   - each micro-batch admits files greedily until their cumulative size
-  *     would exceed `maxBytesPerTrigger` (always at least one file, like
-  *     Spark's own admission control);
+  *     would exceed `maxBytesPerTrigger` OR their count reaches
+  *     `maxFilesPerTrigger` — both Auto Loader caps on one stream, batch
+  *     closed by whichever budget is hit first (always at least one file,
+  *     like Spark's own admission control);
   *   - one input partition per file — reader parallelism follows the batch's
   *     file count;
   *   - rows parse with the simple unquoted-CSV row shape the reference's
@@ -54,11 +56,17 @@ class ByteCappedFileSource extends TableProvider {
     new ByteCappedTable(schema, properties.get("path"),
       Option(properties.get("maxBytesPerTrigger")).map(_.toLong)
         .getOrElse(10L * 1024 * 1024 * 1024),
+      // Both Auto Loader caps on ONE stream (reference
+      // 01_bronze_layer_ingestion.py:17-18): a batch closes at whichever
+      // budget — file count or cumulative bytes — it hits first.
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt)
+        .getOrElse(Int.MaxValue),
       Option(properties.get("header")).forall(_.toBoolean))
 }
 
 private[sources] class ByteCappedTable(
-    tableSchema: StructType, path: String, maxBytes: Long, header: Boolean)
+    tableSchema: StructType, path: String, maxBytes: Long, maxFiles: Int,
+    header: Boolean)
     extends Table with SupportsRead {
   require(path != null, "byte-capped source requires option 'path'")
   // Fail at table resolution, not deep inside generated code: the CSV
@@ -80,7 +88,7 @@ private[sources] class ByteCappedTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ByteCappedStream(tableSchema, path, maxBytes, header)
+          new ByteCappedStream(tableSchema, path, maxBytes, maxFiles, header)
       }
     }
 }
@@ -101,7 +109,8 @@ private[sources] case class FileIndexOffset(filesConsumed: Int, lastFile: String
 }
 
 private[sources] class ByteCappedStream(
-    schema: StructType, path: String, maxBytes: Long, header: Boolean)
+    schema: StructType, path: String, maxBytes: Long, maxFiles: Int,
+    header: Boolean)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -157,7 +166,8 @@ private[sources] class ByteCappedStream(
     val from = startOff.filesConsumed
     var i = from
     var bytes = 0L
-    while (i < end && (i == from || bytes + files(i)._2 <= maxBytes)) {
+    while (i < end && i - from < maxFiles &&
+        (i == from || bytes + files(i)._2 <= maxBytes)) {
       bytes += files(i)._2
       i += 1
     }

@@ -72,12 +72,20 @@ object Medallion {
       spark: SparkSession,
       dirs: Dirs,
       trigger: Trigger = defaultTrigger,
-      maxFilesPerTrigger: Int = 10): (StreamingQuery, StreamingQuery) = {
+      maxFilesPerTrigger: Int = 10,
+      maxBytesPerTrigger: Long = 10L * 1024 * 1024 * 1024): (StreamingQuery, StreamingQuery) = {
+    // One code path for S1/T8 parity: the byte-capped DSv2 source carries
+    // BOTH Auto Loader admission caps on the same stream — ≤10 files AND
+    // ≤10 GB per trigger, exactly `01_bronze_layer_ingestion.py:17-18` —
+    // where the built-in file source only has the files cap.
     val raw = spark.readStream
+      .format(classOf[graft.sources.ByteCappedFileSource].getName)
       .schema(ActivityPipeline.RawSchema)
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .csv(dirs.raw)
+      .option("maxBytesPerTrigger", maxBytesPerTrigger)
+      .option("path", dirs.raw)
+      .load()
     val parsed = ActivityPipeline.parseRaw(raw)
     val valid = ActivityPipeline.bronzeValid(parsed)
       .withColumn("event_date", to_date(col("timestamp")))

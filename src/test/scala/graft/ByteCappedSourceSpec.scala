@@ -71,6 +71,35 @@ class ByteCappedSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("dual caps on one stream: the files cap binds when the byte budget is loose") {
+    val in = tempDir("bcap_dual_in")
+    val cp = tempDir("bcap_dual_cp")
+    val outDir = tempDir("bcap_dual_out")
+    (1 to 6).foreach(i => writeFile(in, f"d$i%02d.csv", rows = 20))
+    // Byte budget fits all six files; maxFilesPerTrigger=2 must still close
+    // each batch at two files (the reference sets BOTH caps on one stream).
+    val q = spark.readStream
+      .format(classOf[ByteCappedFileSource].getName)
+      .schema(schema)
+      .option("maxBytesPerTrigger", (100L * 1024 * 1024).toString)
+      .option("maxFilesPerTrigger", "2")
+      .option("header", "true")
+      .option("path", in)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() === 120L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3,
+        s"expected 3 two-file batches, saw ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.forall(_.numInputRows === 40))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains everything in capped batches, then stops") {
     val in = tempDir("bcap_an_in")
     val cp = tempDir("bcap_an_cp")
