@@ -28,8 +28,13 @@ object AnomalyStream {
 
   final case class Flagged(event_id: Long, event_type: String, value: Double, z: Double)
 
-  /** Trailing values, oldest first, capped at the window length. */
-  final case class Ring(values: List[Double])
+  /** Trailing values, oldest first, capped at the window length; plus the
+    * high-water mark of (ts millis, event_id) already consumed for the key,
+    * so a cross-batch ordering violation is DETECTED rather than silently
+    * corrupting the trailing window (the contract is that events per key
+    * arrive in event-time order across micro-batches — the landing layout's
+    * name-ordered admission provides it; this enforces it). */
+  final case class Ring(values: List[Double], lastTs: Long, lastId: Long)
 
   val Window = 100
   val MinN   = 30
@@ -70,9 +75,23 @@ object AnomalyStream {
         (kind: String, rows: Iterator[Event], state: GroupState[Ring]) =>
           // Event-time order within the batch; cross-batch order is the
           // caller's admission order (the file source lists by name = by
-          // event time in the landing layout).
+          // event time in the landing layout). A batch delivering an event
+          // at or before the key's consumed high-water mark would score
+          // against the wrong trailing window AND corrupt the ring for
+          // every later event — fail loudly (the ByteCappedFileSource
+          // discipline), never diverge silently from the batch semantics.
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var buf = state.getOption.map(_.values).getOrElse(Nil)
+          val prev = state.getOption
+          var buf = prev.map(_.values).getOrElse(Nil)
+          val mark = prev.map(r => (r.lastTs, r.lastId)).getOrElse((Long.MinValue, Long.MinValue))
+          sorted.headOption.foreach { e =>
+            require(prev.isEmpty ||
+                Ordering[(Long, Long)].gt((e.ts.getTime, e.event_id), mark),
+              s"anomaly stream: out-of-order arrival for key '$kind' — " +
+                s"event ${e.event_id} @ ${e.ts} is not after the consumed " +
+                s"high-water mark (ts=${mark._1} ms, id=${mark._2}); " +
+                "upstream admission violated the per-key event-time order contract")
+          }
           val out = List.newBuilder[Flagged]
           sorted.foreach { e =>
             score(buf, e.value).foreach { z =>
@@ -80,7 +99,9 @@ object AnomalyStream {
             }
             buf = (buf :+ e.value).takeRight(Window)
           }
-          state.update(Ring(buf))
+          val (newTs, newId) =
+            sorted.lastOption.map(e => (e.ts.getTime, e.event_id)).getOrElse(mark)
+          state.update(Ring(buf, newTs, newId))
           out.result().iterator
       }
   }

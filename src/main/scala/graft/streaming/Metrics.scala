@@ -38,17 +38,25 @@ object Metrics {
           a.inputRows + b.inputRows,
           a.droppedByWatermark + b.droppedByWatermark,
           b.stateRows)) // state size is a gauge: latest wins
-      // Dataset.observe metrics (business-level counters riding the plan —
-      // e.g. Medallion's bronze gate): sum numeric fields per batch under
-      // "<observation>.<field>".
+      // Dataset.observe metrics (business-level metrics riding the plan —
+      // e.g. Medallion's bronze gate), keyed "<observation>.<field>".
+      // Integral fields are COUNTERS: summing per-batch counts across
+      // batches is meaningful. Fractional fields (an avg/ratio observe
+      // column) are GAUGES: truncating them to long and adding batches
+      // together produces a meaningless number, so they are tracked
+      // separately, latest value wins.
       p.observedMetrics.forEach { (obsName, row) =>
         row.schema.fields.zipWithIndex.foreach { case (f, i) =>
           if (!row.isNullAt(i)) row.get(i) match {
-            case n: Number =>
+            case n @ (_: java.lang.Long | _: java.lang.Integer |
+                      _: java.lang.Short | _: java.lang.Byte) =>
               observed.merge(s"$obsName.${f.name}",
-                java.lang.Long.valueOf(n.longValue),
+                java.lang.Long.valueOf(n.asInstanceOf[Number].longValue),
                 (a: java.lang.Long, b: java.lang.Long) =>
                   java.lang.Long.valueOf(a + b))
+            case n: Number =>
+              observedGauges.put(s"$obsName.${f.name}",
+                java.lang.Double.valueOf(n.doubleValue))
             case _ => ()
           }
         }
@@ -56,10 +64,21 @@ object Metrics {
       ()
     }
 
-    /** Accumulated Dataset.observe counters, keyed "observation.field". */
+    private val observedGauges = new ConcurrentHashMap[String, java.lang.Double]()
+
+    /** Accumulated Dataset.observe COUNTERS (integral fields only, summed
+      * across batches), keyed "observation.field". */
     def observedSnapshot: Map[String, Long] = {
       val b = Map.newBuilder[String, Long]
       observed.forEach((k, v) => b += (k -> v.longValue))
+      b.result()
+    }
+
+    /** Latest value per fractional observe field (avg/ratio gauges — these
+      * never sum across batches). */
+    def observedGaugeSnapshot: Map[String, Double] = {
+      val b = Map.newBuilder[String, Double]
+      observedGauges.forEach((k, v) => b += (k -> v.doubleValue))
       b.result()
     }
 

@@ -46,4 +46,33 @@ class AnomalyStreamSpec extends SparkSpec {
       assert(maxDrift == 0.0, s"z-scores drifted, max |Δ| = $maxDrift")
     } finally q.stop()
   }
+
+  test("a cross-batch out-of-order arrival fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ev(id: Long, min: Int): Event =
+      Event(id, java.sql.Timestamp.valueOf(f"2024-03-01 10:$min%02d:00"), "click", id.toDouble)
+
+    val mem = MemoryStream[Event]
+    val q = AnomalyStream.detect(mem.toDS())
+      .writeStream.format("memory").queryName("anomaly_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10), ev(2, 20))
+      q.processAllAvailable()
+      // A later batch delivering an event BEFORE the key's consumed
+      // high-water mark violates the ordering contract the trailing-window
+      // semantics depend on — the stream must fail with a clear message.
+      mem.addData(ev(3, 15))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(60000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("out-of-order arrival")),
+        s"expected the ordering-contract failure, got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
 }
