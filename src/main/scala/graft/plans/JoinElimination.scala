@@ -20,11 +20,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Safety: the rule fires only for declared FK→PK pairs
   * ([[JoinElimination.declaredFkPk]] — the role a catalog's RELY
-  * constraints play in production engines), and only when the dimension
-  * side is a bare scan: Projects of plain attributes and the
-  * `IsNotNull(pk)` filter the optimizer infers from the join condition
-  * are accepted, anything else (a real filter, an aggregate) could drop
-  * dimension rows and void the integrity declaration.
+  * constraints play in production engines). A declaration names BOTH the
+  * table identity and the column: the key attributes must be produced by
+  * leaf scans of those exact tables (identity = the scan location's base
+  * name for file relations, the catalog name for v2 tables), so a
+  * coincidentally named column on some other relation — where no
+  * integrity holds — can never activate the rewrite. The declaration
+  * asserts the FK is NON-NULL and matched (a null or dangling FK row
+  * would be dropped by the inner join but kept by the rewrite); declare
+  * pairs only for tables whose generator guarantees it, as the TPC-H
+  * fixtures do. The dimension side must additionally be a bare scan:
+  * Projects of plain attributes and the `IsNotNull(pk)` filter the
+  * optimizer infers from the join condition are accepted, anything else
+  * (a real filter, an aggregate) could drop dimension rows and void the
+  * integrity declaration.
   *
   * Injected through `SparkSessionExtensions.injectOptimizerRule`
   * ([[graft.functions.GraftExtensions]]), it runs inside the operator-
@@ -36,17 +45,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object JoinElimination {
 
-  /** FK column → PK column. Declaring a pair asserts: the PK is unique in
-    * its table and every (non-null) FK value has a matching PK row — the
-    * TPC-H-style generator guarantees for these fixtures. */
-  val declaredFkPk: Map[String, String] = Map(
-    "c_nationkey" -> "n_nationkey",
-    "s_nationkey" -> "n_nationkey",
-    "n_regionkey" -> "r_regionkey",
-    "o_custkey"   -> "c_custkey",
-    "l_orderkey"  -> "o_orderkey",
-    "l_suppkey"   -> "s_suppkey",
-    "l_partkey"   -> "p_partkey")
+  /** A column bound to its table identity (see [[EliminatePkFkJoin.tableOf]]
+    * for how a leaf scan's identity is derived). */
+  final case class ColRef(table: String, column: String)
+
+  /** FK (table, column) → PK (table, column). Declaring a pair asserts:
+    * the PK is unique in its table, and every FK value is NON-NULL with a
+    * matching PK row — the TPC-H-style generator guarantees for these
+    * fixtures. The table identity is part of the declaration so the rule
+    * can never fire on a same-named column of an unrelated relation. */
+  val declaredFkPk: Map[ColRef, ColRef] = Map(
+    ColRef("customer", "c_nationkey") -> ColRef("nation", "n_nationkey"),
+    ColRef("supplier", "s_nationkey") -> ColRef("nation", "n_nationkey"),
+    ColRef("nation", "n_regionkey")   -> ColRef("region", "r_regionkey"),
+    ColRef("orders", "o_custkey")     -> ColRef("customer", "c_custkey"),
+    ColRef("lineitem", "l_orderkey")  -> ColRef("orders", "o_orderkey"),
+    ColRef("lineitem", "l_suppkey")   -> ColRef("supplier", "s_suppkey"),
+    ColRef("lineitem", "l_partkey")   -> ColRef("part", "p_partkey"))
 }
 
 case class EliminatePkFkJoin(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -65,21 +80,57 @@ case class EliminatePkFkJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** True iff `attr` is produced by a LEAF relation in `plan` — i.e. it is
-    * a real stored column, not an Alias of derived work. Matching the
-    * declaration by NAME alone would let `expr.as("c_nationkey")` activate
-    * elimination on values with no integrity guarantee. */
-  private def isBaseColumn(plan: LogicalPlan, attr: AttributeReference): Boolean =
-    plan.collectLeaves().exists(_.output.exists(_.exprId == attr.exprId))
+  /** The declared table identity of a leaf scan, or None for leaves the
+    * rule should never trust: file relations identify as the scan
+    * location's base name sans extension (`.../customer.parquet` →
+    * "customer" — how [[graft.sources.Tables.load]] lays tables out), v2
+    * relations as their catalog table name. Anything else — a local
+    * collection, a view over derived work — has no identity and therefore
+    * never matches a declaration. */
+  private def tableOf(leaf: LogicalPlan): Option[String] = leaf match {
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map { p =>
+            val n = p.getName
+            val dot = n.lastIndexOf('.')
+            if (dot > 0) n.substring(0, dot) else n
+          }
+        case _ => None
+      }
+    case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      Option(v2.table).map(_.name())
+    case _ => None
+  }
+
+  /** The table identity of the LEAF relation producing `attr` in `plan`,
+    * or None when the attribute is not a stored column (an Alias of
+    * derived work — `expr.as("c_nationkey")` must never activate
+    * elimination) or its leaf has no trustable identity. */
+  private def baseTableOf(plan: LogicalPlan, attr: AttributeReference): Option[String] =
+    plan.collectLeaves()
+      .find(_.output.exists(_.exprId == attr.exprId))
+      .flatMap(tableOf)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner,
         Some(EqualTo(a: AttributeReference, b: AttributeReference)), _) =>
+      import JoinElimination.ColRef
       // The declaration decides which operand is the FK — not operand or
       // join order (customer ⋈ nation and nation ⋈ customer both count).
+      // Both keys must resolve to stored columns of the DECLARED tables.
       val oriented = Seq((a, b), (b, a)).collectFirst {
-        case (fk, pk) if declaredFkPk.get(fk.name).contains(pk.name) &&
-            (left.outputSet.contains(fk) ^ right.outputSet.contains(fk)) =>
+        case (fk, pk) if
+            (left.outputSet.contains(fk) ^ right.outputSet.contains(fk)) && {
+              val (fkS, pkS) =
+                if (left.outputSet.contains(fk)) (left, right) else (right, left)
+              baseTableOf(fkS, fk).exists { fkTable =>
+                declaredFkPk.get(ColRef(fkTable, fk.name)).exists { pkRef =>
+                  pkRef.column == pk.name &&
+                    baseTableOf(pkS, pk).contains(pkRef.table)
+                }
+              }
+            } =>
           val (fkSide, pkSide) =
             if (left.outputSet.contains(fk)) (left, right) else (right, left)
           (fk, pk, fkSide, pkSide)
@@ -87,8 +138,7 @@ case class EliminatePkFkJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       oriented match {
         case Some((fk, pk, fkSide, pkSide))
             if pkSide.outputSet.contains(pk) &&
-              // Both keys must be genuine stored columns of their scans.
-              isBaseColumn(fkSide, fk) && isBaseColumn(pkSide, pk) &&
+              // (Key-to-declared-table binding already verified above.)
               // Column pruning must have reduced the dimension to its key —
               // any other surviving column means somebody reads it.
               pkSide.output.forall(_.exprId == pk.exprId) &&

@@ -66,6 +66,33 @@ class JoinEliminationSpec extends SparkSpec {
       "dimension-on-the-left join not eliminated")
   }
 
+  test("a same-named column on an UNRELATED relation keeps the join") {
+    val s = spark
+    import s.implicits._
+    // A table that merely reuses the declared FK's column name carries no
+    // integrity guarantee (these values include nulls and non-matches: an
+    // inner join drops those rows, so elimination would be wrong). The
+    // declaration binds to the table identity, so neither a foreign
+    // parquet table nor a local relation may activate the rule.
+    val dir = tempDir("not_customer")
+    Seq((1L, Some(0L)), (2L, Some(999999L)), (3L, None))
+      .toDF("row_id", "c_nationkey").write.mode("overwrite").parquet(dir)
+    val foreign = spark.read.parquet(dir)
+    val viaParquet = foreign
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("row_id"), col("n_nationkey"))
+    assert(physical(viaParquet).contains("Join"),
+      "join wrongly eliminated for a same-named column of an unrelated table")
+    assert(viaParquet.count() == 1,
+      "integrity-free rows must be dropped by the real join")
+
+    val local = Seq((1L, 0L), (2L, 999999L)).toDF("row_id", "c_nationkey")
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("row_id"), col("n_nationkey"))
+    assert(physical(local).contains("Join"),
+      "join wrongly eliminated for a local relation with a declared column name")
+  }
+
   test("undeclared key pairs keep the join") {
     // Self-join on an arbitrary column: no declaration, no elimination.
     val a = nation.select(col("n_nationkey"), col("n_regionkey"))
