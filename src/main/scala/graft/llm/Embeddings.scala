@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings extends QueryModule {
 
+  /** Iterative relations (k-means rounds, PCA components) cut lineage with
+    * RELIABLE eager checkpoints — same discipline as [[Dedup.labels]]; the
+    * checkpointed state is O(k×dims) / O(dims²), never corpus-sized. */
+  private def ensureCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+  }
+
   def queries: Map[String, QuerySpec] = Map(
     "llm_embed_pool" -> QuerySpec(
       fn = (s, dir) => {
@@ -157,6 +167,98 @@ object Embeddings extends QueryModule {
         GROUP BY cid, dim""")),
 
     // ------------------------------------------------------------------
+    // k-means run TO CONVERGENCE (three unrolled Lloyd rounds + a stability
+    // verdict): assign → update, three times, then report whether the last
+    // two assignments agree — the convergence test a training loop would
+    // gate on. Per-round state is the k×dims centroid table, cut with a
+    // RELIABLE eager checkpoint each round ([[Dedup.labels]] discipline),
+    // so lineage stays O(1) deep and each round is exactly one corpus pass
+    // against broadcast centroids — corpus-sized assignments are never
+    // materialized. The oracle unrolls the identical rounds as CTEs
+    // (pagerank-style), so every intermediate centroid is bit-checked.
+    "llm_embed_kmeans_converged" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        ensureCheckpointDir(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .select("vec_id", "ve")
+        def assign(cents: DataFrame): DataFrame =
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2", expr("""
+              aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid"), col("ve"))
+        def update(a: DataFrame): DataFrame = a
+          .select(col("cid"), posexplode(col("ve")))
+          .groupBy(col("cid"), (col("pos") + 1).as("dim"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("col").cast(DecimalType(38, 12)))
+              .cast("double") / count(lit(1))).as("centroid"))
+        def vectors(u: DataFrame): DataFrame = u.groupBy(col("cid"))
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(dim, centroid))), x -> x.centroid)")
+            .as("cv"))
+        val c0 = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ve").as("cv"))
+        val c1 = vectors(update(assign(c0))).checkpoint(eager = true)
+        val c2 = vectors(update(assign(c1))).checkpoint(eager = true)
+        val a2 = assign(c1)
+        val a3 = assign(c2)
+        val u3 = update(a3)
+        val moved = a2.select(col("vec_id"), col("cid").as("prev"))
+          .join(a3.select(col("vec_id"), col("cid")), "vec_id")
+          .filter(col("prev") =!= col("cid"))
+          .agg(count(lit(1)).as("m"))
+        u3.crossJoin(broadcast(moved))
+          .select(col("cid").as("cluster_id"), col("dim"), col("n"),
+            col("centroid"), (col("m") === 0).as("stable"))
+      },
+      oracle = {
+        def assignCtes(k: Int, cents: String) = s"""
+        d$k AS (
+          SELECT e.vec_id, c.cid, e.ve,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [(e.ve[i] - c.cv[i]) * (e.ve[i] - c.cv[i])
+                    for i in generate_series(1, 64)]),
+                   (a, b) -> a + b) AS d2
+          FROM e, $cents c),
+        a$k AS (
+          SELECT vec_id, cid, ve FROM (
+            SELECT vec_id, cid, ve,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d$k) WHERE rn = 1),
+        u$k AS (
+          SELECT cid, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+                 CAST(SUM(CAST(ve[dim] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                   AS centroid
+          FROM a$k, generate_series(1, 64) gs(dim)
+          GROUP BY cid, dim),
+        c$k AS (
+          SELECT cid, list(centroid ORDER BY dim) AS cv FROM u$k GROUP BY cid)"""
+        Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 8),
+        ${assignCtes(1, "c0")},
+        ${assignCtes(2, "c1")},
+        ${assignCtes(3, "c2")},
+        moved AS (
+          SELECT COUNT(*) AS m
+          FROM a2 JOIN a3 USING (vec_id) WHERE a2.cid <> a3.cid)
+        SELECT cid AS cluster_id, dim, n, centroid,
+               (SELECT m FROM moved) = 0 AS stable
+        FROM u3""")
+      }),
+
+    // ------------------------------------------------------------------
     // Distributed PCA top component (power iteration over the Gram
     // matrix, first 16 dims): ONE corpus pass builds the 16×16 Gram
     // relation (a bounded 256× pair fan-out feeding a hash aggregate —
@@ -218,6 +320,120 @@ object Embeddings extends QueryModule {
         }.mkString(",")
         Some(s"""$base,$iters
         SELECT CAST(j AS INT) AS dim, ROUND(v, 8) AS component FROM x5""")
+      }),
+
+    // ------------------------------------------------------------------
+    // PCA top-3 components via DEFLATION: power-iterate the Gram relation
+    // for the leading component, subtract its rank-1 contribution
+    // (G ← G − λ·v·vᵀ, λ = vᵀGv), repeat. Still ONE corpus pass — the
+    // Gram matrix is built once (reliably checkpointed) and every
+    // subsequent round, deflation included, is O(dims²) on the 256-row
+    // relation, corpus-independent. Each component's vector and each
+    // deflated Gram is an eager checkpoint, so the 15 accumulated rounds
+    // never deepen lineage. Decimal-exact sums keep λ, the deflated
+    // entries, and all three components bit-identical to the oracle's
+    // unrolled CTE program.
+    "llm_embed_pca3" -> QuerySpec(
+      fn = (s, dir) => {
+        import graft.api.Exact.dsum
+        import org.apache.spark.sql.DataFrame
+        ensureCheckpointDir(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+        val pairs = e.select(explode(expr(
+          """flatten(transform(sequence(1, 16), i ->
+               transform(sequence(1, 16), j ->
+                 named_struct('i', i, 'j', j,
+                   'prod', element_at(ve, i) * element_at(ve, j)))))"""))
+          .as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
+        val gram1 = pairs.groupBy(col("i"), col("j"))
+          .agg(dsum(col("prod")).as("g"))
+          .checkpoint(eager = true)
+        def power(gram: DataFrame): DataFrame = {
+          var x = s.range(1, 17)
+            .select(col("id").cast("int").as("j"), lit(0.25).as("v"))
+          for (_ <- 1 to 5) {
+            val y = gram.join(x, "j")
+              .groupBy(col("i")).agg(dsum(col("g") * col("v")).as("y"))
+            val nrm = y.agg(sqrt(dsum(col("y") * col("y"))).as("nrm"))
+            x = y.crossJoin(broadcast(nrm))
+              .select(col("i").as("j"), (col("y") / col("nrm")).as("v"))
+          }
+          x.checkpoint(eager = true)
+        }
+        def deflate(gram: DataFrame, x: DataFrame): DataFrame = {
+          val vi = x.select(col("j").as("i"), col("v").as("vi"))
+          val vj = x.select(col("j"), col("v").as("vj"))
+          val lam = gram.join(vi, "i").join(vj, "j")
+            .agg(dsum(col("g") * col("vi") * col("vj")).as("lam"))
+          gram.join(vi, "i").join(vj, "j").crossJoin(broadcast(lam))
+            .select(col("i"), col("j"),
+              (col("g") - col("lam") * col("vi") * col("vj")).as("g"))
+            .checkpoint(eager = true)
+        }
+        val x1 = power(gram1)
+        val g2 = deflate(gram1, x1)
+        val x2 = power(g2)
+        val g3 = deflate(g2, x2)
+        val x3 = power(g3)
+        x1.withColumn("component", lit(1))
+          .unionAll(x2.withColumn("component", lit(2)))
+          .unionAll(x3.withColumn("component", lit(3)))
+          .select(col("component"), col("j").as("dim"),
+            round(col("v"), 8).as("value"))
+      },
+      oracle = {
+        import graft.api.Exact.sqlSum
+        // Per-component power rounds + deflation, unrolled: x{k}_5 is
+        // component k's vector over gram g{k}; g{k+1} = g{k} − λ·v·vᵀ.
+        def powerCtes(k: Int) = {
+          val rounds = (1 to 5).map { r =>
+            s"""
+        y${k}_$r AS MATERIALIZED (
+          SELECT g.i, ${sqlSum("g.g * p.v")} AS y
+          FROM g$k g JOIN x${k}_${r - 1} p ON g.j = p.j GROUP BY g.i),
+        x${k}_$r AS MATERIALIZED (
+          SELECT i AS j,
+                 y / (SELECT SQRT(${sqlSum("y * y")}) FROM y${k}_$r) AS v
+          FROM y${k}_$r)"""
+          }.mkString(",")
+          s"""
+        x${k}_0 AS (SELECT i AS j, CAST(0.25 AS DOUBLE) AS v
+                    FROM generate_series(1, 16) t(i)),$rounds"""
+        }
+        def deflateCtes(k: Int) = s"""
+        lam$k AS MATERIALIZED (
+          SELECT ${sqlSum("g.g * vi.v * vj.v")} AS l
+          FROM g$k g JOIN x${k}_5 vi ON g.i = vi.j
+                     JOIN x${k}_5 vj ON g.j = vj.j),
+        g${k + 1} AS MATERIALIZED (
+          SELECT g.i, g.j,
+                 g.g - (SELECT l FROM lam$k) * vi.v * vj.v AS g
+          FROM g$k g JOIN x${k}_5 vi ON g.i = vi.j
+                     JOIN x${k}_5 vj ON g.j = vj.j)"""
+        Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 16)] AS ve
+          FROM embeddings),
+        pairs AS (
+          SELECT unnest(flatten(
+                   [[{'i': i, 'j': j, 'prod': ve[i] * ve[j]}
+                     for j in generate_series(1, 16)]
+                    for i in generate_series(1, 16)]), recursive := true)
+          FROM e),
+        g1 AS MATERIALIZED (SELECT i, j, ${sqlSum("prod")} AS g FROM pairs GROUP BY i, j),
+        ${powerCtes(1)},
+        ${deflateCtes(1)},
+        ${powerCtes(2)},
+        ${deflateCtes(2)},
+        ${powerCtes(3)}
+        SELECT 1 AS component, CAST(j AS INT) AS dim, ROUND(v, 8) AS value FROM x1_5
+        UNION ALL
+        SELECT 2 AS component, CAST(j AS INT) AS dim, ROUND(v, 8) AS value FROM x2_5
+        UNION ALL
+        SELECT 3 AS component, CAST(j AS INT) AS dim, ROUND(v, 8) AS value FROM x3_5""")
       })
   )
 }
