@@ -29,6 +29,111 @@ class ScaleSoakSpec extends SparkSpec {
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  test("grouped top-k: bounded aggregator beats the window spelling on a skewed key") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    val s = spark
+    import s.implicits._
+    import graft.operators.TopKAggregator
+    import org.apache.spark.sql.expressions.Window
+
+    // 8× lineitem with a deliberately skewed group key: half the keyspace
+    // collapses onto one hot group (~50% of all rows). This is the shape
+    // where the window spelling hurts — it must shuffle EVERY row and sort
+    // the entire hot partition in one task — while the typed aggregator's
+    // map-side combine keeps shuffle volume at O(groups × k).
+    val soakDir = sys.env.getOrElse("GRAFT_SOAK_SF_DIR", "/root/testdata/sf0.1")
+    val li = spark.read.parquet(s"$soakDir/lineitem.parquet")
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("uid"),
+        col("l_orderkey"), col("l_extendedprice"))
+    val scored = (0 until 8).map { r =>
+      li.select((col("uid") * 8 + lit(r)).as("key"),
+        when(col("l_orderkey") % 1000 < 500, 0L)
+          .otherwise(col("l_orderkey") % 1000).as("grp"),
+        col("l_extendedprice").as("value"))
+    }.reduce(_ unionAll _)
+      .select($"grp", $"key", $"value")
+      .persist()
+    try {
+      val n = scored.count()
+      val hot = scored.filter($"grp" === 0).count()
+      info(f"rows: $n, hot-group share: ${hot.toDouble / n}%.2f")
+
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def shuffleData(df: org.apache.spark.sql.DataFrame): Long = {
+        def walk(p: SparkPlan): Seq[Long] = {
+          val self = p match {
+            case e: ShuffleExchangeLike => e.metrics.get("dataSize").map(_.value).toSeq
+            case _ => Seq.empty
+          }
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          self ++ kids.flatMap(walk) ++ p.subqueries.flatMap(walk)
+        }
+        walk(df.queryExecution.executedPlan).sum
+      }
+
+      // Untyped udaf() registration: the same bounded Aggregator, but fed
+      // by Catalyst row converters inside ObjectHashAggregate — no typed
+      // groupByKey deserialization on the hot path.
+      val tk = udaf(TopKAggregator.topK(5),
+        org.apache.spark.sql.Encoders.product[TopKAggregator.Scored])
+      def aggDf() = scored
+        .groupBy($"grp").agg(tk($"key", $"value").as("top"))
+        .select($"grp", explode($"top").as("s"))
+        .select($"grp", $"s.key", $"s.value")
+      def winDf() = {
+        val w = Window.partitionBy($"grp").orderBy($"value".desc, $"key")
+        scored.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5).select($"grp", $"key", $"value")
+      }
+      def run(mk: () => org.apache.spark.sql.DataFrame)
+          : (Array[(Long, Long, Double)], Double, Long) = {
+        val df = mk()
+        val t0 = System.nanoTime()
+        // Collect THIS DataFrame (an .as[] would plan a fresh query and the
+        // shuffle metrics would be read off an unexecuted plan).
+        val rows = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ((rows, (System.nanoTime() - t0) / 1e9, shuffleData(df)))
+      }
+      run(aggDf _); run(winDf _) // warm-up: JIT + codegen
+      val (aggRows, tAgg, shAgg) = run(aggDf _)
+      val (winRows, tWin, shWin) = run(winDf _)
+      info(f"aggregator: $tAgg%.2f s, shuffle ${shAgg / 1024}%d KiB;  " +
+        f"window: $tWin%.2f s, shuffle ${shWin / 1024}%d KiB  " +
+        f"(wall ${tWin / tAgg}%.1fx)")
+      assert(aggRows.sorted.sameElements(winRows.sorted),
+        "aggregator and window spellings disagree")
+      // Scale finding, recorded precisely: since Spark 3.5 the optimizer's
+      // InferWindowGroupLimit pushes the rank<=k filter BELOW the window's
+      // exchange (WindowGroupLimit partial mode), so the window spelling's
+      // shuffle is ALSO bounded at O(partitions × groups × k) — the classic
+      // "window shuffles every row into the hot partition" failure mode is
+      // gone. Both shuffles must therefore be tiny (<1% of a full-row
+      // shuffle); the aggregator's remaining — and still real — edge is
+      // skipping the per-partition sorts entirely (hash insertion into a
+      // k-bounded buffer), which is the wall-clock gap asserted below.
+      val fullShuffleEstimate = n * 24 // 3 numeric cols/row, pre-overhead
+      assert(shWin < fullShuffleEstimate / 100,
+        f"window shuffle ($shWin%d B) not bounded — WindowGroupLimit absent?")
+      assert(shAgg < fullShuffleEstimate / 100,
+        f"aggregator shuffle ($shAgg%d B) not bounded by map-side combine")
+      val winPlan = winDf().queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(winPlan.contains("WindowGroupLimit"),
+        "expected InferWindowGroupLimit to bound the window spelling")
+      assert(tAgg < tWin,
+        f"bounded aggregator ($tAgg%.2f s) must beat the window's sorts " +
+          f"($tWin%.2f s) on a skewed key")
+    } finally scored.unpersist()
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
