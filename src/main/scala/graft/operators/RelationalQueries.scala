@@ -53,6 +53,31 @@ object RelationalQueries extends QueryModule {
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100"""
 
+  private val q11Sql = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               * 0.001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_9')
+    ORDER BY value DESC, l_partkey"""
+
+  private val q16Sql = """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   private val q13Sql = """
     SELECT c_count, COUNT(*) AS custdist
     FROM (
@@ -349,6 +374,115 @@ object RelationalQueries extends QueryModule {
         s.sql(q2Sql)
       },
       oracle = Some(q2Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 analog: national market share — an 8-way join (nation
+    // twice, in different roles) feeding a conditional-aggregate ratio.
+    // Only the bounded dims (region, both nation roles) broadcast; the
+    // share is a ratio of exact decimal sums, so the division is one
+    // deterministic double op.
+    "rel_q8_market_share" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+        val n1 = t(s, dir, "nation")
+          .select($"n_nationkey".as("n1_key"), $"n_regionkey")
+        val n2 = t(s, dir, "nation")
+          .select($"n_nationkey".as("n2_key"), $"n_name".as("nation"))
+        val prt = t(s, dir, "part").filter($"p_type" === "ECONOMY")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate".between(
+            lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        t(s, dir, "lineitem")
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(prt, $"l_partkey" === $"p_partkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n1), $"c_nationkey" === $"n1_key")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .join(broadcast(n2), $"s_nationkey" === $"n2_key")
+          .withColumn("o_year", year($"o_orderdate"))
+          .withColumn("volume", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .groupBy($"o_year")
+          .agg((dsum(when($"nation" === "NATION_5", $"volume").otherwise(lit(0.0)))
+            / dsum($"volume")).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      oracle = Some(s"""
+        SELECT o_year,
+               ${sqlSum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END")}
+                 / ${sqlSum("volume")} AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1.0 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+            AND p_type = 'ECONOMY') t
+        GROUP BY o_year ORDER BY o_year""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q9 analog: product-type profit by nation and year. This
+    // fixture has no partsupp, so supply cost is the deterministic
+    // p_retailprice × 0.1 × quantity stand-in; the LIKE filter prunes
+    // part before the join.
+    "rel_q9_product_profit" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val prt = t(s, dir, "part").filter($"p_name".like("%red%"))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(prt, $"l_partkey" === $"p_partkey")
+          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+          .withColumn("o_year", year($"o_orderdate"))
+          .groupBy($"n_name".as("nation"), $"o_year")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+            - $"p_retailprice" * lit(0.1) * $"l_quantity").as("sum_profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      oracle = Some(s"""
+        SELECT nation, o_year, ${sqlSum(
+          "l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.1 * l_quantity")}
+                 AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                 l_extendedprice, l_discount, p_retailprice, l_quantity
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') t
+        GROUP BY nation, o_year ORDER BY nation, o_year DESC""")),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q11 analog: important stock value — per-part value filtered
+    // by a HAVING against an UNCORRELATED scalar subquery (the global
+    // total), which plans as a one-row broadcast, never a re-execution.
+    // Both the per-group and global sums are exact decimal, compared in
+    // double on both engines.
+    "rel_q11_important_stock" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "lineitem", "supplier", "nation")
+        s.sql(q11Sql)
+      },
+      oracle = Some(q11Sql)),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q16 analog: supplier count per part attribute with a NOT IN
+    // blacklist subquery — the null-aware anti join shape (s_suppkey is
+    // non-null here, so it degenerates to a plain anti join) over a
+    // distinct aggregate.
+    "rel_q16_part_suppliers" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "part", "lineitem", "supplier")
+        s.sql(q16Sql)
+      },
+      oracle = Some(q16Sql)),
 
     // ------------------------------------------------------------------
     // TPC-H Q13 analog: outer-join-groupby with a NOT LIKE join filter —

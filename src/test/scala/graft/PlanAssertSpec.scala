@@ -67,6 +67,21 @@ class PlanAssertSpec extends SparkSpec {
     assert(plans("rel_q17_small_qty_revenue").contains("HashAggregate"))
   }
 
+  test("Q8/Q9/Q11/Q16 analogs: no cartesian; NOT IN is an anti join") {
+    for (n <- Seq("rel_q8_market_share", "rel_q9_product_profit",
+        "rel_q11_important_stock", "rel_q16_part_suppliers")) {
+      assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+    // Q16's NOT IN blacklist must become an anti join, not a per-row probe.
+    assert(plan("rel_q16_part_suppliers").contains("LeftAnti"),
+      "Q16's NOT IN must plan as an anti join")
+    // Q11's global total is an uncorrelated scalar subquery: one extra
+    // aggregate, reused as a literal — the plan must show a subquery, and
+    // its aggregate must not sit under a join (no re-execution per group).
+    assert(plan("rel_q11_important_stock").contains("Subquery"),
+      "Q11's global total must be a one-shot scalar subquery")
+  }
+
   test("headline queries contain no cartesian product over large inputs") {
     for (n <- Seq("rel_q1_pricing_summary", "rel_q3_shipping_priority",
         "rel_q5_local_supplier", "pipe_gold", "llm_dedup_minhash",
