@@ -674,6 +674,53 @@ object TextAnalysis extends QueryModule {
         FROM scored""")),
 
     // ------------------------------------------------------------------
+    // Classifier-based quality filtering (fasttext-style INFERENCE shape):
+    // documents scored by a linear model over hashed token features —
+    // tokens bucket into 64 dims (feature hashing, as llm_text_hashvec),
+    // the 64-weight vector joins as a BROADCAST, and the margin is the
+    // mean feature weight. At 100 TB this is the cheapest model-based
+    // filter there is: one narrow scan, one broadcast join, one hash
+    // aggregate, no shuffle of the corpus beyond the per-doc agg. The
+    // "trained" weights are hash-derived integers here so the oracle
+    // rebuilds the identical model (md5_long == md5_number_upper); score
+    // arithmetic is integer-sum / count — exact on both engines. A real
+    // deployment swaps the weight table for trained parameters; the plan
+    // is unchanged.
+    "llm_quality_classifier" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .withColumn("dim", pmod(expr("md5_long(tok)"), lit(64)))
+        val weights = s.range(0, 64)
+          .select(col("id").as("dim"),
+            (expr("md5_long(concat('w', CAST(id AS STRING))) & 2047") - 1024)
+              .as("w"))
+        toks.join(broadcast(weights), "dim")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum(col("w")) / count(lit(1))).as("score"))
+          .withColumn("keep", col("score") > 0.0)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 md5_number_upper(unnest(string_split_regex(lower(text), '\s+')))
+                   % 64 AS dim
+          FROM documents),
+        weights AS (
+          SELECT i AS dim,
+                 CAST(md5_number_upper('w' || CAST(i AS VARCHAR)) & 2047
+                      AS BIGINT) - 1024 AS w
+          FROM range(0, 64) t(i))
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
+               (CAST(SUM(w) AS DOUBLE) / COUNT(*)) > 0.0 AS keep
+        FROM toks JOIN weights USING (dim)
+        GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Fixed-budget uniform sample: EXACTLY 100 documents, chosen by
     // content-addressed hash order — no count pass, no sampleBy fraction
     // drift, and the winners are a pure function of the data (stable

@@ -78,6 +78,24 @@ object RelationalQueries extends QueryModule {
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
+  // Recursive CTE (Spark 4's WITH RECURSIVE — iterative UnionLoop
+  // execution): walk a derived binary-tree hierarchy over the nation keys
+  // (parent = floor((k−1)/2)), emitting depth and the root path per node.
+  // FLOOR-over-double division keeps the parent computation identical on
+  // both engines (neither treats `/` on integers as integer division).
+  private val recSql = """
+    WITH RECURSIVE h(n_nationkey, n_name, depth, path) AS (
+      SELECT n_nationkey, n_name, 0 AS depth,
+             CAST(n_nationkey AS VARCHAR(40)) AS path
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT c.n_nationkey, c.n_name, h.depth + 1,
+             h.path || '/' || CAST(c.n_nationkey AS VARCHAR(40))
+      FROM nation c
+      JOIN h ON CAST(FLOOR((c.n_nationkey - 1) / 2.0) AS BIGINT) = h.n_nationkey
+      WHERE c.n_nationkey > 0)
+    SELECT n_nationkey, n_name, depth, path FROM h"""
+
   private val q13Sql = """
     SELECT c_count, COUNT(*) AS custdist
     FROM (
@@ -374,6 +392,20 @@ object RelationalQueries extends QueryModule {
         s.sql(q2Sql)
       },
       oracle = Some(q2Sql)),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE hierarchy walk (WITH RECURSIVE — new in Spark 4):
+    // depth and root path for every node of a derived tree. The fixpoint
+    // loop is bounded by tree depth; each iteration is one join of the
+    // frontier against the (broadcast-sized) node table. DuckDB runs the
+    // IDENTICAL recursive SQL, so Spark's UnionLoop execution is
+    // differentially checked, iteration for iteration.
+    "rel_recursive_hierarchy" -> QuerySpec(
+      fn = (s, dir) => {
+        views(s, dir, "nation")
+        s.sql(recSql)
+      },
+      oracle = Some(recSql)),
 
     // ------------------------------------------------------------------
     // TPC-H Q8 analog: national market share — an 8-way join (nation
@@ -1151,6 +1183,33 @@ object RelationalQueries extends QueryModule {
                       THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
           FROM events)
         WHERE k > 50""")),
+
+    // ------------------------------------------------------------------
+    // VARIANT semi-structured path (new in Spark 4): JSON parsed ONCE into
+    // the binary variant encoding, fields then extracted with typed
+    // variant_get — at 100 TB this replaces per-access string re-parsing
+    // (get_json_object) with one decode feeding any number of typed reads.
+    // try_parse_json null-propagates malformed input like the rest of the
+    // engine's ANSI-safe parses. The oracle extracts the same typed values
+    // from the raw JSON, so the variant path is value-checked end to end.
+    "rel_scalar_variant" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
+          .filter($"k".isNotNull)
+          .groupBy(pmod($"k", lit(10)).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+      },
+      oracle = Some("""
+        SELECT k % 10 AS bucket, COUNT(*) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (SELECT CASE WHEN json_valid(props)
+                          THEN CAST(json_extract_string(props, '$.k') AS INT)
+                     END AS k
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY k % 10""")),
 
     // ------------------------------------------------------------------
     // Subqueries (scalar / IN / correlated) via Spark SQL.
