@@ -70,4 +70,38 @@ class MetricsSpec extends SparkSpec {
     assert(snap.get("probe_gate.rows_seen").contains(3L), s"snapshot: $snap")
     assert(snap.get("probe_gate.rows_positive").contains(2L), s"snapshot: $snap")
   }
+
+  test("fractional observe fields are gauges (latest wins), never summed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val listener = Metrics.attach(spark)
+    val mem = MemoryStream[(Long, Double)]
+    val observed = mem.toDF().toDF("id", "value")
+      .observe("gauge_gate",
+        count(lit(1)).as("rows_seen"),          // counter: sums
+        avg($"value").as("mean_value"))          // gauge: latest wins
+    val q = observed.writeStream.format("memory").queryName("gauge_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0)); q.processAllAvailable() // avg 15
+      mem.addData((3L, 60.0)); q.processAllAvailable()             // avg 60
+    } finally q.stop()
+    spark.streams.removeListener(listener)
+
+    var (snap, gauges) = (listener.observedSnapshot, listener.observedGaugeSnapshot)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (snap.getOrElse("gauge_gate.rows_seen", 0L) < 3L &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      snap = listener.observedSnapshot
+      gauges = listener.observedGaugeSnapshot
+    }
+    assert(snap.get("gauge_gate.rows_seen").contains(3L), s"snapshot: $snap")
+    // The old behavior truncated and SUMMED batch averages (15 + 60 = 75);
+    // the gauge map must instead hold the latest batch's value.
+    assert(!snap.contains("gauge_gate.mean_value"),
+      s"fractional field leaked into the counter map: $snap")
+    assert(gauges.get("gauge_gate.mean_value").contains(60.0), s"gauges: $gauges")
+  }
 }

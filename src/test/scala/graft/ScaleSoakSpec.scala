@@ -134,6 +134,65 @@ class ScaleSoakSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("AQE splits a skewed join at runtime (no manual salt)") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    val s = spark
+    import s.implicits._
+    // The complement of Skew.saltedJoin: where salting is the MANUAL fix
+    // baked into a plan, AQE's skew-join split is the RUNTIME fix — it
+    // detects an oversized shuffle partition after the map stage and
+    // splits it, duplicating the matching build-side partition. Thresholds
+    // are lowered to make local shuffle sizes trip the same logic that
+    // 256 MB partitions trip on a cluster.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+      val soakDir = sys.env.getOrElse("GRAFT_SOAK_SF_DIR", "/root/testdata/sf0.1")
+      // Operational findings this soak encodes (each cost a failed run):
+      //   1. A skewed reduce partition is split along MAPPER-output
+      //      boundaries. The sf0.1 parquet is ONE row group → one mapper →
+      //      the hot partition is a single indivisible block and AQE
+      //      (correctly) leaves it alone. The upstream repartition(8)
+      //      gives the join's shuffle 8 mappers — the shape any real
+      //      multi-file table has for free.
+      //   2. A consumer that reuses the join's hash partitioning (a
+      //      grp-keyed aggregate) vetoes the split — splitting would break
+      //      the downstream distribution and force a reshuffle (override:
+      //      forceOptimizeSkewedJoin). The bare-join shape is the one the
+      //      optimization targets.
+      val fact = spark.read.parquet(s"$soakDir/lineitem.parquet")
+        .select(
+          when(col("l_orderkey") % 1000 < 500, 0L)
+            .otherwise(col("l_orderkey") % 1000).as("grp"),
+          col("l_extendedprice").as("value"))
+        .repartition(8)
+      val dim = spark.range(0, 1000).select(col("id").as("grp"),
+        (col("id") * 7).as("w"))
+      val joined = fact.join(dim, "grp")
+      // Drive THIS plan instance (a count() would plan a separate query
+      // and leave this one's AQE un-finalized).
+      val n = joined.collect().length
+      assert(n === 600000, s"join lost rows: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join in the final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")

@@ -72,4 +72,55 @@ class StreamingWindowSpec extends SparkSpec {
       assert(keys === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
     } finally q.stop()
   }
+
+  test("chained stateful operators: dedup then windowed agg in ONE query") {
+    // Spark 3.4+ supports multiple stateful operators in one append-mode
+    // query with correct watermark propagation between them — here the
+    // silver dedup and a gold-style windowed aggregate run as a SINGLE
+    // streaming plan (the medallion splits them across layer queries for
+    // operational reasons, not engine limits; this pins that the fused
+    // form is available and correct).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val fused = mem.toDF().toDF("log_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("log_id")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(sum($"value").as("total"), count(lit(1)).as("n"))
+    val q = fused.writeStream.format("memory").queryName("fused_out")
+      .outputMode("append").start()
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    try {
+      // Duplicate log_id in the same window: only one copy may aggregate.
+      mem.addData(
+        ("a", t("2024-01-01 00:01:00"), 10.0),
+        ("a", t("2024-01-01 00:02:00"), 10.0), // dup, suppressed by stage 1
+        ("b", t("2024-01-01 00:03:00"), 5.0))
+      q.processAllAvailable()
+      // Duplicate arriving in a LATER batch must also be suppressed before
+      // it reaches the aggregate.
+      mem.addData(("b", t("2024-01-01 00:04:00"), 99.0))
+      q.processAllAvailable()
+      // Advance the watermark far enough to finalize the 00:00 window
+      // through BOTH stateful stages.
+      mem.addData(("z", t("2024-01-01 01:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(("z2", t("2024-01-01 02:00:00"), 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("fused_out")
+        .select(date_format($"window.start", "HH:mm").as("w"), $"total", $"n")
+        .as[(String, Double, Long)].collect()
+        .map { case (w, tot, n) => w -> ((tot, n)) }.toMap
+      assert(out.get("00:00").contains((15.0, 2L)),
+        s"dedup did not gate the windowed aggregate: $out")
+      // Both stateful operators must be live in one query.
+      val states = q.lastProgress.stateOperators.map(_.operatorName).toSeq
+      assert(states.exists(_.contains("dedupe")) &&
+        states.exists(_.contains("stateStoreSave")), // the streaming agg
+        s"expected two stateful operators in one query, got: $states")
+    } finally q.stop()
+  }
 }
