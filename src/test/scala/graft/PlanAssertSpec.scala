@@ -67,6 +67,32 @@ class PlanAssertSpec extends SparkSpec {
     assert(plans("rel_q17_small_qty_revenue").contains("HashAggregate"))
   }
 
+  test("shuffle_hash hint: medium build side skips the sort-merge sorts") {
+    // The middle ground of the join-strategy ladder: a build side too big
+    // to broadcast but far smaller than the probe side — SHUFFLE_HASH
+    // builds a hash map per partition and skips BOTH sort passes a
+    // sort-merge join would pay. At 100 TB the sorts dominate; the hint
+    // (or AQE's preferShuffledHashJoin) is how a user reaches this plan.
+    import org.apache.spark.sql.functions.col
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val ord = graft.sources.Tables.load(spark, sfDir, "orders")
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(smj.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+        "without the hint this shape must default to sort-merge")
+      val shj = li.join(ord.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      assert(shj.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+        "shuffle_hash hint not honored")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("Q8/Q9/Q11/Q16 analogs: no cartesian; NOT IN is an anti join") {
     for (n <- Seq("rel_q8_market_share", "rel_q9_product_profit",
         "rel_q11_important_stock", "rel_q16_part_suppliers")) {
