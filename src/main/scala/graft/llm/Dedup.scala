@@ -395,7 +395,14 @@ object Dedup extends QueryModule {
           cached ::= p
           p
         }
-      changed = updated.filter(col("nl") =!= col("label")).count()
+      // Convergence is tested every 2nd round: the test is a driver count
+      // action over the label table, and min-label propagation is monotone
+      // — one redundant round at the fixpoint changes nothing — so
+      // skipping alternate checks halves the driver round-trips at the
+      // price of at most one extra (cheap, already-converged) join.
+      changed =
+        if (iter % 2 == 0) updated.filter(col("nl") =!= col("label")).count()
+        else 1L
       labels = updated.select(col("id"), col("nl").as("label"))
       if (iter % clustersCheckpointEvery == 0) {
         cached.foreach(_.unpersist(blocking = false))
