@@ -167,6 +167,72 @@ object Embeddings extends QueryModule {
         GROUP BY cid, dim""")),
 
     // ------------------------------------------------------------------
+    // Cluster-balanced sampling — the curation move that keeps a corpus
+    // from being dominated by its biggest topic: assign every vector to
+    // its nearest seed centroid (the llm_embed_kmeans assignment — one
+    // corpus pass against broadcast centroids), then keep at most K per
+    // cluster in content-addressed hash order, so membership is a pure
+    // function of the data (rerun/partitioning-stable, like every sampler
+    // here). The per-cluster cap is a rank<=K window — bounded at the
+    // shuffle by InferWindowGroupLimit (see the grouped top-k soak), so
+    // no cluster's full membership ever concentrates on one task.
+    "llm_sample_balanced" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .select("vec_id", "ve")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ve").as("cv"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr("""
+            aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"))
+          .withColumn("pri",
+            expr("md5_long(concat('bal:', CAST(vec_id AS STRING))) & 4294967295"))
+          .withColumn("keep_rank", row_number().over(
+            Window.partitionBy(col("cid")).orderBy(col("pri"), col("vec_id"))))
+          .filter(col("keep_rank") <= 40)
+          .select(col("vec_id"), col("cid").as("cluster_id"),
+            col("keep_rank").cast("int").as("keep_rank"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 8),
+        d AS (
+          SELECT vec_id, cid,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [(ve[i] - cv[i]) * (ve[i] - cv[i])
+                    for i in generate_series(1, 64)]),
+                   (a, b) -> a + b) AS d2
+          FROM e, c),
+        a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d) WHERE rn = 1),
+        p AS (
+          SELECT vec_id, cid,
+                 CAST(md5_number_upper('bal:' || CAST(vec_id AS VARCHAR))
+                      & 4294967295 AS BIGINT) AS pri
+          FROM a)
+        SELECT vec_id, cid AS cluster_id, CAST(keep_rank AS INT) AS keep_rank
+        FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY cid ORDER BY pri, vec_id)
+                   AS keep_rank
+          FROM p)
+        WHERE keep_rank <= 40""")),
+
+    // ------------------------------------------------------------------
     // k-means run TO CONVERGENCE (three unrolled Lloyd rounds + a stability
     // verdict): assign → update, three times, then report whether the last
     // two assignments agree — the convergence test a training loop would

@@ -73,6 +73,59 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("union of two watermarked sources advances on the SLOWEST source") {
+    // The global watermark of a multi-source query is the MIN across
+    // sources: a window may only finalize once EVERY input has moved past
+    // it — a fast source must never flush results a lagging source could
+    // still contribute to. This is the semantics that makes multi-topic /
+    // multi-landing-zone ingestion correct, and the operational reason a
+    // dead source stalls a pipeline (monitor per-source watermarks).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fast = MemoryStream[(java.sql.Timestamp, Double)]
+    val slow = MemoryStream[(java.sql.Timestamp, Double)]
+    // Watermark PER BRANCH, then union: each source tracks its own event
+    // time and the query's global watermark is their MIN. (A single
+    // withWatermark after the union would track the combined max — the
+    // fast source would drag the watermark forward for both.)
+    val unioned = fast.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .unionAll(slow.toDF().toDF("ts", "value")
+        .withWatermark("ts", "10 minutes"))
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(sum($"value").as("total"))
+    val q = unioned.writeStream.format("memory").queryName("union_wm_out")
+      .outputMode("append").start()
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    def windows(): Set[String] = spark.table("union_wm_out")
+      .select(date_format($"window.start", "HH:mm").as("w"))
+      .as[String].collect().toSet
+    try {
+      fast.addData((t("2024-01-01 00:01:00"), 1.0))
+      slow.addData((t("2024-01-01 00:02:00"), 2.0))
+      q.processAllAvailable()
+      // Fast source races an hour ahead; slow source is silent. The
+      // 00:00 window must NOT finalize — min(watermarks) is still 00:00.
+      fast.addData((t("2024-01-01 01:30:00"), 5.0))
+      q.processAllAvailable()
+      assert(windows().isEmpty,
+        "window finalized while the slow source could still contribute")
+      // The slow source catches up past 00:10+delay → now it finalizes,
+      // with BOTH sources' rows included.
+      slow.addData((t("2024-01-01 01:30:00"), 7.0))
+      q.processAllAvailable()
+      fast.addData((t("2024-01-01 03:00:00"), 0.5)) // push further
+      slow.addData((t("2024-01-01 03:00:00"), 0.5))
+      q.processAllAvailable()
+      val out = spark.table("union_wm_out")
+        .select(date_format($"window.start", "HH:mm").as("w"), $"total")
+        .as[(String, Double)].collect().toMap
+      assert(out.get("00:00").contains(3.0),
+        s"finalized window must hold both sources' rows: $out")
+    } finally q.stop()
+  }
+
   test("chained stateful operators: dedup then windowed agg in ONE query") {
     // Spark 3.4+ supports multiple stateful operators in one append-mode
     // query with correct watermark propagation between them — here the
