@@ -1406,6 +1406,33 @@ object RelationalQueries extends QueryModule {
                COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
         FROM orders GROUP BY 1""")),
 
+    // Equi-DEPTH histogram — equal ROW counts per bucket, data-dependent
+    // boundaries (vs rel_agg_histogram's fixed-width buckets): the shape
+    // statistics collection feeds a cost-based optimizer and min/max data
+    // skipping. ntile assigns depth-balanced buckets in one sort-based
+    // window pass; per-bucket min/max/count are the histogram. Ties on the
+    // sort key are broken by the unique order key so both engines assign
+    // identical buckets.
+    "rel_agg_histogram_equidepth" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", ntile(10).over(w).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      },
+      oracle = Some("""
+        SELECT bucket, COUNT(*) AS n,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM (SELECT o_totalprice,
+                     ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS bucket
+              FROM orders)
+        GROUP BY bucket""")),
+
     // Ordered string aggregation (deterministic: sorted distinct set).
     "rel_agg_stringagg" -> QuerySpec(
       fn = (s, dir) => {
