@@ -32,6 +32,17 @@ object Embeddings extends QueryModule {
         java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
   }
 
+  /** Power-iteration/deflation chains amplify quantization: a single
+    * half-boundary rounding difference between engines at DECIMAL(30,6)
+    * granularity (1e-6) grows through 15 normalization rounds past the
+    * 1e-8 output rounding (observed at sf0.1). The PCA paths therefore
+    * accumulate at DECIMAL(38,12) — 1e-12 granularity keeps any boundary
+    * hit orders of magnitude below the output precision. */
+  private def d12sum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+  private def sql12Sum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(38,12))) AS DOUBLE)"
+
   def queries: Map[String, QuerySpec] = Map(
     "llm_embed_pool" -> QuerySpec(
       fn = (s, dir) => {
@@ -336,7 +347,6 @@ object Embeddings extends QueryModule {
     // x₀ = 1/√16 = 0.25 exactly, so even the start is representable.
     "llm_embed_pca" -> QuerySpec(
       fn = (s, dir) => {
-        import graft.api.Exact.dsum
         val e = Tables.load(s, dir, "embeddings")
           .withColumn("ve", VectorOps.asDouble("embedding"))
         val pairs = e.select(explode(expr(
@@ -346,20 +356,20 @@ object Embeddings extends QueryModule {
                    'prod', element_at(ve, i) * element_at(ve, j)))))"""))
           .as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
-        val gram = pairs.groupBy(col("i"), col("j")).agg(dsum(col("prod")).as("g"))
+        val gram = pairs.groupBy(col("i"), col("j")).agg(d12sum(col("prod")).as("g"))
         var x = s.range(1, 17)
           .select(col("id").cast("int").as("j"), lit(0.25).as("v"))
         for (_ <- 1 to 5) {
           val y = gram.join(x, "j")
-            .groupBy(col("i")).agg(dsum(col("g") * col("v")).as("y"))
-          val nrm = y.agg(sqrt(dsum(col("y") * col("y"))).as("nrm"))
+            .groupBy(col("i")).agg(d12sum(col("g") * col("v")).as("y"))
+          val nrm = y.agg(sqrt(d12sum(col("y") * col("y"))).as("nrm"))
           x = y.crossJoin(broadcast(nrm))
             .select(col("i").as("j"), (col("y") / col("nrm")).as("v"))
         }
         x.select(col("j").as("dim"), round(col("v"), 8).as("component"))
       },
       oracle = {
-        import graft.api.Exact.sqlSum
+        val sqlSum = sql12Sum _
         val base = s"""
         WITH e AS (
           SELECT vec_id,
@@ -401,7 +411,6 @@ object Embeddings extends QueryModule {
     // unrolled CTE program.
     "llm_embed_pca3" -> QuerySpec(
       fn = (s, dir) => {
-        import graft.api.Exact.dsum
         import org.apache.spark.sql.DataFrame
         ensureCheckpointDir(s)
         val e = Tables.load(s, dir, "embeddings")
@@ -414,15 +423,15 @@ object Embeddings extends QueryModule {
           .as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
         val gram1 = pairs.groupBy(col("i"), col("j"))
-          .agg(dsum(col("prod")).as("g"))
+          .agg(d12sum(col("prod")).as("g"))
           .checkpoint(eager = true)
         def power(gram: DataFrame): DataFrame = {
           var x = s.range(1, 17)
             .select(col("id").cast("int").as("j"), lit(0.25).as("v"))
           for (_ <- 1 to 5) {
             val y = gram.join(x, "j")
-              .groupBy(col("i")).agg(dsum(col("g") * col("v")).as("y"))
-            val nrm = y.agg(sqrt(dsum(col("y") * col("y"))).as("nrm"))
+              .groupBy(col("i")).agg(d12sum(col("g") * col("v")).as("y"))
+            val nrm = y.agg(sqrt(d12sum(col("y") * col("y"))).as("nrm"))
             x = y.crossJoin(broadcast(nrm))
               .select(col("i").as("j"), (col("y") / col("nrm")).as("v"))
           }
@@ -432,7 +441,7 @@ object Embeddings extends QueryModule {
           val vi = x.select(col("j").as("i"), col("v").as("vi"))
           val vj = x.select(col("j"), col("v").as("vj"))
           val lam = gram.join(vi, "i").join(vj, "j")
-            .agg(dsum(col("g") * col("vi") * col("vj")).as("lam"))
+            .agg(d12sum(col("g") * col("vi") * col("vj")).as("lam"))
           gram.join(vi, "i").join(vj, "j").crossJoin(broadcast(lam))
             .select(col("i"), col("j"),
               (col("g") - col("lam") * col("vi") * col("vj")).as("g"))
@@ -450,7 +459,7 @@ object Embeddings extends QueryModule {
             round(col("v"), 8).as("value"))
       },
       oracle = {
-        import graft.api.Exact.sqlSum
+        val sqlSum = sql12Sum _
         // Per-component power rounds + deflation, unrolled: x{k}_5 is
         // component k's vector over gram g{k}; g{k+1} = g{k} − λ·v·vᵀ.
         def powerCtes(k: Int) = {

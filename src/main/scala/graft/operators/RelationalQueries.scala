@@ -63,7 +63,7 @@ object RelationalQueries extends QueryModule {
     GROUP BY l_partkey
     HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) > (
       SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-               * 0.001
+               * 0.0002
       FROM lineitem, supplier, nation
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_name = 'NATION_9')
