@@ -115,7 +115,11 @@ object GraftFunctions {
         (children: Seq[Expression]) => HyperplaneCodesMd5(children.head)),
       (FunctionIdentifier("cdc_chunks"),
         new ExpressionInfo(classOf[CdcChunks].getCanonicalName, "cdc_chunks"),
-        (children: Seq[Expression]) => CdcChunks(children.head)))
+        (children: Seq[Expression]) => CdcChunks(children.head)),
+      (FunctionIdentifier("token_windows"),
+        new ExpressionInfo(classOf[TokenWindows].getCanonicalName, "token_windows"),
+        (children: Seq[Expression]) =>
+          TokenWindows(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>

@@ -338,6 +338,42 @@ object TextAnalysis extends QueryModule {
       }),
 
     // ------------------------------------------------------------------
+    // Custom Generator (the UDTF surface, SURVEY §2.9): sliding token
+    // windows for long-document chunking — 512-token windows at 256-token
+    // stride in production, 16/8 on fixtures. [[graft.functions.TokenWindows]]
+    // streams windows through GenerateExec row-at-a-time (peak memory = one
+    // window per document, independent of document length), where the
+    // compositional explode(transform(sequence(...))) spelling materializes
+    // every window as one array value first. Called from SQL via LATERAL
+    // VIEW exactly like a built-in generator.
+    "llm_udtf_windows" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, dir).createOrReplaceTempView("documents")
+        s.sql("""
+          SELECT doc_id, w.win_id, w.tok_start, w.tok_count, w.win_text
+          FROM documents
+          LATERAL VIEW token_windows(text, 16, 8) w
+            AS win_id, tok_start, tok_count, win_text""")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 8)) AS s
+          FROM toks WHERE len(t) > 0)
+        SELECT doc_id,
+               CAST(s // 8 AS INT) AS win_id,
+               CAST(s AS INT) AS tok_start,
+               CAST(least(16, len(t) - s) AS INT) AS tok_count,
+               array_to_string(t[s + 1 : least(s + 16, len(t))], ' ')
+                 AS win_text
+        FROM g""")),
+
+    // ------------------------------------------------------------------
     // Rolling-hash fingerprints: whole-text polynomial hash + the minimum
     // 8-char-window hash (the winnowing primitive).
     "llm_text_fingerprint" -> QuerySpec(
