@@ -974,6 +974,68 @@ object RelationalQueries extends QueryModule {
         WHERE rnk <= 3""")),
 
     // ------------------------------------------------------------------
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): per-order
+    // reconciliation of the non-finalized order book against non-returned
+    // items — arbitrary per-key logic over BOTH groups' iterators in one
+    // co-partitioned pass. The two attribute filters make every match case
+    // real in the result (9374 matched / 693 order-only / 4598 item-only at
+    // sf0.01): matched keys, order-side-only (all its items returned), and
+    // item-side-only (order already finalized) — the full-outer semantics a
+    // join+groupby needs two extra plumbing steps to express.
+    // Scale shape: one shuffle per side on the key, groups streamed as
+    // iterators (state = two decimal accumulators, never a buffered group);
+    // physically a CoGroupExec over sort-merged children — the sort-merge-
+    // join skeleton with user logic in place of the match emitter. Sums
+    // accumulate in exact decimal at scale 6 (same discipline as
+    // [[graft.api.Exact]]), so iterator order cannot perturb the double.
+    "rel_cogroup_reconcile" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+          .filter($"o_orderstatus" =!= "F")
+          .select($"o_orderkey", $"o_totalprice")
+          .as[(Long, Double)]
+        val items = t(s, dir, "lineitem")
+          .filter($"l_returnflag" =!= "R")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .as[(Long, Double, Double)]
+        def dec6(d: Double) =
+          new java.math.BigDecimal(d).setScale(6, java.math.RoundingMode.HALF_UP)
+        orders.groupByKey(_._1)
+          .cogroup(items.groupByKey(_._1)) { (key, os, is) =>
+            var nOrders = 0
+            var nItems = 0
+            var oSum = java.math.BigDecimal.ZERO
+            var iSum = java.math.BigDecimal.ZERO
+            os.foreach { o => nOrders += 1; oSum = oSum.add(dec6(o._2)) }
+            is.foreach { i =>
+              nItems += 1; iSum = iSum.add(dec6(i._2 * (1.0 - i._3)))
+            }
+            Iterator.single((key, nOrders, nItems,
+              if (nOrders == 0) None else Some(oSum.doubleValue),
+              if (nItems == 0) None else Some(iSum.doubleValue)))
+          }
+          .toDF("o_orderkey", "n_orders", "n_items", "order_total",
+            "items_gross")
+      },
+      oracle = Some(s"""
+        WITH o AS (
+          SELECT o_orderkey, COUNT(*) AS n_orders,
+                 ${sqlSum("o_totalprice")} AS order_total
+          FROM orders WHERE o_orderstatus <> 'F'
+          GROUP BY o_orderkey),
+        i AS (
+          SELECT l_orderkey, COUNT(*) AS n_items,
+                 ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS items_gross
+          FROM lineitem WHERE l_returnflag <> 'R'
+          GROUP BY l_orderkey)
+        SELECT COALESCE(o.o_orderkey, i.l_orderkey) AS o_orderkey,
+               CAST(COALESCE(n_orders, 0) AS INT) AS n_orders,
+               CAST(COALESCE(n_items, 0) AS INT) AS n_items,
+               order_total, items_gross
+        FROM o FULL OUTER JOIN i ON o.o_orderkey = i.l_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Deterministic top-k (TakeOrderedAndProject — no full global sort).
     "rel_sort_topk" -> QuerySpec(
       fn = (s, dir) => {
