@@ -108,6 +108,50 @@ class PlanAssertSpec extends SparkSpec {
       "Q11's global total must be a one-shot scalar subquery")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // InjectRuntimeFilter — Spark's runtime semi-join reduction: when one
+    // join side carries a selective predicate, the optimizer builds a bloom
+    // filter over its join keys (bloom_filter_agg subquery) and applies it
+    // to the other side BEFORE that side's shuffle
+    // (bloom_filter_might_contain). At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling only rows that
+    // can match — the runtime analog of static partition pruning, and it
+    // composes with AQE. Thresholds here only scale the feature down to
+    // fixture size (app side must normally scan >10 GB to be worth a bloom
+    // pass); the plan shape is what production sees.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      val ord = graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        "no bloom_filter_agg build over the selective dim's join keys")
+      // The filter must not change answers, only shuffle volume.
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plainCount = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(joined.count() === plainCount)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("headline queries contain no cartesian product over large inputs") {
     for (n <- Seq("rel_q1_pricing_summary", "rel_q3_shipping_priority",
         "rel_q5_local_supplier", "pipe_gold", "llm_dedup_minhash",
