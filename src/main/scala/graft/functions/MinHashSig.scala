@@ -135,5 +135,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Constraint-aware optimizations Spark can't do without declared
     // PK/FK metadata (see graft.plans.JoinElimination).
     extensions.injectOptimizerRule(graft.plans.EliminatePkFkJoin)
+    // Whole-operator extension: native sort-merge as-of join
+    // (see graft.plans.AsofJoin).
+    extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

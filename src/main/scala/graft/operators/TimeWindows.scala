@@ -229,6 +229,42 @@ object TimeWindows extends QueryModule {
                         '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
         FROM events""")),
 
+    // As-of join as a NATIVE operator ([[graft.plans.AsofJoinExec]], the
+    // custom LogicalPlan + SparkStrategy + SparkPlan extension): for every
+    // click, the user's prevailing purchase (time and value) at-or-before
+    // it. Same family as ts_asof_last_purchase's window spelling, but the
+    // dedicated exec merges the two sorted sides in one forward pass per
+    // partition — state columns never ride through the probe stream, and
+    // per-partition state is one buffered row. Checked against DuckDB's own
+    // native ASOF LEFT JOIN.
+    "ts_asof_join_native" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val states = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        graft.plans.AsofJoin.left(probes, states,
+            Seq("user_id" -> "p_user"), "ts", "p_ts")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("last_purchase_ts"),
+            col("p_value").as("last_purchase_value"))
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts,
+               p.p_value AS last_purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts,
+                               value AS p_value
+                        FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.p_user AND c.ts >= p.p_ts""")),
+
     // Range join, bucketed (the 100 TB shape): clicks within the 5 minutes
     // before each error, same user. Each error probes its own 5-minute
     // bucket and the previous one — an equi-join on (user, bucket) plus a

@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.{AsofJoin, AsofJoinExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+/** Native as-of join ([[graft.plans.AsofJoinExec]]): edge-case semantics on
+  * synthetic data, partition safety, and the physical contract — one
+  * exchange per side, (key, time) sorts, probe-side partitioning reused
+  * downstream.
+  */
+class AsofJoinSpec extends SparkSpec {
+  private val s0 = spark
+  import s0.implicits._
+
+  private def probes = Seq(
+    // (probe_id, key, t)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 5L),
+    (5L, "b", 100L),               // key with no states at all
+    (6L, "c", 50L), (7L, "c", 51L) // state exactly at t and after t
+  ).toDF("probe_id", "k", "t")
+
+  private def states = Seq(
+    // (key, t, v)
+    ("a", 8L, "a8"), ("a", 20L, "a20"), ("a", 30L, "a30"),
+    ("c", 51L, "c51"),
+    ("d", 1L, "d1") // states-only key: must not be emitted
+  ).toDF("k", "st", "v")
+
+  private val expected = Set(
+    (1L, Some("a8")),   // 10 >= 8, < 20
+    (2L, Some("a20")),  // inclusive at equal time
+    (3L, Some("a20")),
+    (4L, None),         // before first state
+    (5L, None),         // key has no states
+    (6L, None),         // state is strictly after probe
+    (7L, Some("c51")))
+
+  private def run(np: Int): Set[(Long, Option[String])] =
+    AsofJoin.left(
+        probes.repartition(np), states.repartition(np),
+        Seq("k" -> "k"), "t", "st")
+      .select($"probe_id", $"v")
+      .as[(Long, Option[String])].collect().toSet
+
+  test("as-of semantics: inclusive match, no-state nulls, states-only keys dropped") {
+    assert(run(4) === expected)
+  }
+
+  test("result is partitioning-independent (1, 3, and 16 partitions)") {
+    assert(run(1) === expected)
+    assert(run(3) === expected)
+    assert(run(16) === expected)
+  }
+
+  test("physical plan: AsofJoinExec with one exchange and one sort per side") {
+    val df = AsofJoin.left(probes, states, Seq("k" -> "k"), "t", "st")
+    df.collect()
+    // Deep collect across AQE stage boundaries (QueryStageExec children
+    // live behind `plan`, not `children`).
+    def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+      case other => other.children.flatMap(deep)
+    })
+    val nodes = deep(df.queryExecution.executedPlan)
+    val asof = nodes.collect { case a: AsofJoinExec => a }
+    assert(asof.size === 1,
+      s"expected one AsofJoinExec:\n${df.queryExecution.executedPlan}")
+    val exchanges = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size === 2,
+      s"expected exactly one exchange per side, got ${exchanges.size}")
+    val sorts = nodes.collect { case s: SortExec => s }
+    assert(sorts.size === 2, "expected one (key, time) sort per side")
+    assert(sorts.forall(_.sortOrder.size === 2),
+      "each sort must order by (key, time)")
+  }
+
+  test("matches the window spelling on real events data") {
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    val probes = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val states = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val native = AsofJoin.left(probes, states,
+        Seq("user_id" -> "p_user"), "ts", "p_ts")
+      .select($"event_id", $"p_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toSet
+    // Window spelling (the ts_asof_last_purchase shape, restricted to
+    // clicks): last purchase ts at-or-before each click, per user.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val windowed = ev.filter($"event_type".isin("click", "purchase"))
+      .withColumn("lp",
+        last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" === "click")
+      .select($"event_id", $"lp")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toSet
+    assert(native === windowed)
+  }
+}
