@@ -183,6 +183,13 @@ object AsofJoin {
         session.experimental.extraStrategies :+ AsofJoinStrategy
     val lp = probes.queryExecution.analyzed
     val rp = states.queryExecution.analyzed
+    // Self-join guard: shared expression IDs across the two children would
+    // make the output projection bind both sides to the same input slots
+    // (the analyzer dedupes built-in Join children, not custom nodes).
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"asof sides share attributes ${shared.toSeq.map(_.name).mkString(", ")} — " +
+        "derive the state side independently or realias it (e.g. select with new names)")
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"$side side has no column '$n'"))

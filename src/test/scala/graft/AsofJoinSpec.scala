@@ -78,6 +78,14 @@ class AsofJoinSpec extends SparkSpec {
       "each sort must order by (key, time)")
   }
 
+  test("self-join without realiasing is rejected (shared expression IDs)") {
+    val base = Seq((1L, "a", 10L)).toDF("probe_id", "k", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.left(base, base.filter($"t" > 0), Seq("k" -> "k"), "t", "t")
+    }
+    assert(e.getMessage.contains("share attributes"))
+  }
+
   test("matches the window spelling on real events data") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
     val probes = ev.filter($"event_type" === "click")
