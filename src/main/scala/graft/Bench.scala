@@ -31,6 +31,19 @@ import java.nio.file.{Files, Paths}
   * listed under "errors", and the process exits nonzero. The JSON line is
   * printed to stdout AND (because stdout is interleaved with sbt/log4j
   * noise) written to the file named by SPARK_GRAFT_BENCH_OUT when set.
+  *
+  * Regression triage (round 6): the min-of-two-orders statistic can still
+  * be fooled by an outlier landing in BOTH orders (round 5's
+  * rel_window_running_sum: 2.64/3.20 s in-suite, 0.71 s solo). So after the
+  * two passes, any query whose min is ≥2× its PREVIOUS round's time (read
+  * from SPARK_GRAFT_BENCH_PREV, default BENCH_PREV.json — a flat
+  * {name: seconds} map the repo commits each round) gets an automatic
+  * third, quiesced re-run: caches cleared, a full GC, then the query alone.
+  * Those times land under "solo" — a real regression is slow there too; a
+  * neighborhood artifact collapses back to baseline. Per-query GC time
+  * (collector MXBean deltas, "gc1"/"gc2") is recorded for both passes so
+  * ordering swings can be attributed to collection pressure rather than
+  * guessed at.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -74,18 +87,29 @@ object Bench {
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
-    def timedPass(order: Seq[String]): Map[String, (Double, Option[String])] =
+    // Total JVM GC time so far, seconds — per-query deltas attribute slow
+    // outliers to collection pressure (or rule it out).
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+    def timedPass(order: Seq[String]): Map[String, (Double, Option[String], Double)] =
       order.map { name =>
+        val g0 = gcSeconds()
         val t0 = System.nanoTime()
         try {
           run(name)
           val t = (System.nanoTime() - t0) / 1e9
+          val g = gcSeconds() - g0
           checkClean(name)
-          name -> (t, None: Option[String])
+          name -> (t, None: Option[String], g)
         } catch {
           case e: Throwable =>
             checkClean(name)
-            name -> (-1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            name -> (-1.0,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)),
+              gcSeconds() - g0)
         }
       }.toMap
 
@@ -93,7 +117,7 @@ object Bench {
     // seeded-shuffled order so each query sees different neighbors.
     val pass1 = timedPass(names)
     val twoPass = args.isEmpty
-    val pass2: Map[String, (Double, Option[String])] =
+    val pass2: Map[String, (Double, Option[String], Double)] =
       if (!twoPass) Map.empty
       else {
         val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
@@ -101,9 +125,9 @@ object Bench {
       }
 
     val results: Seq[(String, Double, Option[String])] = names.map { name =>
-      val (t1, e1) = pass1(name)
+      val (t1, e1, _) = pass1(name)
       pass2.get(name) match {
-        case Some((t2, e2)) =>
+        case Some((t2, e2, _)) =>
           // A query must succeed in BOTH passes to count as ok.
           val err = e1.orElse(e2)
           val t = if (err.isDefined) -1.0 else math.min(t1, t2)
@@ -119,6 +143,44 @@ object Bench {
           Some((name, t1, t2))
         else None
       }
+
+    // Regression triage: previous round's per-query minima (committed as
+    // BENCH_PREV.json). Any ok query at ≥2× its previous time (and ≥0.3 s
+    // absolute growth — sub-tenth-second queries double on scheduler noise
+    // alone) gets a third, quiesced run: neighbors done, caches cleared,
+    // full GC first. A real regression stays slow; suite interference
+    // collapses to baseline.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_PREV.json")
+    val prev: Map[String, Double] =
+      try {
+        val f = Paths.get(prevPath)
+        if (!Files.exists(f)) Map.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(Files.readString(f))
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not read $prevPath: ${e.getMessage}")
+          Map.empty
+      }
+    val solo: Map[String, Double] =
+      if (!twoPass) Map.empty
+      else results.collect {
+        case (name, t, None)
+            if prev.get(name).exists(p => p > 0 && t >= 2 * p && t - p >= 0.3) =>
+          spark.sharedState.cacheManager.clearCache()
+          System.gc()
+          val t0 = System.nanoTime()
+          val s = try { run(name); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          checkClean(name)
+          name -> s
+      }.toMap
 
     def esc(s: String): String =
       s.flatMap {
@@ -147,7 +209,10 @@ object Bench {
         val un = obj(unstable.map { case (n, t1, t2) =>
           n -> s"[$t1,$t2]" })
         val lk = obj(leaks.map { case (k, v) => k -> ("\"" + esc(v) + "\"") })
-        s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk"""
+        val g1 = obj(names.map(n => n -> f"${pass1(n)._3}%.3f"))
+        val g2 = obj(names.map(n => n -> f"${pass2(n)._3}%.3f"))
+        val so = obj(solo.map { case (k, v) => k -> v.toString })
+        s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk,"gc1":$g1,"gc2":$g2,"solo":$so,"prev_ref":${if (prev.isEmpty) "null" else "\"" + esc(prevPath) + "\""}"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"sf":"${esc(sfDir)}"}"""

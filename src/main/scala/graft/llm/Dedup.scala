@@ -355,10 +355,7 @@ object Dedup extends QueryModule {
     * the fixpoint the cluster/keep decisions read. */
   def labels(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sc = pairs.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    graft.api.Checkpoints.ensureDir(pairs.sparkSession)
     // Materialize the edge set once, durably — it is consumed by every
     // iteration, and its lineage (the whole LSH candidate pipeline) must
     // not re-run per round nor be lost with an executor. No distinct():

@@ -24,13 +24,10 @@ object Embeddings extends QueryModule {
 
   /** Iterative relations (k-means rounds, PCA components) cut lineage with
     * RELIABLE eager checkpoints — same discipline as [[Dedup.labels]]; the
-    * checkpointed state is O(k×dims) / O(dims²), never corpus-sized. */
-  private def ensureCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit = {
-    val sc = s.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-  }
+    * checkpointed state is O(k×dims) / O(dims²), never corpus-sized.
+    * Directory resolution (cluster-visible first) in [[graft.api.Checkpoints]]. */
+  private def ensureCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.api.Checkpoints.ensureDir(s)
 
   /** Power-iteration/deflation chains amplify quantization: a single
     * half-boundary rounding difference between engines at DECIMAL(30,6)

@@ -33,6 +33,26 @@ object Graph extends QueryModule {
   private val damping = 0.85
   private val rounds  = 5
 
+  /** The rank loop, reusable (query + scale soak): `nodes` = (node),
+    * `norm` = (src, dst, wn) out-normalized edges. One shuffle per round on
+    * the destination key, O(|nodes|) state, decimal-exact contributions —
+    * identical results on any partitioning. */
+  def pageRankRounds(nodes: DataFrame, norm: DataFrame,
+      nNodes: Double, rounds: Int): DataFrame = {
+    var ranks: DataFrame = nodes.withColumn("r", lit(1.0) / nNodes)
+    for (_ <- 1 to rounds) {
+      val contrib = norm.join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("r") * col("wn")).as("c"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .groupBy(col("node"))
+        .agg((lit(1.0 - damping) / nNodes + lit(damping) *
+          coalesce(sum(col("c").cast(DecimalType(30, 6))).cast("double"), lit(0.0)))
+          .as("r"))
+    }
+    ranks
+  }
+
   def queries: Map[String, QuerySpec] = Map(
     "rel_graph_pagerank" -> QuerySpec(
       fn = (s, dir) => {
@@ -62,19 +82,8 @@ object Graph extends QueryModule {
           .select($"src", $"dst", ($"w" / $"outw").as("wn"))
 
         val nodes = nation.select($"n_name".as("node"))
-        val n = 25.0
-        var ranks: DataFrame = nodes.withColumn("r", lit(1.0) / n)
-        for (_ <- 1 to rounds) {
-          val contrib = norm.join(ranks, $"src" === $"node")
-            .select($"dst", ($"r" * $"wn").as("c"))
-          ranks = nodes
-            .join(contrib, $"node" === $"dst", "left")
-            .groupBy($"node")
-            .agg((lit(1.0 - damping) / n + lit(damping) *
-              coalesce(sum($"c".cast(DecimalType(30, 6))).cast("double"), lit(0.0)))
-              .as("r"))
-        }
-        ranks.select($"node", round($"r", 10).as("rank"))
+        pageRankRounds(nodes, norm, nNodes = 25.0, rounds = rounds)
+          .select($"node", round($"r", 10).as("rank"))
       },
       oracle = {
         val base = s"""

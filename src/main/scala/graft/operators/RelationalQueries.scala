@@ -1260,7 +1260,9 @@ object RelationalQueries extends QueryModule {
         t(s, dir, "events")
           .select(expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
           .filter($"k".isNotNull)
-          .groupBy(pmod($"k", lit(10)).as("bucket"))
+          // % (not pmod): Spark's % follows the dividend's sign exactly like
+          // DuckDB's, so the bucket spellings stay identical for negative k.
+          .groupBy(($"k" % 10).as("bucket"))
           .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
       },
       oracle = Some("""

@@ -265,6 +265,127 @@ object TimeWindows extends QueryModule {
                         FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.p_user AND c.ts >= p.p_ts""")),
 
+    // Native as-of, FORWARD direction: each click's NEXT purchase at-or-
+    // after it (the merge_asof(direction='forward') contract). Same exec,
+    // one merge pass; the forward candidate is simply the lookahead row the
+    // backward merge already maintains. DuckDB's ASOF accepts any
+    // inequality — `c.ts <= p.p_ts` selects the smallest p_ts ≥ ts.
+    "ts_asof_native_forward" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val states = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        graft.plans.AsofJoin.left(probes, states,
+            Seq("user_id" -> "p_user"), "ts", "p_ts",
+            direction = graft.plans.AsofJoin.Forward)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("next_purchase_ts"),
+            col("p_value").as("next_purchase_value"))
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts,
+               p.p_value AS next_purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts,
+                               value AS p_value
+                        FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.p_user AND c.ts <= p.p_ts""")),
+
+    // Native as-of with a TOLERANCE (merge_asof(tolerance=...)): the
+    // prevailing purchase only counts within 6 hours of the click —
+    // staleness-bounded feature lookup. The exec nulls the match at emit
+    // (the greatest ≤ candidate is the closest; if IT is out of tolerance,
+    // every other one is too); DuckDB has no tolerance knob, so the oracle
+    // CASE-nulls the same backward match past the same bound.
+    "ts_asof_tolerance" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val states = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        graft.plans.AsofJoin.left(probes, states,
+            Seq("user_id" -> "p_user"), "ts", "p_ts",
+            tolerance = Some(6L * 3600 * 1000000)) // 6 h in micros
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("recent_purchase_ts"),
+            col("p_value").as("recent_purchase_value"))
+      },
+      oracle = Some("""
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               CASE WHEN epoch_us(c.ts) - epoch_us(p.p_ts) <= 21600000000
+                    THEN strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f')
+               END AS recent_purchase_ts,
+               CASE WHEN epoch_us(c.ts) - epoch_us(p.p_ts) <= 21600000000
+                    THEN p.p_value
+               END AS recent_purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts,
+                               value AS p_value
+                        FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.p_user AND c.ts >= p.p_ts""")),
+
+    // Native as-of, NEAREST direction: the purchase closest in absolute
+    // time, either side, ties toward the earlier (backward) match. The
+    // merge keeps the backward candidate buffered while the lookahead IS
+    // the forward candidate, so nearest costs the same one pass. DuckDB
+    // has no nearest mode — the oracle runs BOTH directional ASOF joins
+    // and picks per row with the identical tie rule (≤ keeps backward).
+    "ts_asof_native_nearest" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val probes = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val states = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        graft.plans.AsofJoin.left(probes, states,
+            Seq("user_id" -> "p_user"), "ts", "p_ts",
+            direction = graft.plans.AsofJoin.Nearest)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("nearest_purchase_ts"),
+            col("p_value").as("nearest_purchase_value"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+                   FROM events WHERE event_type = 'purchase'),
+             b AS (SELECT c.event_id, c.user_id, c.ts,
+                          p.p_ts AS b_ts, p.p_value AS b_value
+                   FROM c ASOF LEFT JOIN p
+                     ON c.user_id = p.p_user AND c.ts >= p.p_ts),
+             f AS (SELECT c.event_id, p.p_ts AS f_ts, p.p_value AS f_value
+                   FROM c ASOF LEFT JOIN p
+                     ON c.user_id = p.p_user AND c.ts <= p.p_ts)
+        SELECT b.event_id, b.user_id,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               strftime(CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND
+                                  epoch_us(b.ts) - epoch_us(b.b_ts)
+                                    <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                             THEN b.b_ts ELSE f.f_ts END,
+                        '%Y-%m-%d %H:%M:%S.%f') AS nearest_purchase_ts,
+               CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND
+                          epoch_us(b.ts) - epoch_us(b.b_ts)
+                            <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                    THEN b.b_value ELSE f.f_value END AS nearest_purchase_value
+        FROM b JOIN f ON b.event_id = f.event_id""")),
+
     // Range join, bucketed (the 100 TB shape): clicks within the 5 minutes
     // before each error, same user. Each error probes its own 5-minute
     // bucket and the previous one — an equi-join on (user, bucket) plus a

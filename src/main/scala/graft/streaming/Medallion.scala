@@ -110,14 +110,27 @@ object Medallion {
     (valid, quarantine)
   }
 
+  /** Tail admission cap: bronze's cap bounds what enters the lake per
+    * trigger, but a backlog (bronze ran alone for a while, or a restart)
+    * would otherwise flow into ONE unbounded downstream micro-batch — the
+    * tails need the same admission posture as the head. The default is
+    * deliberately roomy: bronze emits one file per (task × event-date) per
+    * batch, so a normal head batch lands a few hundred tail files — those
+    * should still drain in ONE tail batch (watermark semantics across an
+    * artificially split batch drop late rows a single batch would keep);
+    * the cap exists to bound the pathological backlog, not routine flow. */
+  val defaultTailMaxFilesPerTrigger = 1000
+
   /** Silver: bronze tail → watermarked stateful dedup → enrichment → sink. */
   def startSilver(
       spark: SparkSession,
       dirs: Dirs,
       trigger: Trigger = defaultTrigger,
-      watermark: String = "2 hours"): StreamingQuery = {
+      watermark: String = "2 hours",
+      maxFilesPerTrigger: Int = defaultTailMaxFilesPerTrigger): StreamingQuery = {
     val bronze = spark.readStream
       .schema(dated(ActivityPipeline.ParsedSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dirs.bronze)
     val deduped = bronze
       .drop("event_date") // re-derived below; dedup state keys stay minimal
@@ -138,9 +151,11 @@ object Medallion {
   def startGold(
       spark: SparkSession,
       dirs: Dirs,
-      trigger: Trigger = defaultTrigger): StreamingQuery = {
+      trigger: Trigger = defaultTrigger,
+      maxFilesPerTrigger: Int = defaultTailMaxFilesPerTrigger): StreamingQuery = {
     val silver = spark.readStream
       .schema(dated(ActivityPipeline.SilverSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dirs.silver)
     silver.writeStream
       .foreachBatch { (_: DataFrame, _: Long) =>
@@ -172,9 +187,11 @@ object Medallion {
   def startGoldIncremental(
       spark: SparkSession,
       dirs: Dirs,
-      trigger: Trigger = defaultTrigger): StreamingQuery = {
+      trigger: Trigger = defaultTrigger,
+      maxFilesPerTrigger: Int = defaultTailMaxFilesPerTrigger): StreamingQuery = {
     val silver = spark.readStream
       .schema(dated(ActivityPipeline.SilverSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dirs.silver)
     val stateBase = s"${dirs.base}/gold_state"
     silver.writeStream

@@ -39,9 +39,15 @@ object TimeTravel {
   def asOf(spark: SparkSession, tableDir: String, batchId: Long): DataFrame = {
     val metaPath = new Path(tableDir, "_spark_metadata")
     val log = new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark, metaPath.toString)
+    // Only ADD-actioned entries are live data: the log format defines a
+    // DELETE action (unused by today's sink but part of the contract), and
+    // compaction may surface an entry more than once — filter and dedup so
+    // the read is robust to log evolution, not just today's writer.
     val files = log.get(Some(0L), Some(batchId))
       .flatMap(_._2)
+      .filter(_.action == FileStreamSinkLog.ADD_ACTION)
       .map(_.path)
+      .distinct
       .toIndexedSeq
     require(files.nonEmpty,
       s"no files committed at or before batch $batchId in $tableDir")

@@ -86,6 +86,98 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("share attributes"))
   }
 
+  private def runDir(direction: String, tolerance: Option[Long] = None)
+      : Set[(Long, Option[String])] =
+    AsofJoin.left(probes, states, Seq("k" -> "k"), "t", "st",
+        direction = direction, tolerance = tolerance)
+      .select($"probe_id", $"v")
+      .as[(Long, Option[String])].collect().toSet
+
+  test("forward direction: smallest state time at-or-after each probe") {
+    assert(runDir(AsofJoin.Forward) === Set(
+      (1L, Some("a20")), // 10 → next is 20
+      (2L, Some("a20")), // inclusive at equal time
+      (3L, Some("a20")),
+      (4L, Some("a8")),  // 5 → next is 8
+      (5L, None),        // key has no states
+      (6L, Some("c51")), // 50 → next is 51
+      (7L, Some("c51"))))// inclusive
+  }
+
+  test("nearest direction: closer of the two candidates, tie → backward") {
+    assert(runDir(AsofJoin.Nearest) === Set(
+      (1L, Some("a8")),  // back diff 2 beats fwd diff 10
+      (2L, Some("a20")), // exact hit
+      (3L, Some("a20")),
+      (4L, Some("a8")),  // no backward candidate, forward diff 3
+      (5L, None),
+      (6L, Some("c51")), // forward diff 1
+      (7L, Some("c51"))))
+    // Tie case gets its own data: probe at 25 sits exactly between states
+    // 20 and 30 — the backward (earlier) match must win.
+    val p = Seq((1L, "a", 25L)).toDF("probe_id", "k", "t")
+    val s = Seq(("a", 20L, "a20"), ("a", 30L, "a30")).toDF("k", "st", "v")
+    val tie = AsofJoin.left(p, s, Seq("k" -> "k"), "t", "st",
+        direction = AsofJoin.Nearest)
+      .select($"probe_id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(tie === Set((1L, Some("a20"))))
+  }
+
+  test("tolerance bounds the match distance in every direction") {
+    // Backward: probe 1 (t=10) matches a8 at diff 2 — tol 1 nulls it, the
+    // row itself still flows through (left-join contract); tol 2 keeps it.
+    val tol1 = runDir(AsofJoin.Backward, tolerance = Some(1L))
+    assert(tol1.contains((1L, None)))
+    assert(tol1.contains((2L, Some("a20")))) // diff 0 survives any tol ≥ 0
+    assert(runDir(AsofJoin.Backward, tolerance = Some(2L)).contains((1L, Some("a8"))))
+    // Forward: probe 6 (t=50) → c51 at diff 1; tol 0 nulls, tol 1 keeps.
+    assert(runDir(AsofJoin.Forward, tolerance = Some(0L)).contains((6L, None)))
+    assert(runDir(AsofJoin.Forward, tolerance = Some(1L)).contains((6L, Some("c51"))))
+    // Nearest: probe 1 candidates at diff 2 (back) and 10 (fwd); tol 1
+    // excludes both, tol 5 admits only the backward one.
+    assert(runDir(AsofJoin.Nearest, tolerance = Some(1L)).contains((1L, None)))
+    assert(runDir(AsofJoin.Nearest, tolerance = Some(5L)).contains((1L, Some("a8"))))
+    // No match within tolerance anywhere → all-null state side, all probes out.
+    val none = runDir(AsofJoin.Backward, tolerance = Some(0L))
+    assert(none.size === 7 && none.forall {
+      case (2L, v) => v.contains("a20")
+      case (3L, v) => v.contains("a20")
+      case (7L, v) => v.contains("c51")
+      case (_, v) => v.isEmpty
+    })
+  }
+
+  test("mismatched key or time types are rejected up front") {
+    val p = Seq((1, 10L)).toDF("k", "t")          // int key
+    val s = Seq((1L, 5L, "x")).toDF("k", "st", "v") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.left(p, s, Seq("k" -> "k"), "t", "st")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    val p2 = Seq((1L, 10)).toDF("k", "t")           // int time
+    val s2 = Seq((1L, 5L, "x")).toDF("k", "st", "v") // long time
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.left(p2, s2, Seq("k" -> "k"), "t", "st")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
+  test("null keys never match; null probe time yields a null match") {
+    val p = Seq(
+      (1L, Option("a"), Option(10L)),
+      (2L, Option.empty[String], Option(10L)), // null probe key
+      (3L, Option("a"), Option.empty[Long]))   // null probe time
+      .toDF("probe_id", "k", "t")
+    val s = Seq(
+      (Option("a"), Option(8L), "a8"),
+      (Option.empty[String], Option(5L), "null-key"), // must be invisible
+      (Option("a"), Option.empty[Long], "null-time")) // must be invisible
+      .toDF("k", "st", "v")
+    val out = AsofJoin.left(p, s, Seq("k" -> "k"), "t", "st")
+      .select($"probe_id", $"v").as[(Long, Option[String])].collect().toSet
+    assert(out === Set((1L, Some("a8")), (2L, None), (3L, None)))
+  }
+
   test("matches the window spelling on real events data") {
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
     val probes = ev.filter($"event_type" === "click")

@@ -193,6 +193,114 @@ class ScaleSoakSpec extends SparkSpec {
     }
   }
 
+  test("pagerank on a k-replicated disjoint graph: per-replica ranks exact") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    val s = spark
+    import s.implicits._
+    // The rank loop's scale-out claim is structural: k disjoint copies of
+    // the same graph through ONE loop must produce each copy's ranks
+    // bit-identically to running that copy alone (decimal-exact sums make
+    // this exact, not approximate). Edges here are a small synthetic ring
+    // with weights — the loop under test is the same pageRankRounds the
+    // oracle-checked query runs on the nation trade graph.
+    val k = 10
+    val nNodes = 25
+    val base = (0 until nNodes).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % nNodes}", 0.7), (s"n$i", s"n${(i + 7) % nNodes}", 0.3))
+    }
+    val oneNodes = (0 until nNodes).map(i => s"n$i").toDF("node")
+    val oneNorm = base.toDF("src", "dst", "wn")
+    val repNodes = (0 until k).flatMap(r => (0 until nNodes).map(i => s"r${r}_n$i")).toDF("node")
+    val repNorm = (0 until k).flatMap(r =>
+      base.map { case (a, b, w) => (s"r${r}_$a", s"r${r}_$b", w) }).toDF("src", "dst", "wn")
+    // Same global n for both runs so the (1-d)/n teleport term agrees.
+    val n = (nNodes * k).toDouble
+    val one = graft.operators.Graph.pageRankRounds(oneNodes, oneNorm, n, 5)
+      .as[(String, Double)].collect().toMap
+    val rep = graft.operators.Graph.pageRankRounds(repNodes, repNorm, n, 5)
+      .as[(String, Double)].collect()
+    assert(rep.length === nNodes * k)
+    val mismatches = rep.filterNot { case (node, r) =>
+      one(node.substring(node.indexOf('_') + 1)) == r
+    }
+    assert(mismatches.isEmpty,
+      s"replica ranks diverged from the solo run: ${mismatches.take(3).mkString(", ")}")
+  }
+
+  test("k-means to convergence scales linearly in corpus replication") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // The converged-kmeans query is three full corpus passes against
+    // broadcast centroids + O(k×dims) driver state — wall clock must scale
+    // ~linearly in the corpus, nothing may scale in state. Replicate the
+    // embeddings table on disk (distinct vec_ids per replica; seeds stay
+    // vec_id < 8 so k is constant) and run the SAME oracle-checked query fn
+    // against the replicated dir.
+    val rep = 5
+    val dir = tempDir("kmeans_soak")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n1 = e.count()
+    (0 until rep).map(r =>
+      e.withColumn("vec_id",
+        when(lit(r) === 0, col("vec_id"))
+          .otherwise(col("vec_id") + lit(r * 10000000L))))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fn = SparkEntry.queries("llm_embed_kmeans_converged")
+    def run(d: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = fn(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(sfDir) // warm-up
+    val (r1, t1) = run(sfDir)
+    val (rk, tk) = run(dir)
+    info(f"1x ($n1 vecs): $t1%.1f s; ${rep}x: $tk%.1f s (${tk / t1}%.1fx)")
+    assert(rk === r1, "output is (k clusters × dims) — must not grow with corpus")
+    assert(tk <= t1 * rep * 2.5,
+      f"${rep}x corpus took ${tk / t1}%.1fx the time — a pass is not linear")
+  }
+
+  test("native as-of join scales linearly in replicated probe/state streams") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    val s = spark
+    import s.implicits._
+    // Disjoint user keyspaces per replica: output must grow EXACTLY
+    // linearly and per-replica matches must equal the solo run (the merge
+    // is per-key; a replica cannot see another's state rows).
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts") / 1000).cast("long").as("tsl"), col("value"))
+    def sides(k: Int) = {
+      val r = (0 until k).map(i => ev.select(
+        (col("event_id") + i * 100000000L).as("event_id"),
+        (col("user_id") + i * 10000000L).as("user_id"),
+        col("event_type"), col("tsl"), col("value")))
+        .reduce(_ unionAll _)
+      (r.filter($"event_type" === "click").select($"event_id", $"user_id", $"tsl"),
+       r.filter($"event_type" === "purchase").select(
+         $"user_id".as("p_user"), $"tsl".as("p_ts"), $"value".as("p_value")))
+    }
+    def run(k: Int): (Long, Long, Double) = {
+      val (p, st) = sides(k)
+      val t0 = System.nanoTime()
+      val out = graft.plans.AsofJoin.left(p, st, Seq("user_id" -> "p_user"), "tsl", "p_ts")
+      val (rows, matched) = out.agg(count(lit(1)), count($"p_ts"))
+        .as[(Long, Long)].collect().head
+      (rows, matched, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1) // warm-up
+    val (rows1, m1, t1) = run(1)
+    val (rows8, m8, t8) = run(8)
+    info(f"1x: $rows1 probes ($m1 matched) $t1%.1f s; 8x: $rows8 ($m8) $t8%.1f s")
+    assert(rows8 === 8 * rows1, "probe rows must replicate exactly")
+    assert(m8 === 8 * m1, "matches must stay per-replica — no cross-keyspace state")
+    assert(t8 <= t1 * 20,
+      f"8x corpus took ${t8 / t1}%.1fx the time — merge no longer linear")
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
