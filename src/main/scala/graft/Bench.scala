@@ -77,6 +77,13 @@ object Bench {
         leaks.getOrElseUpdate(name, "streaming query left running")
         spark.streams.active.foreach(q => scala.util.Try(q.stop()))
       }
+      // Streaming residue: a finished streaming query (e.g. the AvailableNow
+      // medallion run) leaves its RocksDB state-store providers cached in
+      // the executor plus a maintenance thread pool — measured ~20-35% tax
+      // on the batch queries that follow. Unload them; the next streaming
+      // query reloads lazily. No-op when nothing is cached.
+      scala.util.Try(
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop())
     }
 
     // Untimed warm-up against the measured dataset so JIT/codegen and file
