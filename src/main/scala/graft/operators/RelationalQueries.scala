@@ -683,6 +683,39 @@ object RelationalQueries extends QueryModule {
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""")),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): events whose JSON
+    // k is ABSENT (null) must match the dimension's null row — the
+    // semantics plain equality silently drops. EqualNullSafe is still an
+    // equi-join key for Spark (hash/sort-merge, never a cartesian), which
+    // is exactly why the operator matters at scale: the naive
+    // "(a = b OR (a IS NULL AND b IS NULL))" spelling degrades to a
+    // non-equi condition.
+    "rel_join_null_safe" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+        val dim = ev.select($"k").distinct()
+          .filter($"k".isNull || $"k" % 3 === 0)
+          .select($"k".as("dk"))
+        ev.join(dim, $"k" <=> $"dk")
+          .groupBy($"dk")
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_id,
+                 CASE WHEN json_valid(props)
+                      THEN CAST(json_extract_string(props, '$.k') AS INT)
+                 END AS k
+          FROM events),
+        dim AS (
+          SELECT DISTINCT k AS dk FROM ev WHERE k IS NULL OR k % 3 = 0)
+        SELECT dk, COUNT(*) AS n
+        FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.dk
+        GROUP BY dk""")),
+
     // Cross join (small × small only — never at fact-table scale).
     "rel_join_cross" -> QuerySpec(
       fn = (s, dir) => {

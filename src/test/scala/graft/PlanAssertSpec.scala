@@ -33,6 +33,12 @@ class PlanAssertSpec extends SparkSpec {
     assert(plan("pipe_enrich").contains("BroadcastHashJoin"))
   }
 
+  test("rel_join_null_safe: <=> stays an equi-join key, never a nested loop") {
+    val p = plan("rel_join_null_safe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality fell out of the equi-join path:\n$p")
+  }
+
   test("llm_text_tf: document scan reads only doc_id and text") {
     val read = plan("llm_text_tf").linesIterator
       .find(_.trim.startsWith("ReadSchema")).get
