@@ -28,10 +28,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph extends QueryModule {
 
-  import Exact.sqlSum
+  import Exact.{sqlSum, sqlAvg}
 
   private val damping = 0.85
   private val rounds  = 5
+
+  /** Bellman-Ford relaxation rounds (single-source shortest path).
+    * `dist` = (node, d: bigint nullable — null is +infinity), `edges` =
+    * (src, dst, cost: bigint). Each round is ONE shuffle (the union's
+    * min-aggregate on node); state stays O(|nodes|). Integer costs make
+    * every round bit-exact on any partitioning. */
+  def ssspRounds(dist0: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    var dist = dist0
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.filter(col("d").isNotNull), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + col("cost")).as("d"))
+      dist = dist.select(col("node"), col("d")).union(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist
+  }
 
   /** The rank loop, reusable (query + scale soak): `nodes` = (node),
     * `norm` = (src, dst, wn) out-normalized edges. One shuffle per round on
@@ -52,6 +69,41 @@ object Graph extends QueryModule {
     }
     ranks
   }
+
+  /** Directed nation→nation trade edges with exact-decimal volume weights:
+    * the TPC-H Q7 join shape, unfiltered. Facts shuffle on their keys; the
+    * two nation maps broadcast. Columns: (src_nk, dst_nk, src, dst, w). */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation   = Tables.load(s, dir, "nation")
+    val cn = nation.select($"n_nationkey".as("c_nk"), $"n_name".as("src"))
+    val sn = nation.select($"n_nationkey".as("s_nk"), $"n_name".as("dst"))
+    Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cn), $"c_nationkey" === $"c_nk")
+      .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+      .groupBy($"c_nk".as("src_nk"), $"s_nk".as("dst_nk"), $"src", $"dst")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(30, 6))).cast("double").as("w"))
+  }
+
+  /** Oracle-side spelling of [[tradeEdges]]. */
+  private val tradeEdgesSql = s"""
+        SELECT cn.n_nationkey AS src_nk, sn.n_nationkey AS dst_nk,
+               cn.n_name AS src, sn.n_name AS dst,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2, 3, 4"""
 
   def queries: Map[String, QuerySpec] = Map(
     "rel_graph_pagerank" -> QuerySpec(
@@ -115,6 +167,128 @@ object Graph extends QueryModule {
         }.mkString(",")
         Some(s"""$base,$iters
         SELECT node, ROUND(r, 10) AS rank FROM r$rounds""")
+      }),
+
+    // ------------------------------------------------------------------
+    // Triangle counting on the strong-trade graph — the fraud-ring /
+    // community-density primitive. Undirected edges = both directions of
+    // the nation trade graph summed; "strong" = weight above the global
+    // mean (self-scaling threshold, so the subgraph stays nontrivial at
+    // every SF). The Spark side runs the DEGREE-ORDERED algorithm
+    // (Suri–Vassilvitskii): orient each edge from its lower-(degree, name)
+    // endpoint to the higher, build wedges only from each node's oriented
+    // out-neighborhood, and close them against the oriented edge set. At
+    // 100 TB this bounds the wedge count by sum(out-deg²) with out-degrees
+    // capped near sqrt(|E|) — the all-pairs-per-node blowup on hub nodes
+    // never happens. Each triangle is counted exactly once, so the simple
+    // lexicographic SQL spelling in the oracle enumerates the identical
+    // set. Two shuffles (degree agg + wedge join); weights exact decimal.
+    "rel_graph_triangles" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val und = tradeEdges(s, dir)
+          .filter($"src" =!= $"dst")
+          .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+          .agg(sum($"w".cast(DecimalType(30, 6))).cast("double").as("w"))
+        val thr = und.agg((sum($"w".cast(DecimalType(30, 6))).cast("double") /
+          count($"w")).as("t"))
+        val keep = und.crossJoin(broadcast(thr)).filter($"w" > $"t").select($"a", $"b")
+
+        // Degree per endpoint, then orient low-(deg, name) → high-(deg, name).
+        val deg = keep.select($"a".as("node")).union(keep.select($"b".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("deg"))
+        val withDeg = keep
+          .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+          .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+        val oriented = withDeg.select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a".as("u"), $"b".as("v"), $"db".as("dv")))
+            .otherwise(struct($"b".as("u"), $"a".as("v"), $"da".as("dv"))).as("e"))
+          .select($"e.u", $"e.v", $"e.dv")
+
+        // Wedges from each oriented out-neighborhood, closed against the
+        // oriented edges; ord(v) < ord(w) picks each wedge once.
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"), $"e1.u" === $"e2.u" &&
+            ($"e1.dv" < $"e2.dv" || ($"e1.dv" === $"e2.dv" && $"e1.v" < $"e2.v")))
+          .select($"e1.u".as("x"), $"e1.v".as("y"), $"e2.v".as("z"))
+        val tris = wedges.join(oriented.as("e3"),
+          $"y" === $"e3.u" && $"z" === $"e3.v")
+          .select($"x", $"y", $"z")
+
+        val perNode = tris.select($"x".as("m")).union(tris.select($"y".as("m")))
+          .union(tris.select($"z".as("m")))
+        Tables.load(s, dir, "nation").select($"n_name".as("node"))
+          .join(perNode, $"node" === $"m", "left")
+          .groupBy($"node").agg(count($"m").as("n_tri"))
+      },
+      oracle = Some(s"""
+        WITH dir_edges AS ($tradeEdgesSql),
+        und AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                 ${sqlSum("w")} AS w
+          FROM dir_edges WHERE src <> dst GROUP BY 1, 2),
+        thr AS (SELECT ${sqlAvg("w")} AS t FROM und),
+        keep AS (SELECT a, b FROM und, thr WHERE w > t),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM keep e1
+          JOIN keep e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN keep e3 ON e3.a = e1.b AND e3.b = e2.b),
+        per_node AS (
+          SELECT x AS m FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        SELECT n.n_name AS node, COUNT(p.m) AS n_tri
+        FROM nation n LEFT JOIN per_node p ON p.m = n.n_name
+        GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Single-source shortest path: Bellman-Ford relaxation rounds over the
+    // directed trade graph with deterministic integer edge costs (derived
+    // from the endpoint keys, so both engines agree bit-for-bit with no
+    // float discipline needed). One shuffle per round, O(|nodes|) state —
+    // the same iterate-a-join shape as pagerank, so the 100 TB story is
+    // identical (persist + reliable checkpoint every few rounds). 8 rounds
+    // far exceeds the 25-node graph's diameter; the oracle unrolls the
+    // SAME 8 relaxations as CTEs, so the results match even before
+    // convergence arguments enter.
+    "rel_graph_sssp" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val edges = tradeEdges(s, dir)
+          .filter($"src_nk" =!= $"dst_nk")
+          .select($"src", $"dst",
+            (($"src_nk" * 7 + $"dst_nk" * 13) % 20 + 1).cast("long").as("cost"))
+        val nodes = Tables.load(s, dir, "nation")
+          .select($"n_name".as("node"), $"n_nationkey")
+        val dist0 = nodes.select($"node",
+          when($"n_nationkey" === 0, lit(0L)).as("d"))
+        ssspRounds(dist0, edges, rounds = 8)
+          .select($"node", $"d".as("dist"))
+      },
+      oracle = {
+        val base = s"""
+        WITH dir_edges AS ($tradeEdgesSql),
+        edges AS (
+          SELECT src, dst,
+                 CAST((src_nk * 7 + dst_nk * 13) % 20 + 1 AS BIGINT) AS cost
+          FROM dir_edges WHERE src_nk <> dst_nk),
+        nodes AS (SELECT n_name AS node, n_nationkey FROM nation),
+        d0 AS (SELECT node, CASE WHEN n_nationkey = 0
+                 THEN CAST(0 AS BIGINT) END AS d FROM nodes)"""
+        val iters = (1 to 8).map { k =>
+          s"""
+        d$k AS (
+          SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d${k - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.d + e.cost AS d
+            FROM edges e JOIN d${k - 1} p ON e.src = p.node
+            WHERE p.d IS NOT NULL) u
+          GROUP BY node)"""
+        }.mkString(",")
+        Some(s"""$base,$iters
+        SELECT node, d AS dist FROM d8""")
       })
   )
 }
