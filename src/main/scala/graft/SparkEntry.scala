@@ -15,6 +15,8 @@ object SparkEntry {
     graft.operators.RelationalQueries,
     graft.operators.TimeWindows,
     graft.operators.Graph,
+    graft.operators.Baskets,
+    graft.operators.Geo,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.Knn,
