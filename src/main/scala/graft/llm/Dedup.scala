@@ -445,6 +445,52 @@ object Dedup extends QueryModule {
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM corpus GROUP BY md5(text)""")),
 
+    // Duplicated-passage detection (Lee et al., "Deduplicating Training
+    // Data Makes Language Models Better"): find document pairs sharing an
+    // EXACT 40-char run, by extracting candidate windows only at word
+    // boundaries (position after a space) — an anchoring rule both engines
+    // spell identically, keeping the window stream O(words) instead of
+    // O(chars). One shuffle groups identical windows; a group-size cap
+    // (≤ 50 docs per window) bounds the pair expansion exactly like the
+    // SimHash bucket cap — boilerplate/license headers shared by thousands
+    // of docs would otherwise go quadratic. At 100 TB the window column
+    // would carry a 64-bit rolling hash instead of the literal chars
+    // (collision-verified on the candidate pairs, as minhash does); the
+    // literal form keeps the oracle exact here.
+    "llm_dedup_passage" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val L = 40
+        val wins = nearCorpus(s, dir)
+          .filter(length($"text") > L)
+          .select($"doc_id", explode(expr(
+            s"""transform(
+                  filter(sequence(1, length(text) - $L),
+                         i -> substring(text, i, 1) = ' '),
+                  i -> substring(text, i + 1, $L))""")).as("w"))
+          .distinct()
+        val shared = wins.groupBy($"w").agg(count(lit(1)).as("nd"))
+          .filter($"nd".between(2, 50)).select($"w")
+        val kept = wins.join(shared, "w")
+        kept.as("a").join(kept.as("b"),
+            $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      oracle = Some(s"""
+        WITH $nearCorpusSql,
+        wins AS (
+          SELECT DISTINCT doc_id, substr(text, i + 1, 40) AS w
+          FROM corpus, LATERAL unnest(range(1, len(text) - 39)) AS t(i)
+          WHERE substr(text, i, 1) = ' '),
+        shared AS (
+          SELECT w FROM wins GROUP BY w HAVING COUNT(*) BETWEEN 2 AND 50)
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        FROM wins a
+        JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+        JOIN shared s ON s.w = a.w
+        GROUP BY 1, 2""")),
+
     // Near-dup ground truth: exact shingle-Jaccard pairs ≥ 0.8.
     "llm_dedup_jaccard" -> QuerySpec(
       fn = (s, dir) => exactJaccardPairs(nearCorpus(s, dir)),
