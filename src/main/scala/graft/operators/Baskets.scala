@@ -25,7 +25,7 @@ object Baskets extends QueryModule {
   /** (order, sorted distinct part list) → exploded canonical pairs p1 < p2.
     * `sort_array` pins the nondeterministic collect_set order so the slice
     * expansion is deterministic on any partitioning. */
-  private def pairStream(s: SparkSession, dir: String): DataFrame = {
+  def pairStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey")

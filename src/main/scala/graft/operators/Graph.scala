@@ -70,6 +70,39 @@ object Graph extends QueryModule {
     ranks
   }
 
+  /** Degree-ordered triangle counting (Suri–Vassilvitskii). `und` =
+    * canonical undirected edges (a < b, distinct); `nodes` = (node). Each
+    * edge is oriented from its lower-(degree, id) endpoint to the higher,
+    * wedges are built only within oriented out-neighborhoods, and closed
+    * against the oriented edge set — every triangle found exactly once,
+    * with wedge count bounded by sum(out-deg²), out-degrees ≲ sqrt(|E|).
+    * Returns (node, n_tri) including zero-triangle nodes. */
+  def triangleCounts(nodes: DataFrame, und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
+      .select(col("e.u"), col("e.v"), col("e.dv"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tris = wedges.join(oriented.as("e3"),
+      col("y") === col("e3.u") && col("z") === col("e3.v"))
+      .select(col("x"), col("y"), col("z"))
+    val perNode = tris.select(col("x").as("m")).union(tris.select(col("y").as("m")))
+      .union(tris.select(col("z").as("m")))
+    nodes.join(perNode, col("node") === col("m"), "left")
+      .groupBy(col("node")).agg(count(col("m")).as("n_tri"))
+  }
+
   /** Directed nation→nation trade edges with exact-decimal volume weights:
     * the TPC-H Q7 join shape, unfiltered. Facts shuffle on their keys; the
     * two nation maps broadcast. Columns: (src_nk, dst_nk, src, dst, w). */
@@ -193,33 +226,7 @@ object Graph extends QueryModule {
         val thr = und.agg((sum($"w".cast(DecimalType(30, 6))).cast("double") /
           count($"w")).as("t"))
         val keep = und.crossJoin(broadcast(thr)).filter($"w" > $"t").select($"a", $"b")
-
-        // Degree per endpoint, then orient low-(deg, name) → high-(deg, name).
-        val deg = keep.select($"a".as("node")).union(keep.select($"b".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("deg"))
-        val withDeg = keep
-          .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
-          .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
-        val oriented = withDeg.select(
-          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a".as("u"), $"b".as("v"), $"db".as("dv")))
-            .otherwise(struct($"b".as("u"), $"a".as("v"), $"da".as("dv"))).as("e"))
-          .select($"e.u", $"e.v", $"e.dv")
-
-        // Wedges from each oriented out-neighborhood, closed against the
-        // oriented edges; ord(v) < ord(w) picks each wedge once.
-        val wedges = oriented.as("e1")
-          .join(oriented.as("e2"), $"e1.u" === $"e2.u" &&
-            ($"e1.dv" < $"e2.dv" || ($"e1.dv" === $"e2.dv" && $"e1.v" < $"e2.v")))
-          .select($"e1.u".as("x"), $"e1.v".as("y"), $"e2.v".as("z"))
-        val tris = wedges.join(oriented.as("e3"),
-          $"y" === $"e3.u" && $"z" === $"e3.v")
-          .select($"x", $"y", $"z")
-
-        val perNode = tris.select($"x".as("m")).union(tris.select($"y".as("m")))
-          .union(tris.select($"z".as("m")))
-        Tables.load(s, dir, "nation").select($"n_name".as("node"))
-          .join(perNode, $"node" === $"m", "left")
-          .groupBy($"node").agg(count($"m").as("n_tri"))
+        triangleCounts(Tables.load(s, dir, "nation").select($"n_name".as("node")), keep)
       },
       oracle = Some(s"""
         WITH dir_edges AS ($tradeEdgesSql),

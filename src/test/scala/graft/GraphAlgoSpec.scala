@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Hand-graph unit tests for the graph algorithm cores — the oracle checks
+  * them end-to-end on the trade graph; these pin the algorithms' semantics
+  * on graphs with known-by-inspection answers. */
+class GraphAlgoSpec extends SparkSpec {
+
+  test("degree-ordered triangle counting finds each triangle exactly once") {
+    val s = spark
+    import s.implicits._
+    // A triangle {a,b,c} with a pendant path c—d—e, plus a disjoint K4 on
+    // {p,q,r,s2}: K4 has 4 triangles, each node on 3 of them. Degrees are
+    // deliberately non-uniform so the orientation tie-break is exercised.
+    val und = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"),
+      ("c", "d"), ("d", "e"),
+      ("p", "q"), ("p", "r"), ("p", "s2"),
+      ("q", "r"), ("q", "s2"), ("r", "s2")).toDF("a", "b")
+    val nodes = Seq("a", "b", "c", "d", "e", "p", "q", "r", "s2").toDF("node")
+    val got = Graph.triangleCounts(nodes, und)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L, "e" -> 0L,
+      "p" -> 3L, "q" -> 3L, "r" -> 3L, "s2" -> 3L))
+  }
+
+  test("sssp relaxation rounds produce exact distances; unreachable stays null") {
+    val s = spark
+    import s.implicits._
+    // s→a(1)→b(1)→c(1), a shortcut s→b(5) that must lose, a back edge
+    // c→a(1) that must not improve anything, and an isolated node z.
+    val edges = Seq(
+      ("s", "a", 1L), ("a", "b", 1L), ("s", "b", 5L),
+      ("b", "c", 1L), ("c", "a", 1L)).toDF("src", "dst", "cost")
+    val nodes = Seq("s", "a", "b", "c", "z").toDF("node")
+    val dist0 = nodes.select($"node", when($"node" === "s", lit(0L)).as("d"))
+    val got = Graph.ssspRounds(dist0, edges, rounds = 6)
+      .as[(String, Option[Long])].collect().toMap
+    assert(got === Map(
+      "s" -> Some(0L), "a" -> Some(1L), "b" -> Some(2L),
+      "c" -> Some(3L), "z" -> None))
+  }
+}

@@ -313,4 +313,27 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "pagerank has a cartesian product")
     assert(p.contains("BroadcastHashJoin"), "rank joins not broadcast at this scale")
   }
+
+  test("rel_basket_pairs: map-side HOF pair expansion, top-k never a global sort") {
+    val p = plan("rel_basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-k fell back to a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // The pair stream must come from the array HOF over collected baskets,
+    // not a fact-table self-join (which would shuffle lineitem twice).
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pair expansion regressed to a self-join")
+    assert(hashExchanges(p) <= 2, s"basket mining needs ≤2 shuffles:\n$p")
+  }
+
+  test("rel_geo_nearest: spatial candidate join is a broadcast equi-join") {
+    val p = plan("rel_geo_nearest")
+    assert(p.contains("BroadcastHashJoin"), "grid-cell join not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatial join degenerated to all-pairs")
+  }
+
+  test("triangles/sssp/passage-dedup: no cartesian in the candidate shapes") {
+    for (n <- Seq("rel_graph_triangles", "rel_graph_sssp", "llm_dedup_passage"))
+      assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
+  }
 }

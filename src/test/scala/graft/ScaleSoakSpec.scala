@@ -301,6 +301,36 @@ class ScaleSoakSpec extends SparkSpec {
       f"8x corpus took ${t8 / t1}%.1fx the time — merge no longer linear")
   }
 
+  test("basket pair stream scales linearly in fact replication") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // Baskets are bounded (≤ ~13 lines/order), so the HOF pair expansion
+    // must stay linear in the fact table: k disjoint order-keyspace
+    // replicas → exactly k× the pairs, ~linear wall clock.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def mk(k: Int): String = {
+      val d = tempDir(s"basket_soak_$k")
+      (0 until k).map(r => li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(r * 100000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      d
+    }
+    def run(d: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Baskets.pairStream(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val d1 = mk(1); val d6 = mk(6)
+    run(d1) // warm-up
+    val (n1, t1) = run(d1)
+    val (n6, t6) = run(d6)
+    info(f"1x: $n1 pairs in $t1%.1f s;  6x: $n6 pairs in $t6%.1f s")
+    assert(n6 === 6 * n1, "pair count must grow exactly linearly")
+    assert(t6 <= t1 * 15,
+      f"6x facts took ${t6 / t1}%.1fx the time — expansion no longer linear")
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
