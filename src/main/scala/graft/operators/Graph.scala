@@ -103,6 +103,24 @@ object Graph extends QueryModule {
       .groupBy(col("node")).agg(count(col("m")).as("n_tri"))
   }
 
+  /** Min-label propagation rounds (weakly connected components). `und` =
+    * canonical undirected edges (a, b); labels start as each node's own id
+    * and each round takes the min over {self} ∪ neighbors — one shuffle
+    * per round, O(|nodes|) state, exactly the machinery behind
+    * [[graft.llm.Dedup]]'s duplicate clusters, exposed as a graph op. */
+  def componentRounds(nodes: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = edges.join(lab, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      lab = lab.select(col("node"), col("label")).union(nb)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    lab
+  }
+
   /** Directed nation→nation trade edges with exact-decimal volume weights:
     * the TPC-H Q7 join shape, unfiltered. Facts shuffle on their keys; the
     * two nation maps broadcast. Columns: (src_nk, dst_nk, src, dst, w). */
@@ -124,6 +142,34 @@ object Graph extends QueryModule {
       .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .cast(DecimalType(30, 6))).cast("double").as("w"))
   }
+
+  private def nationNodes(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation").select(col("n_name").as("node"))
+
+  /** Strong-trade undirected edges: both directions of [[tradeEdges]]
+    * summed, kept when the weight exceeds the global mean — a self-scaling
+    * threshold, so the subgraph stays nontrivial at every SF. Returns
+    * canonical (a < b) edge pairs. */
+  private def strongEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = tradeEdges(s, dir)
+      .filter($"src" =!= $"dst")
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(sum($"w".cast(DecimalType(30, 6))).cast("double").as("w"))
+    val thr = und.agg((sum($"w".cast(DecimalType(30, 6))).cast("double") /
+      count($"w")).as("t"))
+    und.crossJoin(broadcast(thr)).filter($"w" > $"t").select($"a", $"b")
+  }
+
+  /** Oracle-side spelling of [[strongEdges]] (WITH-clause fragment ending
+    * in `keep(a, b)`). */
+  private lazy val strongEdgesSql = s"""dir_edges AS ($tradeEdgesSql),
+        und AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                 ${sqlSum("w")} AS w
+          FROM dir_edges WHERE src <> dst GROUP BY 1, 2),
+        thr AS (SELECT ${sqlAvg("w")} AS t FROM und),
+        keep AS (SELECT a, b FROM und, thr WHERE w > t)"""
 
   /** Oracle-side spelling of [[tradeEdges]]. */
   private val tradeEdgesSql = s"""
@@ -217,25 +263,10 @@ object Graph extends QueryModule {
     // lexicographic SQL spelling in the oracle enumerates the identical
     // set. Two shuffles (degree agg + wedge join); weights exact decimal.
     "rel_graph_triangles" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        val und = tradeEdges(s, dir)
-          .filter($"src" =!= $"dst")
-          .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-          .agg(sum($"w".cast(DecimalType(30, 6))).cast("double").as("w"))
-        val thr = und.agg((sum($"w".cast(DecimalType(30, 6))).cast("double") /
-          count($"w")).as("t"))
-        val keep = und.crossJoin(broadcast(thr)).filter($"w" > $"t").select($"a", $"b")
-        triangleCounts(Tables.load(s, dir, "nation").select($"n_name".as("node")), keep)
-      },
+      fn = (s, dir) =>
+        triangleCounts(nationNodes(s, dir), strongEdges(s, dir)),
       oracle = Some(s"""
-        WITH dir_edges AS ($tradeEdgesSql),
-        und AS (
-          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
-                 ${sqlSum("w")} AS w
-          FROM dir_edges WHERE src <> dst GROUP BY 1, 2),
-        thr AS (SELECT ${sqlAvg("w")} AS t FROM und),
-        keep AS (SELECT a, b FROM und, thr WHERE w > t),
+        WITH $strongEdgesSql,
         tri AS (
           SELECT e1.a AS x, e1.b AS y, e2.b AS z
           FROM keep e1
@@ -296,6 +327,41 @@ object Graph extends QueryModule {
         }.mkString(",")
         Some(s"""$base,$iters
         SELECT node, d AS dist FROM d8""")
+      }),
+
+    // ------------------------------------------------------------------
+    // Weakly connected components of the strong-trade subgraph: min-label
+    // propagation, the same iterate-a-join core that labels duplicate
+    // clusters in the dedup pipeline, run here on a graph whose threshold
+    // filter genuinely fragments it. 8 rounds unrolled identically in the
+    // oracle, so results agree even before the convergence argument; at
+    // 100 TB the loop gets persist + reliable checkpoints every few rounds
+    // (Dedup.labels machinery) and large-star/small-star contraction if
+    // diameters blow up. Component id = lexicographic min node name.
+    "rel_graph_components" -> QuerySpec(
+      fn = (s, dir) =>
+        componentRounds(nationNodes(s, dir), strongEdges(s, dir), rounds = 8)
+          .select(col("node"), col("label").as("component")),
+      oracle = {
+        val base = s"""
+        WITH $strongEdgesSql,
+        bidir AS (
+          SELECT a AS src, b AS dst FROM keep
+          UNION ALL SELECT b, a FROM keep),
+        nodes AS (SELECT n_name AS node FROM nation),
+        l0 AS (SELECT node, node AS label FROM nodes)"""
+        val iters = (1 to 8).map { k =>
+          s"""
+        l$k AS (
+          SELECT node, MIN(label) AS label FROM (
+            SELECT node, label FROM l${k - 1}
+            UNION ALL
+            SELECT e.dst AS node, p.label
+            FROM bidir e JOIN l${k - 1} p ON e.src = p.node) u
+          GROUP BY node)"""
+        }.mkString(",")
+        Some(s"""$base,$iters
+        SELECT node, label AS component FROM l8""")
       })
   )
 }

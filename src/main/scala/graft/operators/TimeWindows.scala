@@ -78,6 +78,48 @@ object TimeWindows extends QueryModule {
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id""")),
 
+    // MATCH_RECOGNIZE-style sequence patterns: each user's event history
+    // becomes one ordered symbol string (v/c/p/s/e initials, totally
+    // ordered by (ts, event_id) so collection order is deterministic on
+    // any partitioning), and conversions are counted as non-overlapping
+    // regex matches of view→click⁺→purchase. ONE shuffle builds the
+    // per-user string; the regex is leftmost/non-overlapping in both
+    // engines' regex dialects (java.util.regex vs RE2) for this pattern
+    // class. Per-user state is the event string — bounded by per-entity
+    // history, the same contract every sessionizer assumes; a 100 TB run
+    // would cap history length per user exactly like the SimHash bucket
+    // cap. The string spelling is what MATCH_RECOGNIZE engines compile to
+    // for linear patterns, re-expressed with groupBy + regexp.
+    "ts_event_pattern" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"user_id",
+            struct($"ts".as("t"), $"event_id".as("i"),
+              substring($"event_type", 1, 1).as("c")).as("ev"))
+          .groupBy($"user_id")
+          .agg(array_join(expr("transform(array_sort(collect_list(ev)), x -> x.c)"), "")
+            .as("journey"))
+          .select($"user_id",
+            length($"journey").as("journey_len"),
+            size(regexp_extract_all($"journey", lit("vc+p"), lit(0)))
+              .as("n_conversions"),
+            size(regexp_extract_all($"journey", lit("e"), lit(0)))
+              .cast("long").as("n_errors"))
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS journey
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(journey) AS INT) AS journey_len,
+               CAST(len(regexp_extract_all(journey, 'vc+p')) AS INT)
+                 AS n_conversions,
+               CAST(len(regexp_extract_all(journey, 'e')) AS BIGINT) AS n_errors
+        FROM j""")),
+
     // Cohort retention: users grouped by first-activity day, distinct
     // active users per (cohort, day offset) — funnel's companion staple.
     // Two keyed aggregations; the (user, day) distinct bounds the join at

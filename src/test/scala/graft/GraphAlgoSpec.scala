@@ -27,6 +27,19 @@ class GraphAlgoSpec extends SparkSpec {
       "p" -> 3L, "q" -> 3L, "r" -> 3L, "s2" -> 3L))
   }
 
+  test("min-label propagation splits disjoint components; isolated node is its own") {
+    val s = spark
+    import s.implicits._
+    // Components: a path a—b—c (min label a), a pair x—y (min x), and the
+    // isolated node z. 8 rounds ≫ both diameters.
+    val und = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val nodes = Seq("a", "b", "c", "x", "y", "z").toDF("node")
+    val got = Graph.componentRounds(nodes, und, rounds = 8)
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x", "z" -> "z"))
+  }
+
   test("sssp relaxation rounds produce exact distances; unreachable stays null") {
     val s = spark
     import s.implicits._
