@@ -2017,6 +2017,66 @@ object RelationalQueries extends QueryModule {
     // window pass — no per-group value buffering (the same spill-safe
     // shape as the exact median), ranks computed from the SAME double
     // expression on both engines so the selected rows agree exactly.
+    // Winsorized robust aggregation: per-group p05/p95 bounds by exact
+    // rank (the same deterministic ceil-rank spelling as
+    // rel_agg_quantiles), broadcast back to the fact stream, values
+    // clamped, then exact-decimal re-aggregation. Two passes over the
+    // fact table and a broadcast of O(|groups|) bounds — the standard
+    // outlier-robust metric pipeline at any scale; no sort of the full
+    // table, no collect.
+    "rel_agg_winsorized" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val part = Window.partitionBy($"l_linestatus")
+        val w = part.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        def rank(q: Double) = ceil(lit(q) * $"n").cast("long")
+        val bounds = t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(part))
+          .filter($"rn" === rank(0.05) || $"rn" === rank(0.95))
+          .groupBy($"l_linestatus".as("g"))
+          .agg(
+            max(when($"rn" === rank(0.05), $"l_extendedprice")).as("lo"),
+            max(when($"rn" === rank(0.95), $"l_extendedprice")).as("hi"))
+        t(s, dir, "lineitem")
+          .join(broadcast(bounds), $"l_linestatus" === $"g")
+          .select($"l_linestatus", $"lo", $"hi",
+            least(greatest($"l_extendedprice", $"lo"), $"hi").as("v"),
+            ($"l_extendedprice" < $"lo").cast("long").as("cl"),
+            ($"l_extendedprice" > $"hi").cast("long").as("ch"))
+          .groupBy($"l_linestatus")
+          .agg(
+            (dsum($"v") / count($"v")).as("winsorized_mean"),
+            sum($"cl").as("n_clamped_lo"),
+            sum($"ch").as("n_clamped_hi"))
+      },
+      oracle = Some(s"""
+        WITH ranked AS (
+          SELECT l_linestatus, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM lineitem),
+        bounds AS (
+          SELECT l_linestatus AS g,
+                 MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                          THEN l_extendedprice END) AS lo,
+                 MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                          THEN l_extendedprice END) AS hi
+          FROM ranked
+          WHERE rn = CAST(CEIL(0.05 * n) AS BIGINT)
+             OR rn = CAST(CEIL(0.95 * n) AS BIGINT)
+          GROUP BY 1)
+        SELECT l_linestatus,
+               ${sqlSum("LEAST(GREATEST(l_extendedprice, lo), hi)")} /
+                 COUNT(*) AS winsorized_mean,
+               CAST(SUM(CAST(l_extendedprice < lo AS BIGINT)) AS BIGINT)
+                 AS n_clamped_lo,
+               CAST(SUM(CAST(l_extendedprice > hi AS BIGINT)) AS BIGINT)
+                 AS n_clamped_hi
+        FROM lineitem JOIN bounds ON l_linestatus = g
+        GROUP BY l_linestatus""")),
+
     "rel_agg_quantiles" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
