@@ -33,6 +33,21 @@ object Graph extends QueryModule {
   private val damping = 0.85
   private val rounds  = 5
 
+  /** Iterative frames reference the previous round's frame TWICE (once to
+    * carry state, once to relax/propagate), so the logical plan is a DAG
+    * Catalyst traverses as a TREE — analysis cost doubles per round and a
+    * ~20-round loop hangs in the planner long before any data moves. Same
+    * cure as [[graft.llm.Dedup]]'s label loop: truncate lineage with an
+    * eager checkpoint every few rounds (cluster-visible dir via
+    * [[graft.api.Checkpoints]]). Integer/decimal-exact rounds mean the
+    * checkpoint changes nothing observable. */
+  private val truncateEvery = 6
+  private def maybeCheckpoint(df: DataFrame, round: Int, rounds: Int): DataFrame =
+    if (round % truncateEvery == 0 && round < rounds) {
+      graft.api.Checkpoints.ensureDir(df.sparkSession)
+      df.checkpoint(eager = true)
+    } else df
+
   /** Bellman-Ford relaxation rounds (single-source shortest path).
     * `dist` = (node, d: bigint nullable — null is +infinity), `edges` =
     * (src, dst, cost: bigint). Each round is ONE shuffle (the union's
@@ -40,12 +55,13 @@ object Graph extends QueryModule {
     * every round bit-exact on any partitioning. */
   def ssspRounds(dist0: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     var dist = dist0
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val relaxed = edges
         .join(dist.filter(col("d").isNotNull), col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + col("cost")).as("d"))
       dist = dist.select(col("node"), col("d")).union(relaxed)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
+      dist = maybeCheckpoint(dist, r, rounds)
     }
     dist
   }
@@ -112,11 +128,12 @@ object Graph extends QueryModule {
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
     var lab = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nb = edges.join(lab, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       lab = lab.select(col("node"), col("label")).union(nb)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      lab = maybeCheckpoint(lab, r, rounds)
     }
     lab
   }

@@ -332,6 +332,12 @@ class PlanAssertSpec extends SparkSpec {
       "spatial join degenerated to all-pairs")
   }
 
+  test("rel_agg_winsorized: bounds join back as a broadcast") {
+    val p = plan("rel_agg_winsorized")
+    assert(p.contains("BroadcastHashJoin"), "p05/p95 bounds not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("triangles/sssp/passage-dedup: no cartesian in the candidate shapes") {
     for (n <- Seq("rel_graph_triangles", "rel_graph_sssp", "llm_dedup_passage"))
       assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")

@@ -301,6 +301,53 @@ class ScaleSoakSpec extends SparkSpec {
       f"8x corpus took ${t8 / t1}%.1fx the time — merge no longer linear")
   }
 
+  test("sssp and components on k-replicated disjoint graphs: per-replica results exact") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    val s = spark
+    import s.implicits._
+    // Same structural scale-out claim as the pagerank soak: k disjoint
+    // copies through ONE loop must match each copy run alone — integer
+    // mins make this exact. Ring + chords, source n0 per replica.
+    val k = 10
+    val nNodes = 30
+    val baseEdges = (0 until nNodes).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % nNodes}", 3L), (s"n$i", s"n${(i + 11) % nNodes}", 7L))
+    }
+    val oneNodes = (0 until nNodes).map(i => s"n$i").toDF("node")
+    val oneEdges = baseEdges.toDF("src", "dst", "cost")
+    val repNodes = (0 until k).flatMap(r =>
+      (0 until nNodes).map(i => s"r${r}_n$i")).toDF("node")
+    val repEdges = (0 until k).flatMap(r =>
+      baseEdges.map { case (a, b, c) => (s"r${r}_$a", s"r${r}_$b", c) })
+      .toDF("src", "dst", "cost")
+
+    def d0(nodes: org.apache.spark.sql.DataFrame) = nodes.select($"node",
+      when($"node".endsWith("n0"), lit(0L)).as("d"))
+    val one = graft.operators.Graph.ssspRounds(d0(oneNodes), oneEdges, 8)
+      .as[(String, Option[Long])].collect().toMap
+    val rep = graft.operators.Graph.ssspRounds(d0(repNodes), repEdges, 8)
+      .as[(String, Option[Long])].collect()
+    assert(rep.length === nNodes * k)
+    val badD = rep.filterNot { case (n, d) => one(n.substring(n.indexOf('_') + 1)) == d }
+    assert(badD.isEmpty, s"replica distances diverged: ${badD.take(3).mkString(", ")}")
+
+    // Components: drop the chords to leave k rings; labels per replica
+    // must equal the solo ring's (prefix-adjusted).
+    val oneUnd = (0 until nNodes - 1).map(i => (s"n$i", s"n${i + 1}")).toDF("a", "b")
+    val repUnd = (0 until k).flatMap(r => (0 until nNodes - 1).map(i =>
+      (s"r${r}_n$i", s"r${r}_n${i + 1}"))).toDF("a", "b")
+    val oneCc = graft.operators.Graph.componentRounds(oneNodes, oneUnd, 32)
+      .as[(String, String)].collect().toMap
+    val repCc = graft.operators.Graph.componentRounds(repNodes, repUnd, 32)
+      .as[(String, String)].collect()
+    val badC = repCc.filterNot { case (n, l) =>
+      val p = n.substring(0, n.indexOf('_') + 1)
+      p + oneCc(n.substring(p.length)) == l
+    }
+    assert(badC.isEmpty, s"replica labels diverged: ${badC.take(3).mkString(", ")}")
+  }
+
   test("basket pair stream scales linearly in fact replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
