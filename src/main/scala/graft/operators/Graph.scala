@@ -41,19 +41,29 @@ object Graph extends QueryModule {
     * eager checkpoint every few rounds (cluster-visible dir via
     * [[graft.api.Checkpoints]]). Integer/decimal-exact rounds mean the
     * checkpoint changes nothing observable. */
-  private val truncateEvery = 6
+  private val truncateEvery = 4
   private def maybeCheckpoint(df: DataFrame, round: Int, rounds: Int): DataFrame =
-    if (round % truncateEvery == 0 && round < rounds) {
-      graft.api.Checkpoints.ensureDir(df.sparkSession)
-      df.checkpoint(eager = true)
-    } else df
+    if (round % truncateEvery == 0 && round < rounds) checkpointed(df) else df
+
+  /** Eagerly checkpoint a frame the loop (or the wedge join) will
+    * reference many times: the lineage tree duplicates per reference and
+    * Spark re-executes each occurrence (ReusedExchange catches only
+    * identical exchange subtrees), so an expensive input like the 5-way
+    * trade-edge join must be materialized ONCE — measured 22 s → ~2 s on
+    * the components query at sf0.1. O(|edges|) storage, exactly what a
+    * cluster run would persist across rounds anyway. */
+  private def checkpointed(df: DataFrame): DataFrame = {
+    graft.api.Checkpoints.ensureDir(df.sparkSession)
+    df.checkpoint(eager = true)
+  }
 
   /** Bellman-Ford relaxation rounds (single-source shortest path).
     * `dist` = (node, d: bigint nullable — null is +infinity), `edges` =
     * (src, dst, cost: bigint). Each round is ONE shuffle (the union's
     * min-aggregate on node); state stays O(|nodes|). Integer costs make
     * every round bit-exact on any partitioning. */
-  def ssspRounds(dist0: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+  def ssspRounds(dist0: DataFrame, edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = checkpointed(edges0)
     var dist = dist0
     for (r <- 1 to rounds) {
       val relaxed = edges
@@ -93,18 +103,21 @@ object Graph extends QueryModule {
     * against the oriented edge set — every triangle found exactly once,
     * with wedge count bounded by sum(out-deg²), out-degrees ≲ sqrt(|E|).
     * Returns (node, n_tri) including zero-triangle nodes. */
-  def triangleCounts(nodes: DataFrame, und: DataFrame): DataFrame = {
+  def triangleCounts(nodes: DataFrame, und0: DataFrame): DataFrame = {
+    // und feeds the degree agg AND both sides of the wedge closure;
+    // oriented is referenced three times — materialize each once.
+    val und = checkpointed(und0)
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-    val oriented = withDeg.select(
+    val oriented = checkpointed(withDeg.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("e"))
-      .select(col("e.u"), col("e.v"), col("e.dv"))
+      .select(col("e.u"), col("e.v"), col("e.dv")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
         (col("e1.dv") < col("e2.dv") ||
@@ -124,7 +137,8 @@ object Graph extends QueryModule {
     * and each round takes the min over {self} ∪ neighbors — one shuffle
     * per round, O(|nodes|) state, exactly the machinery behind
     * [[graft.llm.Dedup]]'s duplicate clusters, exposed as a graph op. */
-  def componentRounds(nodes: DataFrame, und: DataFrame, rounds: Int): DataFrame = {
+  def componentRounds(nodes: DataFrame, und0: DataFrame, rounds: Int): DataFrame = {
+    val und = checkpointed(und0)
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
     var lab = nodes.select(col("node"), col("node").as("label"))

@@ -93,6 +93,18 @@ class SqlSurfaceSpec extends SparkSpec {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
   }
 
+  test("rel_basket_pairs through spark.sql") {
+    // The SQL door reaches the round-6 surface too: the readable self-join
+    // spelling must reproduce the library's HOF pair expansion exactly.
+    checkSame("rel_basket_pairs", """
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY support DESC, p1, p2 LIMIT 100""")
+  }
+
   test("llm_text_fingerprint through spark.sql (injected native function)") {
     // The custom codegen expression is reachable from the SQL door too —
     // the function registry carries poly_fingerprint into plain SQL text.
