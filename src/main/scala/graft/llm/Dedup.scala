@@ -491,6 +491,50 @@ object Dedup extends QueryModule {
         JOIN shared s ON s.w = a.w
         GROUP BY 1, 2""")),
 
+    // Containment (Broder): |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 — detects a
+    // document SUBSUMED by another even when symmetric Jaccard is low
+    // (quote-inside-article, header-plus-body). Computed over the
+    // rare-shingle profile: shingles with document frequency > 500 are
+    // dropped from BOTH numerator and denominator before the candidate
+    // join — the standard stopword-shingle suppression that bounds the
+    // equi-join blowup (candidates ≤ df·|postings| with df capped), spelled
+    // identically in the oracle so the cut is part of the checked
+    // semantics, not an approximation. All inputs to the division are
+    // exact integers — thresholding is bit-stable across engines.
+    "llm_dedup_containment" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val sh = shingles(nearCorpus(s, dir))
+        val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 500).select($"shingle")
+        val shf = sh.join(rare, "shingle")
+        val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        shf.as("a").join(shf.as("b"),
+            $"a.shingle" === $"b.shingle" && $"a.doc_id" =!= $"b.doc_id")
+          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select($"doc_id".as("d1"), $"sz".as("sz1")), "d1")
+          .select($"d1", $"d2",
+            ($"inter".cast("double") / $"sz1".cast("double")).as("containment"))
+          .filter($"containment" >= 0.9)
+      },
+      oracle = Some(s"""
+        WITH $nearCorpusSql, $shinglesSql,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING COUNT(*) <= 500),
+        shf AS (SELECT doc_id, sh.shingle FROM sh
+                JOIN rare ON rare.shingle = sh.shingle),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM shf a JOIN shf b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
+        FROM inter JOIN sizes ON sizes.doc_id = d1
+        WHERE CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.9""")),
+
     // Near-dup ground truth: exact shingle-Jaccard pairs ≥ 0.8.
     "llm_dedup_jaccard" -> QuerySpec(
       fn = (s, dir) => exactJaccardPairs(nearCorpus(s, dir)),

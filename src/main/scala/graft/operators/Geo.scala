@@ -104,6 +104,62 @@ object Geo extends QueryModule {
             PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
           FROM cand)
         SELECT c_custkey, s_suppkey, ROUND(d, 4) AS dist_km
-        FROM ranked WHERE rn = 1"""))
+        FROM ranked WHERE rn = 1""")),
+
+    // Spatial k-NN (k = 3) within the same neighborhood — the ranked
+    // variant of rel_geo_nearest: same integer-exact candidate join, the
+    // window keeps the 3 closest suppliers with their ranks.
+    "rel_geo_knn" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val cust = Tables.load(s, dir, "customer")
+          .select($"c_custkey",
+            ($"c_custkey" * 7919 % 18000).as("cla"),
+            ($"c_custkey" * 104729 % 36000).as("clo"))
+          .withColumn("cell_lat", expr("cla div 1000"))
+          .withColumn("cell_lon", expr("clo div 1000"))
+        val supp = Tables.load(s, dir, "supplier")
+          .select($"s_suppkey",
+            ($"s_suppkey" * 4099 % 18000).as("sla"),
+            ($"s_suppkey" * 9973 % 36000).as("slo"))
+        val supp9 = supp
+          .withColumn("dl", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
+          .select($"s_suppkey", $"sla", $"slo",
+            (expr("sla div 1000") + $"dl").as("cell_lat"),
+            (expr("slo div 1000") + $"dn").as("cell_lon"))
+        cust.join(broadcast(supp9), Seq("cell_lat", "cell_lon"))
+          .withColumn("d", haversineKm(
+            $"cla" / 100.0 - 90.0, $"clo" / 100.0 - 180.0,
+            $"sla" / 100.0 - 90.0, $"slo" / 100.0 - 180.0))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"c_custkey").orderBy($"d", $"s_suppkey")))
+          .filter($"rank" <= 3)
+          .select($"c_custkey", $"rank", $"s_suppkey", round($"d", 4).as("dist_km"))
+      },
+      oracle = Some(s"""
+        WITH c AS (
+          SELECT c_custkey, c_custkey * 7919 % 18000 AS cla,
+                 c_custkey * 104729 % 36000 AS clo
+          FROM customer),
+        s AS (
+          SELECT s_suppkey, s_suppkey * 4099 % 18000 AS sla,
+                 s_suppkey * 9973 % 36000 AS slo
+          FROM supplier),
+        cand AS (
+          SELECT c.c_custkey, s.s_suppkey,
+                 ${hsql("(cla / 100.0 - 90.0)", "(clo / 100.0 - 180.0)",
+                        "(sla / 100.0 - 90.0)", "(slo / 100.0 - 180.0)")} AS d
+          FROM c JOIN s
+            ON abs(cla // 1000 - sla // 1000) <= 1
+           AND abs(clo // 1000 - slo // 1000) <= 1),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rank
+          FROM cand)
+        SELECT c_custkey, CAST(rank AS INT) AS rank, s_suppkey,
+               ROUND(d, 4) AS dist_km
+        FROM ranked WHERE rank <= 3"""))
   )
 }

@@ -307,6 +307,42 @@ object TimeWindows extends QueryModule {
                         FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.p_user AND c.ts >= p.p_ts""")),
 
+    // Last-touch attribution — the native as-of join composed into a real
+    // analytics workload: each purchase is attributed to the last click
+    // at-or-before it (AsofJoinExec, one merge pass per co-partitioned
+    // key range), then revenue rolls up by attributed click hour with
+    // unmatched purchases in an explicit 'unattributed' bucket. The oracle
+    // runs DuckDB's native ASOF LEFT JOIN — the custom physical operator
+    // is differentially checked inside a composition, not just standalone.
+    "ts_attribution" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsofJoin.left(purchases, clicks,
+            Seq("user_id" -> "c_user"), "ts", "c_ts")
+          .groupBy(coalesce(
+            date_format(date_trunc("hour", col("c_ts")), fmt),
+            lit("unattributed")).as("click_hour"))
+          .agg(dsum(col("value")).as("revenue"),
+            count(lit(1)).as("n_purchases"))
+      },
+      oracle = Some(s"""
+        WITH j AS (
+          SELECT p.value, c.c_ts
+          FROM (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events
+                          WHERE event_type = 'click') c
+            ON p.user_id = c.c_user AND p.ts >= c.c_ts)
+        SELECT COALESCE(strftime(date_trunc('hour', c_ts),
+                 '%Y-%m-%d %H:%M:%S'), 'unattributed') AS click_hour,
+               ${sqlSum("value")} AS revenue,
+               COUNT(*) AS n_purchases
+        FROM j GROUP BY 1""")),
+
     // Native as-of, FORWARD direction: each click's NEXT purchase at-or-
     // after it (the merge_asof(direction='forward') contract). Same exec,
     // one merge pass; the forward candidate is simply the lookahead row the
