@@ -343,6 +343,66 @@ object TimeWindows extends QueryModule {
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
 
+    // Rolling correlation (12-hour window Pearson between the hourly
+    // click and purchase volumes) — the quant-desk rolling-beta shape.
+    // Every moment (Σx, Σy, Σxy, Σx², Σy², n) is an INTEGER window sum of
+    // integer counts, so both engines feed the identical values into one
+    // shared double expression — bit-identical correlations with no
+    // decimal scaffolding. Zero-variance windows are explicit NULLs, not
+    // NaN/Inf. The frame runs over the global hourly series (bounded:
+    // O(hours)); a per-entity variant would partition by the entity key
+    // and keep the same frame.
+    "ts_rolling_corr" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("bucket"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("y"))
+        val w = Window.orderBy($"bucket").rowsBetween(-11, 0)
+        val (n, sx, sy, sxy, sxx, syy) = (
+          count(lit(1)).over(w), sum($"x").over(w), sum($"y").over(w),
+          sum($"x" * $"y").over(w), sum($"x" * $"x").over(w),
+          sum($"y" * $"y").over(w))
+        hourly
+          .select(date_format($"bucket", fmt).as("bucket"), $"x", $"y",
+            n.as("n"), sx.as("sx"), sy.as("sy"),
+            sxy.as("sxy"), sxx.as("sxx"), syy.as("syy"))
+          .select($"bucket", $"x", $"y",
+            when(($"n" * $"sxx" - $"sx" * $"sx") > 0 &&
+                ($"n" * $"syy" - $"sy" * $"sy") > 0,
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                 sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+              .as("rolling_corr"))
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS bucket,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT bucket, x, y,
+                 COUNT(*)   OVER wr AS n,
+                 SUM(x)     OVER wr AS sx,
+                 SUM(y)     OVER wr AS sy,
+                 SUM(x * y) OVER wr AS sxy,
+                 SUM(x * x) OVER wr AS sxx,
+                 SUM(y * y) OVER wr AS syy
+          FROM hourly
+          WINDOW wr AS (ORDER BY bucket ROWS BETWEEN 11 PRECEDING
+                        AND CURRENT ROW))
+        SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                         (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                          SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS rolling_corr
+        FROM m""")),
+
     // Native as-of, FORWARD direction: each click's NEXT purchase at-or-
     // after it (the merge_asof(direction='forward') contract). Same exec,
     // one merge pass; the forward candidate is simply the lookahead row the
