@@ -2017,6 +2017,34 @@ object RelationalQueries extends QueryModule {
     // window pass — no per-group value buffering (the same spill-safe
     // shape as the exact median), ranks computed from the SAME double
     // expression on both engines so the selected rows agree exactly.
+    // Deterministic MODE: built-in mode() breaks frequency ties by
+    // partition order in Spark and arbitrarily in DuckDB — both engines
+    // here spell the tie explicitly (highest count, then smallest value),
+    // as value-count aggregation + rank filter. Two shuffles, both on
+    // aggregated rows.
+    "rel_agg_mode" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy($"l_returnflag").orderBy($"cnt".desc, $"l_quantity")))
+          .filter($"rn" === 1)
+          .select($"l_returnflag", $"l_quantity".as("modal_qty"),
+            $"cnt".as("n_occurrences"))
+      },
+      oracle = Some("""
+        WITH vc AS (
+          SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, l_quantity) AS rn
+          FROM vc)
+        SELECT l_returnflag, l_quantity AS modal_qty, cnt AS n_occurrences
+        FROM r WHERE rn = 1""")),
+
     // Winsorized robust aggregation: per-group p05/p95 bounds by exact
     // rank (the same deterministic ceil-rank spelling as
     // rel_agg_quantiles), broadcast back to the fact stream, values
