@@ -453,10 +453,11 @@ object Dedup extends QueryModule {
     // O(chars). One shuffle groups identical windows; a group-size cap
     // (≤ 50 docs per window) bounds the pair expansion exactly like the
     // SimHash bucket cap — boilerplate/license headers shared by thousands
-    // of docs would otherwise go quadratic. At 100 TB the window column
-    // would carry a 64-bit rolling hash instead of the literal chars
-    // (collision-verified on the candidate pairs, as minhash does); the
-    // literal form keeps the oracle exact here.
+    // of docs would otherwise go quadratic. The windows travel as 64-bit
+    // md5 keys, not 40-char strings — ~5× narrower shuffles — and since
+    // `md5_long` ≡ DuckDB's `md5_number_upper` bit-for-bit, the hashed
+    // form is STILL oracle-exact (a collision would be the identical
+    // collision on both engines).
     "llm_dedup_passage" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
@@ -467,7 +468,7 @@ object Dedup extends QueryModule {
             s"""transform(
                   filter(sequence(1, length(text) - $L),
                          i -> substring(text, i, 1) = ' '),
-                  i -> substring(text, i + 1, $L))""")).as("w"))
+                  i -> md5_long(substring(text, i + 1, $L)))""")).as("w"))
           .distinct()
         val shared = wins.groupBy($"w").agg(count(lit(1)).as("nd"))
           .filter($"nd".between(2, 50)).select($"w")
@@ -480,7 +481,7 @@ object Dedup extends QueryModule {
       oracle = Some(s"""
         WITH $nearCorpusSql,
         wins AS (
-          SELECT DISTINCT doc_id, substr(text, i + 1, 40) AS w
+          SELECT DISTINCT doc_id, md5_number_upper(substr(text, i + 1, 40)) AS w
           FROM corpus, LATERAL unnest(range(1, len(text) - 39)) AS t(i)
           WHERE substr(text, i, 1) = ' '),
         shared AS (
