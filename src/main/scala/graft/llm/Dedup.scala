@@ -505,7 +505,11 @@ object Dedup extends QueryModule {
     "llm_dedup_containment" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
+        // Shingles travel as 64-bit md5 keys (md5_long ≡ DuckDB
+        // md5_number_upper) — the candidate join moves ~11M pairs at
+        // sf0.1, so key width is the dominant shuffle cost.
         val sh = shingles(nearCorpus(s, dir))
+          .select($"doc_id", expr("md5_long(shingle)").as("shingle"))
         val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
           .filter($"df" <= 500).select($"shingle")
         val shf = sh.join(rare, "shingle")
@@ -521,10 +525,11 @@ object Dedup extends QueryModule {
       },
       oracle = Some(s"""
         WITH $nearCorpusSql, $shinglesSql,
-        rare AS (SELECT shingle FROM sh GROUP BY shingle
+        shh AS (SELECT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
+        rare AS (SELECT shingle FROM shh GROUP BY shingle
                  HAVING COUNT(*) <= 500),
-        shf AS (SELECT doc_id, sh.shingle FROM sh
-                JOIN rare ON rare.shingle = sh.shingle),
+        shf AS (SELECT doc_id, shh.shingle FROM shh
+                JOIN rare ON rare.shingle = shh.shingle),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -339,7 +339,14 @@ class PlanAssertSpec extends SparkSpec {
   }
 
   test("triangles/sssp/passage-dedup: no cartesian in the candidate shapes") {
-    for (n <- Seq("rel_graph_triangles", "rel_graph_sssp", "llm_dedup_passage"))
+    for (n <- Seq("rel_graph_triangles", "rel_graph_sssp", "llm_dedup_passage",
+        "llm_dedup_containment", "rel_agg_mode", "ts_rolling_corr"))
       assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
+  }
+
+  test("ts_attribution: the composition runs through the native as-of exec") {
+    val p = plan("ts_attribution")
+    assert(p.contains("AsofJoin"), "attribution lost the native as-of operator")
+    assert(!p.contains("CartesianProduct"))
   }
 }
