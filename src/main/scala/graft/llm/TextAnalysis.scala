@@ -82,6 +82,50 @@ object TextAnalysis extends QueryModule {
                  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
         FROM m""")),
 
+    // Readability scoring (Flesch-Kincaid family): words = [a-z]+ runs,
+    // sentences = terminal-punctuation runs, syllables ≈ vowel groups per
+    // word — the standard heuristic, summed with array HOFs (no explode,
+    // no shuffle: one narrow projection pass). All counts are integers,
+    // the score one shared double expression, so both engines agree
+    // bit-for-bit; the regex classes ([a-z]+, [.!?]+, [aeiouy]+) behave
+    // identically in java.util.regex and RE2.
+    "llm_text_readability" -> QuerySpec(
+      fn = (s, dir) => docs(s, dir)
+        .withColumn("words",
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("n_sent", greatest(
+          size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1)))
+        .withColumn("n_syll", expr(
+          """aggregate(transform(words,
+               w -> size(regexp_extract_all(w, '[aeiouy]+', 0))),
+             0, (a, x) -> a + x)"""))
+        .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syll"),
+          when(col("n_words") > 0,
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double")) -
+              lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+            .as("flesch")),
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+') AS words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+          FROM documents),
+        c AS (
+          SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+                 CAST(n_sent AS INT) AS n_sent,
+                 CAST(list_reduce(list_prepend(0, list_transform(words,
+                        w -> len(regexp_extract_all(w, '[aeiouy]+')))),
+                      (a, b) -> a + b) AS INT) AS n_syll
+          FROM m)
+        SELECT doc_id, n_words, n_sent, n_syll,
+               CASE WHEN n_words > 0 THEN
+                 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                         - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+               END AS flesch
+        FROM c""")),
+
     // Token counting, three ways: whitespace words, a BPE-ish regex (word
     // pieces / digits / punctuation runs — the pre-tokenization shape most
     // BPE vocabularies assume), and chars-per-regex-token (the compression

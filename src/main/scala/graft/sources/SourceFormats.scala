@@ -47,6 +47,27 @@ object SourceFormats extends QueryModule {
       fn = (s, dir) => roundtrip(s, dir, "orc"),
       oracle = Some(oracle)),
 
+    // Compressed text-format round trip (gzip CSV). Whole-file codecs are
+    // NOT splittable — one gzip stream = one read task — so at scale
+    // parallelism must come from file COUNT, which the per-task write
+    // already provides; the read is as parallel as the write was. Quoted
+    // props (JSON carrying commas/quotes) exercise the quoting path both
+    // directions; the schema is declared, never inferred.
+    "src_csv_gzip_roundtrip" -> QuerySpec(
+      fn = (s, dir) => {
+        val tmp = scratch("fmt_csv_gz")
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"), col("props"))
+          .write.option("compression", "gzip").mode("overwrite").csv(tmp)
+        s.read.schema(schema).csv(tmp)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dsum(col("value")).as("total"),
+            countDistinct(col("event_id")).as("n_ids"))
+      },
+      oracle = Some(oracle)),
+
     // Hive-style partitioned parquet layout: write `events` partitioned by
     // event_type, read back with a partition predicate. The filter prunes
     // at the DIRECTORY level (PartitionFilters in the scan, zero IO for
