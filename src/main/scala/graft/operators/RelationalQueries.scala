@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The declared relational operator surface (SURVEY.md §2.3–§2.7 north-star
   * inventory): multi-way joins (inner/outer/semi/anti/cross), hash
@@ -2044,6 +2045,144 @@ object RelationalQueries extends QueryModule {
           FROM vc)
         SELECT l_returnflag, l_quantity AS modal_qty, cnt AS n_occurrences
         FROM r WHERE rn = 1""")),
+
+    // Median absolute deviation — the robust dispersion companion to
+    // rel_agg_winsorized: lower-median by exact ceil-rank, deviations
+    // against the broadcast median, then the same rank spelling over the
+    // deviations. Fully deterministic (every ordering carries the
+    // (l_orderkey, l_linenumber) tiebreak); two window passes + one
+    // broadcast, no global sort.
+    "rel_agg_mad" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String,
+            out: String) = {
+          val part = Window.partitionBy($"l_linestatus")
+          val w = part.orderBy(col(valueCol), $"l_orderkey", $"l_linenumber")
+          df.withColumn("rn", row_number().over(w).cast("long"))
+            .withColumn("n", count(lit(1)).over(part))
+            .filter($"rn" === ceil(lit(0.5) * $"n").cast("long"))
+            .groupBy($"l_linestatus".as("g"))
+            .agg(max(col(valueCol)).as(out))
+        }
+        val li = t(s, dir, "lineitem")
+          .select($"l_linestatus", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        val med = medianOf(li, "l_extendedprice", "med")
+        val dev = li.join(broadcast(med), $"l_linestatus" === $"g")
+          .select($"l_linestatus", $"med",
+            abs($"l_extendedprice" - $"med").as("dv"),
+            $"l_orderkey", $"l_linenumber")
+        medianOf(dev.withColumnRenamed("dv", "l_extendedprice"), "l_extendedprice", "mad")
+          .join(broadcast(med.select($"g".as("g2"), $"med")), $"g" === $"g2")
+          .select($"g".as("l_linestatus"), $"med".as("median"), $"mad")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT l_linestatus, l_extendedprice, l_orderkey, l_linenumber
+          FROM lineitem),
+        r1 AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM base),
+        med AS (
+          SELECT l_linestatus AS g, MAX(l_extendedprice) AS med
+          FROM r1 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT) GROUP BY 1),
+        dev AS (
+          SELECT b.l_linestatus, m.med,
+                 ABS(b.l_extendedprice - m.med) AS dv,
+                 b.l_orderkey, b.l_linenumber
+          FROM base b JOIN med m ON b.l_linestatus = m.g),
+        r2 AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                   ORDER BY dv, l_orderkey, l_linenumber) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM dev)
+        SELECT l_linestatus, MAX(med) AS median, MAX(dv) AS mad
+        FROM r2 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+        GROUP BY l_linestatus""")),
+
+    // Benford first-digit screening (audit/fraud primitive): observed
+    // leading-digit shares of the price column vs the Benford expectation.
+    // Digits from integer string ops (no float log on the data path);
+    // expected shares are compile-time double literals injected into BOTH
+    // engines' texts, so the comparison column is bit-identical.
+    "rel_benford" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val expect = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+        val expectCol = expect.tail.foldLeft(
+          when($"digit" === 1, lit(expect.head._2))) {
+          case (acc, (d, p)) => acc.when($"digit" === d, lit(p))
+        }
+        val tot = Window.partitionBy()
+        t(s, dir, "lineitem")
+          .select(substring(floor($"l_extendedprice").cast("long").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+          .withColumn("share", $"n".cast("double") /
+            sum($"n").over(tot).cast("double"))
+          .select($"digit", $"n", $"share", expectCol.as("benford_share"))
+      },
+      oracle = {
+        val cases = (1 to 9).map(d =>
+          s"WHEN digit = $d THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ")
+        Some(s"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM lineitem),
+        c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+               CASE $cases END AS benford_share
+        FROM c""")
+      }),
+
+    // ABC (Pareto) classification: parts ranked by revenue, cumulative
+    // revenue share in DECIMAL running sums (order-independent exactness —
+    // a double prefix sum would tie correctness to accumulation order),
+    // classes cut at 80% / 95%. The ranking carries a full tiebreak; the
+    // running frame is rows-based over aggregated parts, never the fact
+    // table.
+    "rel_abc_analysis" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        val w = Window.orderBy($"revenue".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        rev
+          .withColumn("cum", sum($"revenue".cast(DecimalType(30, 6))).over(w)
+            .cast("double"))
+          .withColumn("total", sum($"revenue".cast(DecimalType(30, 6))).over(tot)
+            .cast("double"))
+          .select($"l_partkey", $"revenue",
+            when($"cum" / $"total" <= 0.8, "A")
+              .when($"cum" / $"total" <= 0.95, "B")
+              .otherwise("C").as("abc_class"))
+      },
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT l_partkey,
+                 ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT l_partkey, revenue,
+                 CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cum,
+                 CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS DOUBLE)
+                   AS total
+          FROM rev)
+        SELECT l_partkey, revenue,
+               CASE WHEN cum / total <= 0.8 THEN 'A'
+                    WHEN cum / total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c""")),
 
     // Winsorized robust aggregation: per-group p05/p95 bounds by exact
     // rank (the same deterministic ceil-rank spelling as

@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-time window operators over `events.ts` (SURVEY §2.8 T4 — absent
   * from the reference, which only aggregates globally by key).
@@ -342,6 +343,50 @@ object TimeWindows extends QueryModule {
                ${sqlSum("value")} AS revenue,
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
+
+    // CUSUM drift detection: per event type, the running sum of hourly
+    // deviations from that type's global mean — the classic changepoint
+    // statistic. The mean is an exact-decimal scalar broadcast back; the
+    // cumulative sum runs in DECIMAL over the ordered hourly frame
+    // (order-independent exactness; a double prefix sum would tie
+    // correctness to accumulation order). Drift is flagged where |CUSUM|
+    // exceeds 3× the type's mean — all from integer counts and exact
+    // decimals, bit-stable in both engines.
+    "ts_cusum" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val means = hourly.groupBy($"event_type".as("et"))
+          .agg((sum($"c".cast(DecimalType(30, 6))).cast("double") /
+            count(lit(1))).as("m"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hourly.join(broadcast(means), $"event_type" === $"et")
+          .withColumn("cusum",
+            sum(($"c" - $"m").cast(DecimalType(30, 6))).over(w).cast("double"))
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"c", $"cusum", (abs($"cusum") > lit(3.0) * $"m").as("drift"))
+      },
+      oracle = Some(s"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        means AS (
+          SELECT event_type AS et, ${sqlSum("c")} / COUNT(*) AS m
+          FROM hourly GROUP BY 1),
+        j AS (
+          SELECT h.event_type, h.bucket, h.c, m.m,
+                 CAST(SUM(CAST(h.c - m.m AS DECIMAL(30,6))) OVER (
+                   PARTITION BY h.event_type ORDER BY h.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cusum
+          FROM hourly h JOIN means m ON h.event_type = m.et)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               c, cusum, ABS(cusum) > 3.0 * m AS drift
+        FROM j""")),
 
     // Rolling correlation (12-hour window Pearson between the hourly
     // click and purchase volumes) — the quant-desk rolling-beta shape.
