@@ -344,6 +344,16 @@ class PlanAssertSpec extends SparkSpec {
       assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
   }
 
+  test("robust stats / pareto: medians and bounds broadcast, never a cartesian") {
+    for (n <- Seq("rel_agg_mad", "ts_cusum")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n scalar stats not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+    for (n <- Seq("rel_benford", "rel_abc_analysis"))
+      assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
+  }
+
   test("ts_attribution: the composition runs through the native as-of exec") {
     val p = plan("ts_attribution")
     assert(p.contains("AsofJoin"), "attribution lost the native as-of operator")
