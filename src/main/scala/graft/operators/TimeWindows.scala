@@ -27,6 +27,24 @@ object TimeWindows extends QueryModule {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** Finite-impulse Holt weights w_k = (1,1)·Mᵏ·v for the level+trend
+    * recursion s_t = M·s_{t-1} + v·y_t with α=0.5, β=0.3, truncated at 12
+    * lags. Computed once here and injected as identical double literals
+    * into BOTH engines' expressions (see ts_holt). */
+  private val holtK = 12
+  private lazy val holtWeights: Seq[Double] = {
+    val (alpha, beta) = (0.5, 0.3)
+    var (m11, m12, m21, m22) = (1.0, 0.0, 0.0, 1.0) // M^0 = I
+    val (c11, c12, c21, c22) = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    (0 until holtK).map { _ =>
+      val w = (m11 + m21) * alpha + (m12 + m22) * alpha * beta
+      val (n11, n12) = (m11 * c11 + m12 * c21, m11 * c12 + m12 * c22)
+      val (n21, n22) = (m21 * c11 + m22 * c21, m21 * c12 + m22 * c22)
+      m11 = n11; m12 = n12; m21 = n21; m22 = n22
+      w
+    }
+  }
+
   def queries: Map[String, QuerySpec] = Map(
     // Sequenced funnel (view → click → purchase, strictly ordered in event
     // time): each stage's earliest qualifying timestamp is one keyed
@@ -343,6 +361,47 @@ object TimeWindows extends QueryModule {
                ${sqlSum("value")} AS revenue,
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
+
+    // Holt double exponential smoothing (level + trend), linearized: the
+    // coupled recursion s_t = M·s_{t-1} + v·y_t unrolls to a finite
+    // impulse response — the one-step forecast is Σ wₖ·y_{t-k} with
+    // wₖ = (1,1)·Mᵏ·v computed at COMPILE TIME and injected as identical
+    // double literals into both engines (the same trick ts_ewma uses, so
+    // the sequential recursion parallelizes as one window of lags instead
+    // of a serial scan per key). Rows without a full 12-lag history emit
+    // NULL — principled truncation, no renormalization heuristics.
+    "ts_holt" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (ws, k) = (holtWeights, holtK)
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .groupBy($"event_type", $"bucket")
+          .agg((dsum($"value") / count(lit(1))).as("v"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        val forecast = ws.zipWithIndex.map { case (wt, i) =>
+          lit(wt) * lag($"v", i).over(w)
+        }.reduceLeft(_ + _)
+        hourly.select($"event_type", date_format($"bucket", fmt).as("bucket"),
+          $"v",
+          when(row_number().over(w) >= k + 1, forecast).as("holt_forecast"))
+      },
+      oracle = {
+        val k = holtK
+        val terms = holtWeights.zipWithIndex.map { case (wt, i) =>
+          s"CAST($wt AS DOUBLE) * lag(v, $i) OVER wt"
+        }.mkString(" + ")
+        Some(s"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 ${sqlSum("value")} / COUNT(*) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, v,
+               CASE WHEN ROW_NUMBER() OVER wt >= ${k + 1}
+                    THEN $terms END AS holt_forecast
+        FROM hourly
+        WINDOW wt AS (PARTITION BY event_type ORDER BY bucket)""")
+      }),
 
     // CUSUM drift detection: per event type, the running sum of hourly
     // deviations from that type's global mean — the classic changepoint
