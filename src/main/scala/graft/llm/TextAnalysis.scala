@@ -82,6 +82,49 @@ object TextAnalysis extends QueryModule {
                  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
         FROM m""")),
 
+    // Per-document keyword extraction: top-3 terms by tf × (N/df) — the
+    // TF-IDF family in RATIONAL form (the idf log is monotone in N/df, so
+    // the per-document ranking is identical, and rational arithmetic over
+    // exact integers is bit-stable across engines where ln() is not — the
+    // llm_lm_score discipline). Two keyed shuffles (term frequencies,
+    // document frequencies) + a join on the term; the scalar corpus size
+    // broadcasts. Full (score desc, term) tie-break.
+    "llm_text_keywords" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val toks = d.select($"doc_id", explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+        tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            ($"tf" * $"n_docs").cast("double") / $"df".cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"tok", $"score")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok,
+                 CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok, score
+        FROM ranked WHERE rank <= 3""")),
+
     // Readability scoring (Flesch-Kincaid family): words = [a-z]+ runs,
     // sentences = terminal-punctuation runs, syllables ≈ vowel groups per
     // word — the standard heuristic, summed with array HOFs (no explode,

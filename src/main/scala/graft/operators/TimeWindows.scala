@@ -362,6 +362,36 @@ object TimeWindows extends QueryModule {
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
 
+    // Seasonality profile: hour-of-day activity index per event type —
+    // each hour's exact-decimal mean volume over the days observed,
+    // divided by the type's all-hours mean (a broadcast scalar per type).
+    // Index > 1 = above-baseline hour. Two keyed aggregations; all
+    // divisions over identical exact-decimal doubles.
+    "ts_seasonality" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val byHour = Tables.load(s, dir, "events")
+          .groupBy($"event_type", hour($"ts").as("hod"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val base = byHour.groupBy($"event_type".as("et"))
+          .agg((sum($"n".cast(DecimalType(30, 6))).cast("double") /
+            count(lit(1))).as("base"))
+        byHour.join(broadcast(base), $"event_type" === $"et")
+          .select($"event_type", $"hod", $"n",
+            ($"n".cast("double") / $"base").as("seasonal_index"))
+      },
+      oracle = Some(s"""
+        WITH byhour AS (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        base AS (
+          SELECT event_type AS et, ${sqlSum("n")} / COUNT(*) AS base
+          FROM byhour GROUP BY 1)
+        SELECT event_type, hod, n,
+               CAST(n AS DOUBLE) / base AS seasonal_index
+        FROM byhour JOIN base ON event_type = et""")),
+
     // Holt double exponential smoothing (level + trend), linearized: the
     // coupled recursion s_t = M·s_{t-1} + v·y_t unrolls to a finite
     // impulse response — the one-step forecast is Σ wₖ·y_{t-k} with
