@@ -4,6 +4,7 @@ import graft.api.{QueryModule, QuerySpec}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators over `documents.text`: per-document statistics /
   * quality scoring, stopword-based language ID, corpus term frequencies
@@ -81,6 +82,42 @@ object TextAnalysis extends QueryModule {
                CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 *
                  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
         FROM m""")),
+
+    // Dataset cards: the per-source summary a training-data curator signs
+    // off on — volumes, token budget, length profile, language mix, and
+    // exact-duplicate rate, in ONE pass over the corpus (conditional
+    // aggregation; the dup rate rides the same shuffle via a distinct
+    // digest count). Every statistic is integer or exact-decimal.
+    "llm_dataset_cards" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"source", $"lang", $"text",
+            size(split(lower($"text"), "\\s+")).cast("long").as("toks"),
+            md5($"text".cast("binary")).as("digest"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"toks").as("total_tokens"),
+            (sum($"toks".cast(DecimalType(30, 6))).cast("double") /
+              count(lit(1))).as("mean_tokens"),
+            countDistinct($"lang").as("n_langs"),
+            countDistinct($"digest").as("n_unique"),
+            (lit(1.0) - count_distinct($"digest").cast("double") /
+              count(lit(1)).cast("double")).as("dup_rate"))
+      },
+      oracle = Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+                 AS total_tokens,
+               CAST(SUM(CAST(len(string_split_regex(lower(text), '\s+'))
+                 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT md5(text)) AS n_unique,
+               1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) /
+                 CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM documents
+        GROUP BY source""")),
 
     // Per-document keyword extraction: top-3 terms by tf × (N/df) — the
     // TF-IDF family in RATIONAL form (the idf log is monotone in N/df, so

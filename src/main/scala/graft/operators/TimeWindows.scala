@@ -433,6 +433,54 @@ object TimeWindows extends QueryModule {
         WINDOW wt AS (PARTITION BY event_type ORDER BY bucket)""")
       }),
 
+    // Forecast evaluation: WAPE and MAE of the Holt one-step forecast per
+    // event type, over the rows where the forecast is defined — the
+    // backtest that belongs next to any forecaster. Error terms are
+    // |actual − forecast| on bit-identical doubles; the ratio of two
+    // exact-decimal sums keeps WAPE order-independent.
+    "ts_forecast_error" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val (ws, k) = (holtWeights, holtK)
+        val hourly = Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .groupBy($"event_type", $"bucket")
+          .agg((dsum($"value") / count(lit(1))).as("v"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        val forecast = ws.zipWithIndex.map { case (wt, i) =>
+          lit(wt) * lag($"v", i + 1).over(w)
+        }.reduceLeft(_ + _)
+        hourly
+          .withColumn("f", when(row_number().over(w) >= k + 2, forecast))
+          .filter($"f".isNotNull)
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_evaluated"),
+            (dsum(abs($"v" - $"f")) / count(lit(1))).as("mae"),
+            (dsum(abs($"v" - $"f")) / dsum(abs($"v"))).as("wape"))
+      },
+      oracle = {
+        val terms = holtWeights.zipWithIndex.map { case (wt, i) =>
+          s"CAST($wt AS DOUBLE) * lag(v, ${i + 1}) OVER wt"
+        }.mkString(" + ")
+        Some(s"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 ${sqlSum("value")} / COUNT(*) AS v
+          FROM events GROUP BY 1, 2),
+        f AS (
+          SELECT event_type, v,
+                 CASE WHEN ROW_NUMBER() OVER wt >= ${holtK + 2}
+                      THEN $terms END AS f
+          FROM hourly
+          WINDOW wt AS (PARTITION BY event_type ORDER BY bucket))
+        SELECT event_type, COUNT(*) AS n_evaluated,
+               ${sqlSum("ABS(v - f)")} / COUNT(*) AS mae,
+               ${sqlSum("ABS(v - f)")} / ${sqlSum("ABS(v)")} AS wape
+        FROM f WHERE f IS NOT NULL
+        GROUP BY event_type""")
+      }),
+
     // CUSUM drift detection: per event type, the running sum of hourly
     // deviations from that type's global mean — the classic changepoint
     // statistic. The mean is an exact-decimal scalar broadcast back; the
