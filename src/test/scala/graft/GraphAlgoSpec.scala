@@ -27,6 +27,37 @@ class GraphAlgoSpec extends SparkSpec {
       "p" -> 3L, "q" -> 3L, "r" -> 3L, "s2" -> 3L))
   }
 
+  test("triangle counts match naive enumeration on seeded pseudo-random graphs") {
+    val s = spark
+    import s.implicits._
+    // Deterministic LCG edge sampling (no Math.random — keeps the spec
+    // reproducible); three density regimes. Node names zero-padded so
+    // lexicographic order == numeric order (canonical a < b edges).
+    for ((n, p, seed) <- Seq((12, 0.3, 1L), (18, 0.2, 7L), (15, 0.5, 13L))) {
+      var x = seed
+      def next(): Double = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53).toDouble
+      }
+      val nodes = (0 until n).map(i => f"n$i%02d")
+      val edges = for {
+        a <- 0 until n; b <- a + 1 until n if next() < p
+      } yield (nodes(a), nodes(b))
+      val es = edges.toSet
+      val perNode = Array.fill(n)(0L)
+      for {
+        i <- 0 until n; j <- i + 1 until n; k <- j + 1 until n
+        if es((nodes(i), nodes(j))) && es((nodes(i), nodes(k))) &&
+          es((nodes(j), nodes(k)))
+      } { perNode(i) += 1; perNode(j) += 1; perNode(k) += 1 }
+      val got = Graph.triangleCounts(nodes.toDF("node"), edges.toDF("a", "b"))
+        .as[(String, Long)].collect().toMap
+      nodes.zipWithIndex.foreach { case (nm, i) =>
+        assert(got(nm) === perNode(i), s"node $nm (n=$n, p=$p)")
+      }
+    }
+  }
+
   test("min-label propagation splits disjoint components; isolated node is its own") {
     val s = spark
     import s.implicits._
