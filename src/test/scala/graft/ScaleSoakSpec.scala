@@ -378,6 +378,40 @@ class ScaleSoakSpec extends SparkSpec {
       f"6x facts took ${t6 / t1}%.1fx the time — expansion no longer linear")
   }
 
+  test("containment candidate join scales linearly across disjoint replicas") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // Replica-tagged tokens keep shingle sets disjoint across replicas, so
+    // containment pairs must grow EXACTLY linearly — if the df-capped
+    // candidate join ever coupled replicas (a quadratic symptom), the
+    // count would jump superlinearly.
+    val fn = SparkEntry.queries("llm_dedup_containment")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def mk(k: Int): String = {
+      val dir = tempDir(s"containment_soak_$k")
+      (0 until k).map(r => d
+        .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$r")))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def run(dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val d1 = mk(1); val d4 = mk(4)
+    run(d1) // warm-up
+    val (n1, t1) = run(d1)
+    val (n4, t4) = run(d4)
+    info(f"1x: $n1 pairs in $t1%.1f s;  4x: $n4 pairs in $t4%.1f s")
+    assert(n4 === 4 * n1, "containment pairs must grow exactly linearly")
+    assert(t4 <= t1 * 10,
+      f"4x corpus took ${t4 / t1}%.1fx the time — candidate join degenerating")
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")

@@ -105,6 +105,38 @@ class SqlSurfaceSpec extends SparkSpec {
       ORDER BY support DESC, p1, p2 LIMIT 100""")
   }
 
+  test("rel_agg_mode through spark.sql") {
+    checkSame("rel_agg_mode", """
+      SELECT l_returnflag, l_quantity AS modal_qty, cnt AS n_occurrences
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cnt DESC, l_quantity) AS rn
+        FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2))
+      WHERE rn = 1""")
+  }
+
+  test("rel_abc_analysis through spark.sql") {
+    checkSame("rel_abc_analysis", """
+      SELECT l_partkey, revenue,
+             CASE WHEN cum / total <= 0.8D THEN 'A'
+                  WHEN cum / total <= 0.95D THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM (
+        SELECT l_partkey, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+                 ORDER BY revenue DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS cum,
+               CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER () AS DOUBLE)
+                 AS total
+        FROM (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount)
+                   AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          FROM lineitem GROUP BY 1))""")
+  }
+
   test("llm_text_fingerprint through spark.sql (injected native function)") {
     // The custom codegen expression is reachable from the SQL door too —
     // the function registry carries poly_fingerprint into plain SQL text.
