@@ -2018,6 +2018,65 @@ object RelationalQueries extends QueryModule {
     // window pass — no per-group value buffering (the same spill-safe
     // shape as the exact median), ranks computed from the SAME double
     // expression on both engines so the selected rows agree exactly.
+    // Declarative data-quality expectations (the dbt-tests /
+    // great-expectations shape): each check is one declarative count —
+    // referential integrity as an ANTI join (never a NOT IN subquery per
+    // row), domain and nullability checks as conditional aggregates
+    // sharing one scan per table — and the report is their union. At
+    // 100 TB each check is a single pushdown-friendly pass; none
+    // materializes violating rows (violation SAMPLES would be a separate
+    // LIMIT query).
+    "rel_dq_checks" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val orphans = li.select($"l_orderkey")
+          .join(t(s, dir, "orders").select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("n_violations"),
+            lit("lineitem.l_orderkey -> orders").as("check_name"))
+        val liChecks = li.agg(
+          sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("neg_qty"),
+          sum(when($"l_extendedprice" <= 0, 1L).otherwise(0L)).as("neg_price"),
+          sum(when($"l_returnflag".isNull, 1L).otherwise(0L)).as("null_flag"))
+        val custChecks = t(s, dir, "customer").agg(
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("null_key"),
+          sum(when(length($"c_name") === 0, 1L).otherwise(0L)).as("empty_name"))
+        orphans.select($"check_name", $"n_violations")
+          .unionAll(liChecks.select(lit("lineitem.quantity > 0").as("check_name"), $"neg_qty"))
+          .unionAll(liChecks.select(lit("lineitem.extendedprice > 0").as("check_name"), $"neg_price"))
+          .unionAll(liChecks.select(lit("lineitem.returnflag not null").as("check_name"), $"null_flag"))
+          .unionAll(custChecks.select(lit("customer.custkey not null").as("check_name"), $"null_key"))
+          .unionAll(custChecks.select(lit("customer.name nonempty").as("check_name"), $"empty_name"))
+          .withColumn("passed", $"n_violations" === 0L)
+      },
+      oracle = Some("""
+        WITH orphans AS (
+          SELECT 'lineitem.l_orderkey -> orders' AS check_name,
+                 COUNT(*) AS n_violations
+          FROM lineitem WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        li AS (
+          SELECT
+            CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_qty,
+            CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag
+          FROM lineitem),
+        cu AS (
+          SELECT
+            CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+            CAST(SUM(CASE WHEN length(c_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_name
+          FROM customer),
+        rows_out AS (
+          SELECT check_name, n_violations FROM orphans
+          UNION ALL SELECT 'lineitem.quantity > 0', neg_qty FROM li
+          UNION ALL SELECT 'lineitem.extendedprice > 0', neg_price FROM li
+          UNION ALL SELECT 'lineitem.returnflag not null', null_flag FROM li
+          UNION ALL SELECT 'customer.custkey not null', null_key FROM cu
+          UNION ALL SELECT 'customer.name nonempty', empty_name FROM cu)
+        SELECT check_name, n_violations, n_violations = 0 AS passed
+        FROM rows_out""")),
+
     // Deterministic MODE: built-in mode() breaks frequency ties by
     // partition order in Spark and arbitrarily in DuckDB — both engines
     // here spell the tie explicitly (highest count, then smallest value),

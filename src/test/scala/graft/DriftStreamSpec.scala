@@ -71,4 +71,30 @@ class DriftStreamSpec extends SparkSpec {
         s"stream failed to emit completed hours: ${missing -- tailHours}")
     } finally q.stop()
   }
+
+  test("a cross-batch out-of-order arrival fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ev(id: Long, min: Int): Event =
+      Event(id, java.sql.Timestamp.valueOf(f"2024-03-01 10:$min%02d:00"), "click")
+
+    val mem = MemoryStream[Event]
+    val q = DriftStream.detect(mem.toDS(), Map("click" -> 1.0))
+      .writeStream.format("memory").queryName("drift_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10), ev(2, 20))
+      q.processAllAvailable()
+      mem.addData(ev(3, 15))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(60000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("out-of-order arrival")),
+        s"expected the ordering-contract failure, got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
 }
