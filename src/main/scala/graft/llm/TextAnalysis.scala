@@ -119,6 +119,42 @@ object TextAnalysis extends QueryModule {
         FROM documents
         GROUP BY source""")),
 
+    // Tokenizer vocabulary coverage: what fraction of corpus token
+    // OCCURRENCES a top-V frequency vocabulary captures, per source — the
+    // metric that sizes a tokenizer's vocab before training it. The top-V
+    // set (V=1000, ties broken by token text) is a bounded broadcast; the
+    // coverage ratio is integers-only until one double division.
+    "llm_vocab_coverage" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val toks = docs(s, dir).select($"source", explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"tok").limit(1000).select($"tok")
+        toks
+          .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("tok"), "left")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(coalesce($"in_vocab", lit(0L))).as("n_covered"),
+            (sum(coalesce($"in_vocab", lit(0L))).cast("double") /
+              count(lit(1)).cast("double")).as("coverage"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+          ORDER BY n DESC, tok LIMIT 1000)
+        SELECT source, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY source""")),
+
     // Per-document keyword extraction: top-3 terms by tf × (N/df) — the
     // TF-IDF family in RATIONAL form (the idf log is monotone in N/df, so
     // the per-document ranking is identical, and rational arithmetic over

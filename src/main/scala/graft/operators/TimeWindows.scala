@@ -362,6 +362,42 @@ object TimeWindows extends QueryModule {
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
 
+    // Period-over-period comparison (the BI staple): daily revenue per
+    // event type with absolute and relative change vs the prior day —
+    // exact-decimal daily sums, one lag window over aggregated days, and
+    // a NULL (not a division blowup) where the prior day is missing or
+    // zero. Growth is a ratio of two identical exact-decimal doubles.
+    "ts_period_over_period" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(dsum($"value").as("revenue"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        daily
+          .withColumn("prev", lag($"revenue", 1).over(w))
+          .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"revenue",
+            ($"revenue" - $"prev").as("abs_change"),
+            when($"prev" =!= 0.0, ($"revenue" - $"prev") / $"prev")
+              .as("pct_change"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 ${sqlSum("value")} AS revenue
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, day, revenue,
+                 lag(revenue, 1) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev
+          FROM daily)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, revenue,
+               revenue - prev AS abs_change,
+               CASE WHEN prev <> 0.0 THEN (revenue - prev) / prev END
+                 AS pct_change
+        FROM l""")),
+
     // Seasonality profile: hour-of-day activity index per event type —
     // each hour's exact-decimal mean volume over the days observed,
     // divided by the type's all-hours mean (a broadcast scalar per type).

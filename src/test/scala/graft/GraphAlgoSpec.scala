@@ -58,6 +58,42 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("sssp matches Floyd-Warshall on seeded pseudo-random weighted digraphs") {
+    val s = spark
+    import s.implicits._
+    for ((n, p, seed) <- Seq((10, 0.3, 3L), (14, 0.25, 9L))) {
+      var x = seed
+      def next(): Double = {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53).toDouble
+      }
+      val nodes = (0 until n).map(i => f"n$i%02d")
+      val edges = for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && { val keep = next() < p; keep }
+      } yield (a, b, (next() * 9).toLong + 1)
+      // Floyd-Warshall reference from source 0.
+      val INF = Long.MaxValue / 4
+      val d = Array.fill(n, n)(INF)
+      (0 until n).foreach(i => d(i)(i) = 0)
+      edges.foreach { case (a, b, c) => d(a)(b) = math.min(d(a)(b), c) }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        d(i)(j) = math.min(d(i)(j), d(i)(k) + d(k)(j))
+
+      val dist0 = nodes.toDF("node").select($"node",
+        when($"node" === nodes(0), lit(0L)).as("dd")).toDF("node", "d")
+      val got = Graph.ssspRounds(dist0,
+          edges.map { case (a, b, c) => (nodes(a), nodes(b), c) }
+            .toDF("src", "dst", "cost"),
+          rounds = n)
+        .as[(String, Option[Long])].collect().toMap
+      nodes.zipWithIndex.foreach { case (nm, i) =>
+        val want = if (d(0)(i) >= INF) None else Some(d(0)(i))
+        assert(got(nm) === want, s"node $nm (n=$n, p=$p)")
+      }
+    }
+  }
+
   test("min-label propagation splits disjoint components; isolated node is its own") {
     val s = spark
     import s.implicits._
