@@ -119,6 +119,45 @@ object TextAnalysis extends QueryModule {
         FROM documents
         GROUP BY source""")),
 
+    // Code-vs-prose detection: the pretraining corpus router — symbol
+    // density ({};()=<>), indentation lines, and underscore_identifier
+    // share, each a rational ratio of integer counts (regexp classes that
+    // behave identically in both engines), combined into a verdict at
+    // fixed thresholds. One narrow projection pass, no shuffle.
+    "llm_code_detect" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"doc_id",
+            size(expr("regexp_extract_all(text, '[{};()=<>]', 0)"))
+              .cast("long").as("n_sym"),
+            size(expr("regexp_extract_all(text, '(?m)^(    |\\t)', 0)"))
+              .cast("long").as("n_indent"),
+            size(expr("regexp_extract_all(text, '[a-z]+_[a-z]+', 0)"))
+              .cast("long").as("n_snake"),
+            length($"text").cast("long").as("n_chars"))
+          .select($"doc_id", $"n_sym", $"n_indent", $"n_snake",
+            ($"n_sym".cast("double") / $"n_chars").as("sym_density"),
+            ($"n_sym".cast("double") / $"n_chars" > 0.02 ||
+              $"n_indent" >= 3 || $"n_snake" >= 5).as("looks_like_code"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[{};()=<>]')) AS BIGINT)
+                   AS n_sym,
+                 CAST(len(regexp_extract_all(text, '^(    |\t)', 0, 'm')) AS BIGINT)
+                   AS n_indent,
+                 CAST(len(regexp_extract_all(text, '[a-z]+_[a-z]+')) AS BIGINT)
+                   AS n_snake,
+                 CAST(len(text) AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT doc_id, n_sym, n_indent, n_snake,
+               CAST(n_sym AS DOUBLE) / n_chars AS sym_density,
+               (CAST(n_sym AS DOUBLE) / n_chars > 0.02 OR n_indent >= 3
+                 OR n_snake >= 5) AS looks_like_code
+        FROM m""")),
+
     // Tokenizer vocabulary coverage: what fraction of corpus token
     // OCCURRENCES a top-V frequency vocabulary captures, per source — the
     // metric that sizes a tokenizer's vocab before training it. The top-V

@@ -2018,6 +2018,29 @@ object RelationalQueries extends QueryModule {
     // window pass — no per-group value buffering (the same spill-safe
     // shape as the exact median), ranks computed from the SAME double
     // expression on both engines so the selected rows agree exactly.
+    // GROUPING indicators over a rollup — the standard-SQL way a client
+    // tells subtotal rows from genuine NULL groups. Per-column grouping()
+    // flags (0 = grouped, 1 = aggregated away) rather than the packed
+    // grouping_id bitmask, whose bit order is engine-specific; the
+    // per-column spelling is identical in both dialects.
+    "rel_agg_grouping_flags" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            grouping($"o_orderstatus").cast("int").as("g_status"),
+            grouping($"o_orderpriority").cast("int").as("g_priority"),
+            count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
+
     // Declarative data-quality expectations (the dbt-tests /
     // great-expectations shape): each check is one declarative count —
     // referential integrity as an ANTI join (never a NOT IN subquery per
