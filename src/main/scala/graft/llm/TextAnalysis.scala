@@ -119,6 +119,34 @@ object TextAnalysis extends QueryModule {
         FROM documents
         GROUP BY source""")),
 
+    // Sequence-length histogram in power-of-2 buckets per source — the
+    // packing planner's companion stat (how much padding a fixed context
+    // window wastes per source). floor(log2(tokens)) comes from the
+    // BINARY-STRING length (bin(n) has floor(log2 n)+1 digits), never a
+    // floating log2 whose value at exact powers of two is libm-dependent:
+    // integer-exact in both engines.
+    "llm_length_buckets" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select($"source",
+            size(split(lower($"text"), "\\s+")).cast("long").as("toks"))
+          .filter($"toks" > 0)
+          .withColumn("log2_bucket", (length(bin($"toks")) - 1).cast("int"))
+          .groupBy($"source", $"log2_bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"toks").as("total_tokens"))
+      },
+      oracle = Some("""
+        SELECT source, CAST(len(bin(toks)) - 1 AS INT) AS log2_bucket,
+               COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+        FROM (
+          SELECT source,
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS toks
+          FROM documents)
+        WHERE toks > 0
+        GROUP BY 1, 2""")),
+
     // Code-vs-prose detection: the pretraining corpus router — symbol
     // density ({};()=<>), indentation lines, and underscore_identifier
     // share, each a rational ratio of integer counts (regexp classes that

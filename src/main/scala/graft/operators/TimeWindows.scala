@@ -362,6 +362,58 @@ object TimeWindows extends QueryModule {
                COUNT(*) AS n_purchases
         FROM j GROUP BY 1""")),
 
+    // Inter-event-time profile: per-user median and p90 of the gaps
+    // between consecutive events, in microseconds — the engagement-
+    // cadence metric behind session-timeout tuning. Gaps stay in integer
+    // MICROseconds end-to-end (Spark unix_micros ≡ DuckDB epoch_us,
+    // both exact BIGINTs): truncating to seconds first diverges because
+    // Spark's unix_timestamp truncates while DuckDB's epoch() keeps the
+    // fraction and rounds on the cast. Then the deterministic ceil-rank
+    // quantile spelling over the per-user gap streams.
+    "ts_inter_event_time" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val gaps = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id",
+            unix_micros($"ts").as("tus"))
+          .withColumn("gap", $"tus" - lag($"tus", 1).over(
+            Window.partitionBy($"user_id").orderBy($"tus", $"event_id")))
+          .filter($"gap".isNotNull)
+        val part = Window.partitionBy($"user_id")
+        val w = part.orderBy($"gap", $"event_id")
+        def rank(q: Double) = ceil(lit(q) * $"n").cast("long")
+        gaps
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(part))
+          .filter($"rn" === rank(0.5) || $"rn" === rank(0.9))
+          .groupBy($"user_id")
+          .agg(
+            max($"n").as("n_gaps"),
+            max(when($"rn" === rank(0.5), $"gap")).as("p50_gap_us"),
+            max(when($"rn" === rank(0.9), $"gap")).as("p90_gap_us"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id, event_id,
+                 epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS gap
+          FROM events),
+        r AS (
+          SELECT user_id, event_id, gap,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY gap, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n
+          FROM g WHERE gap IS NOT NULL)
+        SELECT user_id, MAX(n) AS n_gaps,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                        THEN gap END) AS p50_gap_us,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                        THEN gap END) AS p90_gap_us
+        FROM r WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+           OR rn = CAST(CEIL(0.9 * n) AS BIGINT)
+        GROUP BY user_id""")),
+
     // Period-over-period comparison (the BI staple): daily revenue per
     // event type with absolute and relative change vs the prior day —
     // exact-decimal daily sums, one lag window over aggregated days, and
