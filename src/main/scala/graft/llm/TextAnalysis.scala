@@ -771,6 +771,58 @@ object TextAnalysis extends QueryModule {
         GROUP BY 1, 2""")),
 
     // ------------------------------------------------------------------
+    // N-gram novelty: per document, how many of its word trigrams are
+    // (a) distinct within the doc and (b) unique to it corpus-wide
+    // (df = 1) — the inverse of the decontamination overlap, used to
+    // up-weight genuinely novel text in curation mixes. Grams are 8-byte
+    // md5_long keys (== DuckDB md5_number_upper), so the global
+    // document-frequency pass shuffles hashes, never gram strings; df
+    // comes from one count window over the gram key — work scales with
+    // corpus gram volume, and every output column is an integer count
+    // (hash-exact, callers form the ratios).
+    "llm_ngram_novelty" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val perDoc = docs(s, dir)
+          .withColumn("toks", split(lower(col("text")), "\\s+"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("""transform(sequence(1, greatest(size(toks) - 2, 1)),
+              i -> md5_long(concat_ws(' ', slice(toks, i, 3))))""")).as("gh"))
+          .groupBy(col("doc_id"), col("source"), col("gh"))
+          .agg(count(lit(1)).as("occ"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+        perDoc
+          .withColumn("df", count(lit(1)).over(w))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(
+            sum(col("occ")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT doc_id, source,
+                 unnest([md5_number_upper(array_to_string(toks[i:i+2], ' '))
+                         for i in generate_series(1, greatest(len(toks) - 2, 1))])
+                   AS gh
+          FROM (SELECT doc_id, source,
+                       string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)),
+        d AS (
+          SELECT doc_id, source, gh, COUNT(*) AS occ
+          FROM e GROUP BY 1, 2, 3),
+        j AS (
+          SELECT doc_id, source, occ,
+                 COUNT(*) OVER (PARTITION BY gh) AS df
+          FROM d)
+        SELECT doc_id, source,
+               CAST(SUM(occ) AS BIGINT) AS n_grams,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique
+        FROM j GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
     // Per-source document caps (domain balancing): keep at most 15 docs
     // per source, chosen by content-addressed hash order so the survivors
     // are a stable pseudo-random subset — rerunning on reshuffled input

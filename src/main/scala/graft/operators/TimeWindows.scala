@@ -673,6 +673,86 @@ object TimeWindows extends QueryModule {
                END AS rolling_corr
         FROM m""")),
 
+    // Autocorrelation (ACF lags 1-3) of each event type's hourly count
+    // series — the seasonality screen that decides whether a series needs
+    // the [ts_seasonality] profile at all. Every aggregate is an INTEGER
+    // moment (Σx, Σx², Σx·x_lag, head/tail sums over the paired range);
+    // the ACF estimator is then one double expression over exactly-cast
+    // integers — +,-,*,/ are correctly-rounded IEEE ops, so both engines
+    // produce identical bits, the same contract ts_rolling_corr uses.
+    // One shuffle to the hourly grid, one lag window, one final agg; at
+    // 100 TB the grid is ~|types|×|hours| rows — tiny regardless of
+    // input volume, the heavy lifting is the pre-aggregation.
+    "ts_acf" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        val lagged = hourly.select($"event_type", $"x",
+          lag($"x", 1).over(w).as("x1"),
+          lag($"x", 2).over(w).as("x2"),
+          lag($"x", 3).over(w).as("x3"))
+        def moments(k: Int) = {
+          val xk = col(s"x$k")
+          Seq(
+            sum($"x" * xk).cast("double").as(s"c$k"),
+            sum(when(xk.isNotNull, $"x")).cast("double").as(s"h$k"),
+            sum(xk).cast("double").as(s"t$k"))
+        }
+        val agg = lagged.groupBy($"event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          (Seq(
+            sum($"x").cast("double").as("s"),
+            sum($"x" * $"x").cast("double").as("q")) ++
+            (1 to 3).flatMap(moments)): _*)
+        val m = $"s" / $"n"
+        val den = $"q" - $"n" * m * m
+        def acf(k: Int) =
+          when(den > 0d,
+            (col(s"c$k") - m * (col(s"h$k") + col(s"t$k")) +
+              ($"n" - lit(k.toDouble)) * m * m) / den).as(s"acf$k")
+        agg.select($"event_type", $"n".cast("long").as("n_buckets"),
+          acf(1), acf(2), acf(3))
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, x,
+                 lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+                 lag(x, 3) OVER w AS x3
+          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        a AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS s,
+                 CAST(SUM(x * x) AS DOUBLE) AS q,
+                 CAST(SUM(x * x1) AS DOUBLE) AS c1,
+                 CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS DOUBLE) AS h1,
+                 CAST(SUM(x1) AS DOUBLE) AS t1,
+                 CAST(SUM(x * x2) AS DOUBLE) AS c2,
+                 CAST(SUM(CASE WHEN x2 IS NOT NULL THEN x END) AS DOUBLE) AS h2,
+                 CAST(SUM(x2) AS DOUBLE) AS t2,
+                 CAST(SUM(x * x3) AS DOUBLE) AS c3,
+                 CAST(SUM(CASE WHEN x3 IS NOT NULL THEN x END) AS DOUBLE) AS h3,
+                 CAST(SUM(x3) AS DOUBLE) AS t3
+          FROM l GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+               CASE WHEN (q - n * (s / n) * (s / n)) > 0 THEN
+                 (c1 - (s / n) * (h1 + t1) + (n - 1) * (s / n) * (s / n))
+                   / (q - n * (s / n) * (s / n)) END AS acf1,
+               CASE WHEN (q - n * (s / n) * (s / n)) > 0 THEN
+                 (c2 - (s / n) * (h2 + t2) + (n - 2) * (s / n) * (s / n))
+                   / (q - n * (s / n) * (s / n)) END AS acf2,
+               CASE WHEN (q - n * (s / n) * (s / n)) > 0 THEN
+                 (c3 - (s / n) * (h3 + t3) + (n - 3) * (s / n) * (s / n))
+                   / (q - n * (s / n) * (s / n)) END AS acf3
+        FROM a""")),
+
     // Native as-of, FORWARD direction: each click's NEXT purchase at-or-
     // after it (the merge_asof(direction='forward') contract). Same exec,
     // one merge pass; the forward candidate is simply the lookahead row the
