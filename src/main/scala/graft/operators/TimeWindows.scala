@@ -673,6 +673,44 @@ object TimeWindows extends QueryModule {
                END AS rolling_corr
         FROM m""")),
 
+    // Peak detection: hours where an event type's count is a strict local
+    // maximum (greater than the previous hour, at-least the next — the
+    // ties-to-left convention makes a plateau's FIRST hour the peak,
+    // deterministically). The alerting primitive downstream of [ts_acf]'s
+    // seasonality screen. Integer counts and one lag/lead window; at
+    // 100 TB the pre-aggregated grid is ~types×hours rows, so the window
+    // is trivial no matter the input volume.
+    "ts_peaks" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        hourly
+          .withColumn("prev_x", lag($"x", 1).over(w))
+          .withColumn("next_x", lead($"x", 1).over(w))
+          .filter($"prev_x".isNotNull && $"next_x".isNotNull &&
+            $"x" > $"prev_x" && $"x" >= $"next_x")
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"x", $"prev_x", $"next_x")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, bucket, x,
+                 lag(x) OVER w AS prev_x, lead(x) OVER w AS next_x
+          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               CAST(x AS BIGINT) AS x, CAST(prev_x AS BIGINT) AS prev_x,
+               CAST(next_x AS BIGINT) AS next_x
+        FROM l
+        WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+          AND x > prev_x AND x >= next_x""")),
+
     // Autocorrelation (ACF lags 1-3) of each event type's hourly count
     // series — the seasonality screen that decides whether a series needs
     // the [ts_seasonality] profile at all. Every aggregate is an INTEGER
