@@ -2227,6 +2227,50 @@ object RelationalQueries extends QueryModule {
     // classes cut at 80% / 95%. The ranking carries a full tiebreak; the
     // running frame is rows-based over aggregated parts, never the fact
     // table.
+    // Skyline (Pareto frontier): parts not strictly dominated on
+    // (size ↓, price ↓) — the preference-query operator family. The
+    // scalable shape is NOT the quadratic all-pairs domination test: the
+    // fact stream reduces to a per-size minimum-price GRID (one shuffle,
+    // |distinct sizes| rows — a bounded integer domain), a cumulative min
+    // over the tiny grid supplies "cheapest at any strictly smaller
+    // size", and the frontier membership test is a broadcast join back.
+    // A part survives iff nothing strictly smaller is at-most-its-price
+    // and nothing at its size is strictly cheaper (exact ties share the
+    // frontier — neither dominates). Prices compared in integer CENTS
+    // (decimal×100 is exact in both engines). The global window runs
+    // over ≤|size domain| rows, never the fact table.
+    "rel_skyline" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part").select($"p_partkey",
+          $"p_size".cast("long").as("size"),
+          ($"p_retailprice" * 100).cast("long").as("price_c"))
+        val grid = p.groupBy($"size").agg(min($"price_c").as("min_eq"))
+        val wLt = Window.orderBy($"size")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val g2 = grid.withColumn("min_lt", min($"min_eq").over(wLt))
+        p.join(broadcast(g2), "size")
+          .filter(($"min_lt".isNull || $"min_lt" > $"price_c") &&
+            $"price_c" === $"min_eq")
+          .select($"p_partkey", $"size", $"price_c")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                 CAST(p_retailprice * 100 AS BIGINT) AS price_c
+          FROM part),
+        grid AS (
+          SELECT size, MIN(price_c) AS min_eq FROM p GROUP BY 1),
+        g2 AS (
+          SELECT size, min_eq,
+                 MIN(min_eq) OVER (ORDER BY size ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_lt
+          FROM grid)
+        SELECT p_partkey, size, price_c
+        FROM p JOIN g2 USING (size)
+        WHERE (min_lt IS NULL OR min_lt > price_c)
+          AND price_c = min_eq""")),
+
     "rel_abc_analysis" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
