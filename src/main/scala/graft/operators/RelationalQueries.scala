@@ -2227,6 +2227,59 @@ object RelationalQueries extends QueryModule {
     // classes cut at 80% / 95%. The ranking carries a full tiebreak; the
     // running frame is rows-based over aggregated parts, never the fact
     // table.
+    // Gini coefficient of per-customer spend concentration within each
+    // nation — the inequality metric behind market-concentration
+    // dashboards, via the rank formula G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
+    // over spend ranked ascending. Both Σ terms accumulate in
+    // DECIMAL(30,6) (order-independent — the rel_abc_analysis contract,
+    // which also pins the double→decimal cast parity), ranks are exact
+    // row_numbers with a full tie-break, and the closing formula is one
+    // identical double expression on both engines. One join + two
+    // shuffles (customer rollup, nation rollup); ranks come from a
+    // per-nation window, never a global sort.
+    "rel_gini" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val spend = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey", $"c_custkey")
+          .agg(dsum($"o_totalprice").as("x"))
+        val w = Window.partitionBy($"c_nationkey").orderBy($"x", $"c_custkey")
+        val nd = $"n_customers".cast("double")
+        spend
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy($"c_nationkey")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum($"x".cast(DecimalType(30, 6)) * $"rn").as("num"),
+            sum($"x".cast(DecimalType(30, 6))).as("den"))
+          .select($"c_nationkey", $"n_customers",
+            ((lit(2.0) * $"num".cast("double")) /
+              (nd * $"den".cast("double")) -
+              (nd + lit(1.0)) / nd).as("gini"))
+      },
+      oracle = Some(s"""
+        WITH spend AS (
+          SELECT c_nationkey, c_custkey, ${sqlSum("o_totalprice")} AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT c_nationkey, x,
+                 CAST(row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY x, c_custkey) AS BIGINT) AS rn
+          FROM spend),
+        a AS (
+          SELECT c_nationkey, COUNT(*) AS n_customers,
+                 SUM(CAST(x AS DECIMAL(30,6)) * rn) AS num,
+                 SUM(CAST(x AS DECIMAL(30,6))) AS den
+          FROM r GROUP BY 1)
+        SELECT c_nationkey, n_customers,
+               (2.0 * CAST(num AS DOUBLE)) /
+                 (CAST(n_customers AS DOUBLE) * CAST(den AS DOUBLE)) -
+                 (CAST(n_customers AS DOUBLE) + 1.0) /
+                 CAST(n_customers AS DOUBLE) AS gini
+        FROM a""")),
+
     // Skyline (Pareto frontier): parts not strictly dominated on
     // (size ↓, price ↓) — the preference-query operator family. The
     // scalable shape is NOT the quadratic all-pairs domination test: the
