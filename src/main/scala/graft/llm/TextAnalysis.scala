@@ -165,8 +165,11 @@ object TextAnalysis extends QueryModule {
               .cast("long").as("n_snake"),
             length($"text").cast("long").as("n_chars"))
           .select($"doc_id", $"n_sym", $"n_indent", $"n_snake",
-            ($"n_sym".cast("double") / $"n_chars").as("sym_density"),
-            ($"n_sym".cast("double") / $"n_chars" > 0.02 ||
+            // Empty docs: guard 0/0 (Spark NaN vs DuckDB NULL) on BOTH sides.
+            when($"n_chars" > 0, $"n_sym".cast("double") / $"n_chars")
+              .as("sym_density"),
+            (when($"n_chars" > 0, $"n_sym".cast("double") / $"n_chars")
+              .otherwise(lit(0.0)) > 0.02 ||
               $"n_indent" >= 3 || $"n_snake" >= 5).as("looks_like_code"))
       },
       oracle = Some("""
@@ -181,8 +184,11 @@ object TextAnalysis extends QueryModule {
                  CAST(len(text) AS BIGINT) AS n_chars
           FROM documents)
         SELECT doc_id, n_sym, n_indent, n_snake,
-               CAST(n_sym AS DOUBLE) / n_chars AS sym_density,
-               (CAST(n_sym AS DOUBLE) / n_chars > 0.02 OR n_indent >= 3
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_sym AS DOUBLE) / n_chars END AS sym_density,
+               (COALESCE(CASE WHEN n_chars > 0
+                              THEN CAST(n_sym AS DOUBLE) / n_chars END, 0.0)
+                  > 0.02 OR n_indent >= 3
                  OR n_snake >= 5) AS looks_like_code
         FROM m""")),
 

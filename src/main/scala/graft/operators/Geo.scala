@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the naive spatial join is all-pairs. Grid bucketing makes
   * it an EQUI-join: each supplier is replicated to its 3×3 cell
-  * neighborhood map-side (bounded 9× expansion of the SMALL side), then a
+  * neighborhood map-side (bounded 9× expansion of the SMALL side; the
+  * longitude cell wraps mod 36 so the ±180° antimeridian seam is adjacent,
+  * mirrored in the oracle as modular cell distance), then a
   * plain hash join on (cell_lat, cell_lon) bounds candidates to points in
   * adjacent cells — at 100 TB this is the standard spatial-bin join, with
   * cell size tuned so a neighborhood holds O(1) candidates. The dimension
@@ -72,7 +74,7 @@ object Geo extends QueryModule {
           .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
           .select($"s_suppkey", $"sla", $"slo",
             (expr("sla div 1000") + $"dl").as("cell_lat"),
-            (expr("slo div 1000") + $"dn").as("cell_lon"))
+            ((expr("slo div 1000") + $"dn" + 36) % 36).as("cell_lon"))
         cust.join(broadcast(supp9), Seq("cell_lat", "cell_lon"))
           .withColumn("d", haversineKm(
             $"cla" / 100.0 - 90.0, $"clo" / 100.0 - 180.0,
@@ -98,7 +100,8 @@ object Geo extends QueryModule {
                         "(sla / 100.0 - 90.0)", "(slo / 100.0 - 180.0)")} AS d
           FROM c JOIN s
             ON abs(cla // 1000 - sla // 1000) <= 1
-           AND abs(clo // 1000 - slo // 1000) <= 1),
+           AND least(abs(clo // 1000 - slo // 1000),
+                     36 - abs(clo // 1000 - slo // 1000)) <= 1),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
@@ -127,7 +130,7 @@ object Geo extends QueryModule {
           .withColumn("dn", explode(array(lit(-1), lit(0), lit(1))))
           .select($"s_suppkey", $"sla", $"slo",
             (expr("sla div 1000") + $"dl").as("cell_lat"),
-            (expr("slo div 1000") + $"dn").as("cell_lon"))
+            ((expr("slo div 1000") + $"dn" + 36) % 36).as("cell_lon"))
         cust.join(broadcast(supp9), Seq("cell_lat", "cell_lon"))
           .withColumn("d", haversineKm(
             $"cla" / 100.0 - 90.0, $"clo" / 100.0 - 180.0,
@@ -153,7 +156,8 @@ object Geo extends QueryModule {
                         "(sla / 100.0 - 90.0)", "(slo / 100.0 - 180.0)")} AS d
           FROM c JOIN s
             ON abs(cla // 1000 - sla // 1000) <= 1
-           AND abs(clo // 1000 - slo // 1000) <= 1),
+           AND least(abs(clo // 1000 - slo // 1000),
+                     36 - abs(clo // 1000 - slo // 1000)) <= 1),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (
             PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rank

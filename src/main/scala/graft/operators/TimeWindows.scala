@@ -674,12 +674,14 @@ object TimeWindows extends QueryModule {
         FROM m""")),
 
     // Peak detection: hours where an event type's count is a strict local
-    // maximum (greater than the previous hour, at-least the next — the
-    // ties-to-left convention makes a plateau's FIRST hour the peak,
-    // deterministically). The alerting primitive downstream of [ts_acf]'s
-    // seasonality screen. Integer counts and one lag/lead window; at
-    // 100 TB the pre-aggregated grid is ~types×hours rows, so the window
-    // is trivial no matter the input volume.
+    // maximum over the run-length-collapsed series — equal-valued plateaus
+    // collapse to one run first, so the lookahead compares against the
+    // next/previous DIFFERING value: an ascending plateau (3,5,5,7) is NOT
+    // a peak, and a true plateau peak reports its FIRST hour,
+    // deterministically. The alerting primitive downstream of [ts_acf]'s
+    // seasonality screen. Integer counts, one run-id window, one lag/lead
+    // window; at 100 TB the pre-aggregated grid is ~types×hours rows, so
+    // the windows are trivial no matter the input volume.
     "ts_peaks" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
@@ -687,11 +689,18 @@ object TimeWindows extends QueryModule {
           .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
           .agg(count(lit(1)).as("x"))
         val w = Window.partitionBy($"event_type").orderBy($"bucket")
-        hourly
-          .withColumn("prev_x", lag($"x", 1).over(w))
-          .withColumn("next_x", lead($"x", 1).over(w))
+        val runs = hourly
+          .withColumn("new_run",
+            when(!(lag($"x", 1).over(w) <=> $"x"), 1L).otherwise(0L))
+          .withColumn("run_id", sum($"new_run").over(w))
+          .groupBy($"event_type", $"run_id")
+          .agg(min($"bucket").as("bucket"), min($"x").as("x"))
+        val wr = Window.partitionBy($"event_type").orderBy($"run_id")
+        runs
+          .withColumn("prev_x", lag($"x", 1).over(wr))
+          .withColumn("next_x", lead($"x", 1).over(wr))
           .filter($"prev_x".isNotNull && $"next_x".isNotNull &&
-            $"x" > $"prev_x" && $"x" >= $"next_x")
+            $"x" > $"prev_x" && $"x" > $"next_x")
           .select($"event_type", date_format($"bucket", fmt).as("bucket"),
             $"x", $"prev_x", $"next_x")
       },
@@ -700,16 +709,28 @@ object TimeWindows extends QueryModule {
           SELECT event_type, date_trunc('hour', ts) AS bucket,
                  COUNT(*) AS x
           FROM events GROUP BY 1, 2),
+        chg AS (
+          SELECT event_type, bucket, x,
+                 CASE WHEN x IS DISTINCT FROM lag(x) OVER w
+                      THEN 1 ELSE 0 END AS new_run
+          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        runs AS (
+          SELECT event_type, run_id, MIN(bucket) AS bucket, MIN(x) AS x
+          FROM (SELECT event_type, bucket, x,
+                       SUM(new_run) OVER (PARTITION BY event_type
+                                          ORDER BY bucket) AS run_id
+                FROM chg)
+          GROUP BY event_type, run_id),
         l AS (
           SELECT event_type, bucket, x,
                  lag(x) OVER w AS prev_x, lead(x) OVER w AS next_x
-          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          FROM runs WINDOW w AS (PARTITION BY event_type ORDER BY run_id))
         SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
                CAST(x AS BIGINT) AS x, CAST(prev_x AS BIGINT) AS prev_x,
                CAST(next_x AS BIGINT) AS next_x
         FROM l
         WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
-          AND x > prev_x AND x >= next_x""")),
+          AND x > prev_x AND x > next_x""")),
 
     // Autocorrelation (ACF lags 1-3) of each event type's hourly count
     // series — the seasonality screen that decides whether a series needs
