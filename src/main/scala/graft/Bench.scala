@@ -94,6 +94,34 @@ object Bench {
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
+    // Contention probe: the same fixed CPU-bound job timed at run start,
+    // between the two passes, and at run end. The work is constant, so any
+    // drift measures the HOST (another tenant, thermal throttling), not the
+    // engine — a run whose probes spread ≥1.5× is flagged "contended" so a
+    // hosed pass is machine-detectable instead of inferred from uniform
+    // query slowdowns (round 6 recorded one such ~2× run).
+    // Deliberately NOT a Spark job: a Spark-side probe reads the engine's
+    // own end-of-run state (GC debt, listener backlog, JIT re-tiering) as
+    // "contention". A fixed multi-threaded integer spin measures only what
+    // the HOST gives us: with all cores spinning, an oversubscribed host
+    // (the thing the flag exists to catch) stretches wall time directly.
+    @volatile var probeSink = 0L
+    def probe(): Double = {
+      System.gc() // keep collector pauses out of the spin
+      val threads = math.max(1, cpus)
+      val iters = 300000000L
+      val t0 = System.nanoTime()
+      val pool = (0 until threads).map { t =>
+        new Thread(() => {
+          var x = t.toLong; var i = 0L
+          while (i < iters) { x ^= x * 2654435761L + (i >>> 13); i += 1 }
+          probeSink ^= x
+        })
+      }
+      pool.foreach(_.start()); pool.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Total JVM GC time so far, seconds — per-query deltas attribute slow
     // outliers to collection pressure (or rule it out).
     def gcSeconds(): Double = {
@@ -121,15 +149,40 @@ object Bench {
       }.toMap
 
     // Pass 1 in the given (sorted) order; pass 2, full runs only, in a
-    // seeded-shuffled order so each query sees different neighbors.
-    val pass1 = timedPass(names)
+    // seeded-shuffled order so each query sees different neighbors. Probes
+    // bracket the passes (full runs only — targeted profiling stays lean).
     val twoPass = args.isEmpty
+    // Each probe point is the MIN of three consecutive runs: transient JVM
+    // residue (JIT re-tiering, a concurrent GC cycle, listener backlog from
+    // the preceding pass) recovers within a run or two, while genuine
+    // external host load slows all three. The first point additionally
+    // warms until two consecutive runs agree within 20% so the probe's own
+    // codegen/JIT never lands in the measurement.
+    def probeMin3(): Double = Seq(probe(), probe(), probe()).min
+    val probeStart = if (twoPass) {
+      var prev = probe()
+      var cur = probe()
+      var tries = 0
+      while (tries < 4 && math.max(prev, cur) > 1.2 * math.min(prev, cur)) {
+        prev = cur; cur = probe(); tries += 1
+      }
+      probeMin3()
+    } else -1.0
+    val pass1 = timedPass(names)
+    val probeMid = if (twoPass) probeMin3() else -1.0
     val pass2: Map[String, (Double, Option[String], Double)] =
       if (!twoPass) Map.empty
       else {
         val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
         timedPass(new scala.util.Random(seed).shuffle(names))
       }
+    val probeEnd = if (twoPass) probeMin3() else -1.0
+    val probes = Seq(probeStart, probeMid, probeEnd)
+    // Asymmetric test: residual JIT tiering makes later probes FASTER than
+    // the start (measured 0.126→0.084 over a clean run), so only a later
+    // probe ≥1.5× the start indicates the host degraded mid-run. All three
+    // values are emitted so start-contended runs remain human-visible.
+    val contended = twoPass && math.max(probeMid, probeEnd) >= 1.5 * probeStart
 
     val results: Seq[(String, Double, Option[String])] = names.map { name =>
       val (t1, e1, _) = pass1(name)
@@ -219,7 +272,8 @@ object Bench {
         val g1 = obj(names.map(n => n -> f"${pass1(n)._3}%.3f"))
         val g2 = obj(names.map(n => n -> f"${pass2(n)._3}%.3f"))
         val so = obj(solo.map { case (k, v) => k -> v.toString })
-        s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk,"gc1":$g1,"gc2":$g2,"solo":$so,"prev_ref":${if (prev.isEmpty) "null" else "\"" + esc(prevPath) + "\""}"""
+        val pr = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+        s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk,"gc1":$g1,"gc2":$g2,"solo":$so,"probe":$pr,"contended":$contended,"prev_ref":${if (prev.isEmpty) "null" else "\"" + esc(prevPath) + "\""}"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"sf":"${esc(sfDir)}"}"""
