@@ -2129,34 +2129,87 @@ object RelationalQueries extends QueryModule {
         FROM r WHERE rn = 1""")),
 
     // Median absolute deviation — the robust dispersion companion to
-    // rel_agg_winsorized: lower-median by exact ceil-rank, deviations
-    // against the broadcast median, then the same rank spelling over the
-    // deviations. Fully deterministic (every ordering carries the
-    // (l_orderkey, l_linenumber) tiebreak); two window passes + one
-    // broadcast, no global sort.
+    // rel_agg_winsorized. The oracle (below) SPECIFIES the semantics as the
+    // exact ceil-rank lower median with the (l_orderkey, l_linenumber)
+    // tiebreak; the Spark side SELECTS the same value by two-phase
+    // distributed selection instead of a per-group total sort (which runs
+    // at parallelism = |groups| = 2): a bounded integer-bucket histogram
+    // (map-side-combined, ~1.6k 64-wide buckets/group) locates the bucket
+    // holding rank ceil(n/2), then only that bucket's handful of rows is
+    // sorted for the exact value. Tiebreaks can't change the SELECTED
+    // VALUE (the k-th element's value is the smallest v with cdf(v) ≥ k),
+    // so the rank-spelling oracle still matches bit-for-bit. Same
+    // machinery again for the deviation median; four cheap columnar scans,
+    // no group-wide sort anywhere — the shape that survives 100 TB.
     "rel_agg_mad" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String,
-            out: String) = {
-          val part = Window.partitionBy($"l_linestatus")
-          val w = part.orderBy(col(valueCol), $"l_orderkey", $"l_linenumber")
-          df.withColumn("rn", row_number().over(w).cast("long"))
-            .withColumn("n", count(lit(1)).over(part))
-            .filter($"rn" === ceil(lit(0.5) * $"n").cast("long"))
-            .groupBy($"l_linestatus".as("g"))
-            .agg(max(col(valueCol)).as(out))
+        // Exact per-group lower median of a derived value column, as a
+        // driver Map(group -> median). Driver state is O(groups) — the
+        // k-means-centroid pattern — which buys literal CASE predicates in
+        // the follow-up scans instead of broadcast-join jobs: each phase is
+        // one pure-codegen 2-column scan. Tiebreaks can't change the
+        // SELECTED VALUE (the k-th element's value is the smallest v with
+        // cdf(v) ≥ k), so value-only ordering suffices here.
+        def fastMedian(df: org.apache.spark.sql.DataFrame,
+            valueCol: Column): Map[String, Double] = {
+          // 64-wide buckets: /64 and floor are exact IEEE ops; ~1.6k
+          // buckets keep the histogram shuffle trivial while the residual
+          // (≈ rows/buckets per group) stays a few hundred rows.
+          val bucketed = df.select($"l_linestatus",
+            valueCol.as("v"), floor(valueCol / 64.0).cast("long").as("bkt"))
+          // The histogram is O(buckets) rows; its cumsum is driver-side
+          // arithmetic, not a window stage.
+          val hist = bucketed.groupBy($"l_linestatus", $"bkt")
+            .agg(count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val target: Map[String, (Long, Long)] =
+            hist.groupBy(_._1).map { case (g, rows) =>
+              val sorted = rows.sortBy(_._2)
+              val n = sorted.map(_._3).sum
+              val k = math.ceil(0.5 * n).toLong
+              var cum = 0L
+              val (_, bkt, cnt) =
+                sorted.find { case (_, _, c) => cum += c; cum >= k }.get
+              g -> (bkt, k - (cum - cnt))
+            }
+          // Residual: only the target bucket's rows per group, filtered by
+          // a literal predicate — no join, no broadcast exchange.
+          val inTarget = target.map { case (g, (b, _)) =>
+            $"l_linestatus" === g && $"bkt" === b
+          }.reduce(_ || _)
+          val kOf = target.foldLeft(lit(-1L)) { case (acc, (g, (_, k))) =>
+            when($"l_linestatus" === g, lit(k)).otherwise(acc)
+          }
+          val wr = Window.partitionBy($"l_linestatus").orderBy($"v")
+          bucketed.filter(inTarget)
+            .withColumn("rn", row_number().over(wr).cast("long"))
+            .filter($"rn" === kOf)
+            .collect()
+            .map(r => r.getString(0) -> r.getDouble(1))
+            .toMap
         }
+        def caseOf(m: Map[String, Double]): Column =
+          m.foldLeft(lit(Double.NaN)) { case (acc, (g, v)) =>
+            when($"l_linestatus" === g, lit(v)).otherwise(acc)
+          }
         val li = t(s, dir, "lineitem")
-          .select($"l_linestatus", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        val med = medianOf(li, "l_extendedprice", "med")
-        val dev = li.join(broadcast(med), $"l_linestatus" === $"g")
-          .select($"l_linestatus", $"med",
-            abs($"l_extendedprice" - $"med").as("dv"),
-            $"l_orderkey", $"l_linenumber")
-        medianOf(dev.withColumnRenamed("dv", "l_extendedprice"), "l_extendedprice", "mad")
-          .join(broadcast(med.select($"g".as("g2"), $"med")), $"g" === $"g2")
-          .select($"g".as("l_linestatus"), $"med".as("median"), $"mad")
+          .select($"l_linestatus", $"l_extendedprice")
+        val med = fastMedian(li, $"l_extendedprice")
+        val mad = fastMedian(li, abs($"l_extendedprice" - caseOf(med)))
+        // Assemble the 2-row result locally — no final join.
+        import scala.jdk.CollectionConverters._
+        val rows = med.keys.toSeq.sorted.map(g =>
+          org.apache.spark.sql.Row(g, med(g), mad(g)))
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("l_linestatus",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("median",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("mad",
+              org.apache.spark.sql.types.DoubleType))))
       },
       oracle = Some("""
         WITH base AS (
@@ -2461,40 +2514,75 @@ object RelationalQueries extends QueryModule {
         GROUP BY l_linestatus""")),
 
     // ------------------------------------------------------------------
-    // Pearson correlation per group from decimal-exact moments: built-in
-    // corr() accumulates doubles in partition order (non-deterministic
-    // across engines/partitionings), so the six moments are summed exactly
-    // and the coefficient derived in one double expression both engines
-    // share. One hash-aggregate shuffle, map-side partials.
+    // Pearson correlation per group from INTEGER moments: built-in corr()
+    // accumulates doubles in partition order (non-deterministic across
+    // engines/partitionings), and DECIMAL(30,6) sums are exact but ride
+    // Spark's non-codegen BigDecimal path (~2 s for 600k rows). Instead
+    // quantity is a small long and price becomes integer CENTS, so every
+    // moment is a LONG sum inside whole-stage codegen. The one sum that
+    // can overflow long (Σcents²) is split into 32-bit halves
+    // (c² = hi·2³² + lo) and recombined in DECIMAL(38,0)/HUGEINT on the
+    // 3 output rows; Pearson is scale-invariant, so the cents-based
+    // coefficient equals the dollars-based one exactly. The closing
+    // expression is the shared exactly-rounded double program both engines
+    // evaluate bit-identically. Long headroom: Σlo < n·2³² — safe past
+    // sf100 (6·10⁸ rows → 2.6·10¹⁸ < 2⁶³).
     "rel_agg_corr" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
+        val c = round($"l_extendedprice" * 100).cast("long")
+        val q = $"l_quantity".cast("long")
+        val dec = "decimal(38,0)"
         t(s, dir, "lineitem")
+          .select($"l_returnflag", q.as("q"), c.as("c"))
+          .withColumn("lo", ($"c" * $"c") % 4294967296L)
+          .withColumn("hi",
+            (($"c" * $"c" - $"lo") / 4294967296L).cast("long"))
           .groupBy($"l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            dsum($"l_quantity").as("sx"),
-            dsum($"l_extendedprice").as("sy"),
-            dsum($"l_quantity" * $"l_quantity").as("sxx"),
-            dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
-            dsum($"l_quantity" * $"l_extendedprice").as("sxy"))
+            sum($"q").as("sx"),
+            sum($"c").as("sy"),
+            sum($"q" * $"q").as("sxx"),
+            sum($"q" * $"c").as("sxy"),
+            sum($"hi").as("shi"),
+            sum($"lo").as("slo"))
           .select($"l_returnflag", $"n",
-            round(($"n" * $"sxy" - $"sx" * $"sy") /
-              (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-               sqrt($"n" * $"syy" - $"sy" * $"sy")), 8).as("corr_qty_price"))
+            round(
+              (($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy")
+                .cast("double")) /
+              (sqrt(($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx")
+                .cast("double")) *
+               sqrt(($"n".cast(dec) *
+                 (lit(4294967296L).cast(dec) * $"shi" + $"slo") -
+                 $"sy".cast(dec) * $"sy").cast("double"))), 8)
+              .as("corr_qty_price"))
       },
-      oracle = Some(s"""
+      oracle = Some("""
         WITH m AS (
           SELECT l_returnflag, COUNT(*) AS n,
-                 ${sqlSum("l_quantity")} AS sx,
-                 ${sqlSum("l_extendedprice")} AS sy,
-                 ${sqlSum("l_quantity * l_quantity")} AS sxx,
-                 ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
-                 ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+                 SUM(CAST(l_quantity AS BIGINT)) AS sx,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+                 SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   AS sxx,
+                 SUM(CAST(l_quantity AS BIGINT) *
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     // 4294967296) AS shi,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     % 4294967296) AS slo
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, n,
-               ROUND((n * sxy - sx * sy) /
-                     (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 8)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               ROUND(
+                 CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                      AS DOUBLE) /
+                 (SQRT(CAST(CAST(n AS HUGEINT) * sxx -
+                            CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+                  SQRT(CAST(CAST(n AS HUGEINT) *
+                            (CAST(4294967296 AS HUGEINT) * shi + slo) -
+                            CAST(sy AS HUGEINT) * sy AS DOUBLE))), 8)
                  AS corr_qty_price
         FROM m""")),
 

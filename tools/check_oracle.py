@@ -8,7 +8,7 @@ oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf tables,
 canonicalizes both (column-name sort, row sort, float rounding) and compares.
 Driver-side tooling only — the Scala library never depends on this.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -40,7 +40,20 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # GenData fixtures are directories of part files (and store
+        # events.ts as a nanos LONG, like Tables.load consumes it).
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        if t == "events":
+            typ = con.execute(
+                f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                con.execute(
+                    "CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
