@@ -235,6 +235,84 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Passage-level dedup: (d1, d2, n_shared) for documents sharing exact
+    * 40-char word-anchored windows (Lee-et-al-style repeated passages).
+    * Window enumeration is O(words); the nd ∈ [2, 50] per-window doc cap
+    * bounds the pair stream exactly like the SimHash bucket cap. Public so
+    * the scale soak can run it on replicated corpora. */
+  def passagePairs(corpus: DataFrame): DataFrame = {
+    val L = 40
+    val wins = corpus
+      .filter(length(col("text")) > L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(1, length(text) - $L),
+                     i -> substring(text, i, 1) = ' '),
+              i -> md5_long(substring(text, i + 1, $L)))""")).as("w"))
+      .distinct()
+    val shared = wins.groupBy(col("w")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, 50)).select(col("w"))
+    val kept = wins.join(shared, "w")
+    kept.as("a").join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Containment dedup: (d1, d2, containment) pairs with Broder containment
+    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 over rare-shingle profiles (df ≤ 500
+    * suppression — part of the checked semantics, not an approximation).
+    *
+    * Shingles travel as 64-bit md5 keys (md5_long ≡ DuckDB
+    * md5_number_upper) — key width dominates the candidate shuffle.
+    * Candidate generation is ASYMMETRIC prefix filtering: containment
+    * ≥ 0.9 means at most 10% of A's rare profile misses B, so A's rarest
+    * ⌊sz/10⌋+1 shingles (global (df, shingle) order) must share at least
+    * one member with B — only that prefix probes the full postings side,
+    * cutting the full×full join (measured 24× wall-clock at 10× docs on
+    * the df-saturated fixture) ~10×. An INTEGER positional bound (overlap
+    * ≤ 1 + min(remaining suffixes), needed ⌈9·szA/10⌉ — integer div, no FP
+    * at exact multiples) prunes late-position matches before the distinct;
+    * survivors are verified with the exact rare-profile intersection.
+    * Result set is EXACTLY the naive full-join oracle's. */
+  def containmentPairs(corpus: DataFrame): DataFrame = {
+    val sh = shingles(corpus)
+      .select(col("doc_id"), expr("md5_long(shingle)").as("shingle"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 500)
+    val prof = sh.join(rare, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
+        .as("sorted_sh"))
+      .withColumn("sz", size(col("sorted_sh")))
+    val aPrefix = prof
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(sorted_sh, 1, sz div 10 + 1)"))
+          .as(Seq("pa", "shingle")))
+    val bFull = prof
+      .select(col("doc_id"), col("sz"), posexplode(col("sorted_sh"))
+        .as(Seq("pb", "shingle")))
+    val cand = aPrefix
+      .select(col("doc_id").as("d1"), col("sz").as("sz1"), col("pa"),
+        col("shingle"))
+      .join(bFull.select(col("doc_id").as("d2"), col("sz").as("sz2"),
+        col("pb"), col("shingle")), Seq("shingle"))
+      .filter(col("d1") =!= col("d2") &&
+        lit(1) + least(col("sz1") - col("pa") - 1,
+          col("sz2") - col("pb") - 1) >= expr("(9 * sz1 + 9) div 10"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(prof.select(col("doc_id").as("d1"), col("sorted_sh").as("sa"),
+        col("sz").as("sz1")), "d1")
+      .join(prof.select(col("doc_id").as("d2"), col("sorted_sh").as("sb")), "d2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / col("sz1").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= 0.9)
+  }
+
   def minhashPairs(corpus: DataFrame): DataFrame = {
     val bands = bandsOf(corpus)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
@@ -481,25 +559,7 @@ object Dedup extends QueryModule {
     // form is STILL oracle-exact (a collision would be the identical
     // collision on both engines).
     "llm_dedup_passage" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        val L = 40
-        val wins = nearCorpus(s, dir)
-          .filter(length($"text") > L)
-          .select($"doc_id", explode(expr(
-            s"""transform(
-                  filter(sequence(1, length(text) - $L),
-                         i -> substring(text, i, 1) = ' '),
-                  i -> md5_long(substring(text, i + 1, $L)))""")).as("w"))
-          .distinct()
-        val shared = wins.groupBy($"w").agg(count(lit(1)).as("nd"))
-          .filter($"nd".between(2, 50)).select($"w")
-        val kept = wins.join(shared, "w")
-        kept.as("a").join(kept.as("b"),
-            $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-          .agg(count(lit(1)).as("n_shared"))
-      },
+      fn = (s, dir) => passagePairs(nearCorpus(s, dir)),
       oracle = Some(s"""
         WITH $nearCorpusSql,
         wins AS (
@@ -525,55 +585,7 @@ object Dedup extends QueryModule {
     // semantics, not an approximation. All inputs to the division are
     // exact integers — thresholding is bit-stable across engines.
     "llm_dedup_containment" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        // Shingles travel as 64-bit md5 keys (md5_long ≡ DuckDB
-        // md5_number_upper) — key width dominates the candidate shuffle.
-        // Candidate generation is ASYMMETRIC prefix filtering: containment
-        // ≥ 0.9 means at most 10% of A's rare profile misses B, so A's
-        // rarest ⌊sz/10⌋+1 shingles (global (df, shingle) order) must
-        // share at least one member with B — only that prefix probes the
-        // full postings side, cutting the full×full join (measured 24×
-        // wall-clock at 10× docs on this df-saturated fixture) ~10×. An
-        // INTEGER positional bound (overlap ≤ 1 + min(remaining suffixes),
-        // needed ⌈9·szA/10⌉ — integer div, no FP at exact multiples)
-        // prunes late-position matches before the distinct; survivors are
-        // verified with the exact rare-profile intersection. Result set
-        // and the df ≤ 500 suppression semantics are EXACTLY the oracle's.
-        val sh = shingles(nearCorpus(s, dir))
-          .select($"doc_id", expr("md5_long(shingle)").as("shingle"))
-        val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-          .filter($"df" <= 500)
-        val prof = sh.join(rare, "shingle")
-          .groupBy($"doc_id")
-          .agg(expr(
-            "transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
-            .as("sorted_sh"))
-          .withColumn("sz", size($"sorted_sh"))
-        val aPrefix = prof
-          .select($"doc_id", $"sz",
-            posexplode(expr("slice(sorted_sh, 1, sz div 10 + 1)"))
-              .as(Seq("pa", "shingle")))
-        val bFull = prof
-          .select($"doc_id", $"sz", posexplode($"sorted_sh")
-            .as(Seq("pb", "shingle")))
-        val cand = aPrefix
-          .select($"doc_id".as("d1"), $"sz".as("sz1"), $"pa", $"shingle")
-          .join(bFull.select($"doc_id".as("d2"), $"sz".as("sz2"), $"pb",
-            $"shingle"), Seq("shingle"))
-          .filter($"d1" =!= $"d2" &&
-            lit(1) + least($"sz1" - $"pa" - 1, $"sz2" - $"pb" - 1) >=
-              expr("(9 * sz1 + 9) div 10"))
-          .select($"d1", $"d2").distinct()
-        cand
-          .join(prof.select($"doc_id".as("d1"), $"sorted_sh".as("sa"),
-            $"sz".as("sz1")), "d1")
-          .join(prof.select($"doc_id".as("d2"), $"sorted_sh".as("sb")), "d2")
-          .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
-          .select($"d1", $"d2",
-            ($"inter".cast("double") / $"sz1".cast("double")).as("containment"))
-          .filter($"containment" >= 0.9)
-      },
+      fn = (s, dir) => containmentPairs(nearCorpus(s, dir)),
       oracle = Some(s"""
         WITH $nearCorpusSql, $shinglesSql,
         shh AS (SELECT doc_id, md5_number_upper(shingle) AS shingle FROM sh),

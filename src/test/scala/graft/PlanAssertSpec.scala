@@ -345,11 +345,18 @@ class PlanAssertSpec extends SparkSpec {
   }
 
   test("robust stats / pareto: medians and bounds broadcast, never a cartesian") {
-    for (n <- Seq("rel_agg_mad", "ts_cusum")) {
+    for (n <- Seq("ts_cusum")) {
       val p = plan(n)
       assert(p.contains("BroadcastHashJoin"), s"$n scalar stats not broadcast")
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
     }
+    // rel_agg_mad runs its two-phase selections eagerly (histogram +
+    // residual jobs with literal CASE predicates — no joins at all) and
+    // returns the assembled 2-row result: the final plan must be a bare
+    // LocalTableScan with no join of any kind.
+    val mad = plan("rel_agg_mad")
+    assert(mad.contains("LocalTableScan"), "mad result not locally assembled")
+    assert(!mad.contains("Join"), "mad final frame should not join")
     for (n <- Seq("rel_benford", "rel_abc_analysis"))
       assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian product")
   }

@@ -134,6 +134,52 @@ class ScaleSoakSpec extends SparkSpec {
     } finally scored.unpersist()
   }
 
+  test("containment dedup scales linearly on replicated disjoint corpora") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // Replica-tokened corpora share no shingles, so rare-shingle profiles
+    // (and the df ≤ 500 cut) are identical per replica: the true pair set
+    // is EXACTLY k× the base corpus's. Wall-clock must grow ~linearly —
+    // the asymmetric-prefix candidate join's bound is candidates ≤
+    // prefix-postings × df, linear in corpus size at fixed df profile.
+    def run(k: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.containmentPairs(corpusTimes(k)).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1) // warm
+    val (n1, t1) = run(1)
+    val (n8, t8) = run(8)
+    info(f"pairs: $n1 -> $n8 (${n8.toDouble / n1}%.2f x), " +
+      f"time: $t1%.2f s -> $t8%.2f s (${t8 / t1}%.2f x)")
+    assert(n8 === 8 * n1, "containment pairs must replicate exactly")
+    assert(t8 <= 16 * t1,
+      f"containment wall-clock grew superlinearly: $t1%.2f s -> $t8%.2f s")
+  }
+
+  test("passage dedup scales linearly on replicated disjoint corpora") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // Replica tokens change every 40-char window, so windows never collide
+    // across replicas and each replica's internal pair set equals the
+    // base's: pairs grow EXACTLY k×. The per-window doc cap (nd ≤ 50)
+    // bounds the pair stream per window, so wall-clock must track corpus
+    // size ~linearly.
+    def run(k: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.passagePairs(corpusTimes(k)).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(1) // warm
+    val (n1, t1) = run(1)
+    val (n8, t8) = run(8)
+    info(f"pairs: $n1 -> $n8 (${n8.toDouble / n1}%.2f x), " +
+      f"time: $t1%.2f s -> $t8%.2f s (${t8 / t1}%.2f x)")
+    assert(n8 === 8 * n1, "passage pairs must replicate exactly")
+    assert(t8 <= 16 * t1,
+      f"passage wall-clock grew superlinearly: $t1%.2f s -> $t8%.2f s")
+  }
+
   test("AQE splits a skewed join at runtime (no manual salt)") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
