@@ -268,21 +268,36 @@ object Knn extends QueryModule {
         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10""")),
 
-    // IVF-flat ANN (10 sampled centroids, nprobe=4) — deterministic end to
-    // end, so the oracle rebuilds the same cells, probes, and ranking.
+    // IVF-flat ANN (nprobe=4) — deterministic end to end, so the oracle
+    // rebuilds the same cells, probes, and ranking. The centroid count
+    // follows the canonical IVF sizing nlist ≈ √N (centroids are every
+    // (N div nlist)-th vec_id): a FIXED sampling modulus would grow the
+    // centroid set linearly with the corpus and make the assignment pass
+    // N·(N/mod) cosines — measured 203 s at the sf10 scale point (50k
+    // base vectors → 1000 centroids) before round 7 changed it; √N
+    // sizing makes assignment N^1.5 work and keeps each inverted list at
+    // ~√N vectors, the classical balance point. Both engines derive the
+    // modulus from the same count, so the gate still hash-matches.
     "llm_knn_ivf" -> QuerySpec(
       fn = (s, dir) => {
         val base = emb(s, dir)
+        val n = base.count()
+        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
         ivfTopK(base, base.filter(col("vec_id") < 20), k = 10, nprobe = 4,
-          sampleMod = 50L)
+          sampleMod = math.max(1L, n / nlist))
       },
       oracle = Some(s"""
         WITH base AS (
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
+        smod AS (
+          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+                   AS m
+          FROM base),
         cents AS (
-          SELECT vec_id AS cent_id, ve AS vc FROM base WHERE vec_id % 50 = 0),
+          SELECT vec_id AS cent_id, ve AS vc
+          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
         lists AS (
           SELECT cent_id, vec_id, ve FROM (
             SELECT b.vec_id, b.ve, c.cent_id,

@@ -16,6 +16,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.except(exact).count() === 0L, "LSH produced false pairs")
   }
 
+  test("sweep's r=3/b=42 LSH pass reproduces the exact tau=0.7 pair set") {
+    // The threshold sweep trades the prefix-filtered exact candidate pass
+    // (quadratic on df-saturated corpora) for banded LSH at the loose
+    // threshold; this pins that the swap is invisible in the result —
+    // the same cross-check the oracle runs at sf0.01/sf0.1.
+    import graft.llm.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val near = docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+    val lsh = Dedup.lshJaccardPairs(near, tau = 0.7, r = 3, b = 42)
+      .select("doc_a", "doc_b")
+    val exact = Dedup.exactJaccardPairs(near, tau = 0.7)
+      .select("doc_a", "doc_b")
+    assert(exact.except(lsh).count() === 0L, "sweep LSH missed exact pairs")
+    assert(lsh.except(exact).count() === 0L, "sweep LSH produced false pairs")
+  }
+
   test("simhash candidates include every constructed near-dup pair") {
     // Every doc and its first-word-dropped variant (id + 1e6) should land
     // within hamming ≤ 6 of each other.
