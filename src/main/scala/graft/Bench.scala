@@ -275,6 +275,14 @@ object Bench {
         val pr = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
         s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk,"gc1":$g1,"gc2":$g2,"solo":$so,"probe":$pr,"contended":$contended,"prev_ref":${if (prev.isEmpty) "null" else "\"" + esc(prevPath) + "\""}"""
       }
+    // Two renditions of the same result. stdout gets the COMPACT line —
+    // headline figure, per-query minima, errors, contention flag — because
+    // the round driver keeps only a bounded tail of captured output and the
+    // full diagnostics payload (~20 KB of pass1/pass2/gc/solo maps) is what
+    // truncated BENCH_r06.json mid-line. The on-disk copy keeps everything.
+    val pr = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs,"contended":$contended,"probe":$pr,"sf":"${esc(sfDir)}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"sf":"${esc(sfDir)}"}"""
     // Always leave a machine-readable copy on disk: sbt prefixes forked
@@ -290,7 +298,7 @@ object Bench {
         System.err.println(s"[bench] could not write $o: ${e.getMessage}")
       }
     }
-    println(json)
+    println(compact)
     spark.stop()
     if (ok.size != results.size) sys.exit(1)
   }

@@ -127,15 +127,23 @@ object Medallion {
       dirs: Dirs,
       trigger: Trigger = defaultTrigger,
       watermark: String = "2 hours",
-      maxFilesPerTrigger: Int = defaultTailMaxFilesPerTrigger): StreamingQuery = {
+      maxFilesPerTrigger: Int = defaultTailMaxFilesPerTrigger,
+      deterministic: Boolean = true): StreamingQuery = {
     val bronze = spark.readStream
       .schema(dated(ActivityPipeline.ParsedSchema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dirs.bronze)
-    val deduped = bronze
+    val watermarked = bronze
       .drop("event_date") // re-derived below; dedup state keys stay minimal
       .withWatermark("timestamp", watermark)
-      .dropDuplicatesWithinWatermark("log_id")
+    // Deterministic survivor by default: executor-loss fault injection
+    // caught dropDuplicatesWithinWatermark's arbitrary-first-arrival rule
+    // emitting different silver content across two drains of the same
+    // input (see DeterministicDedup's scaladoc). The legacy operator stays
+    // reachable for semantics parity with stock Spark.
+    val deduped =
+      if (deterministic) DeterministicDedup.dedup(watermarked, watermark).toDF()
+      else watermarked.dropDuplicatesWithinWatermark("log_id")
     ActivityPipeline.enrich(deduped)
       .withColumn("event_date", to_date(col("timestamp")))
       .writeStream
