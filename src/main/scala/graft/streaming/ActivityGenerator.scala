@@ -36,12 +36,24 @@ object ActivityGenerator {
 
   /** Generate `numFiles` CSVs under `dir`. `invalidRate` rows are replaced
     * by a rotating invalid variant. Returns exact counts. */
+  /** With `chronological = true`, file f's timestamps are drawn from the
+    * f-th slice of the 100,000-minute window (oldest file first) instead of
+    * every file spanning the whole window. That is how real log streams
+    * arrive — roughly in time order — and it is what lets a watermarked
+    * multi-batch drain behave: the watermark advances monotonically with
+    * the batches, no batch's rows land wholesale behind a watermark set by
+    * a later-timestamped earlier batch, and dedup state expires as the
+    * drain progresses instead of accumulating. The default (false) keeps
+    * the reference generator's all-files-span-everything shape, which is
+    * the right fixture for single-batch tests and for exercising the
+    * late-row path. */
   def generate(
       dir: String,
       numFiles: Int = 4,
       rowsPerFile: Int = 2000,
       invalidRate: Double = 0.05,
-      seed: Long = 42L): Summary = {
+      seed: Long = 42L,
+      chronological: Boolean = false): Summary = {
     new File(dir).mkdirs()
     val rnd = new Random(seed)
     var total = 0
@@ -62,9 +74,18 @@ object ActivityGenerator {
       for (r <- 0 until rows) {
         var logId = logIds(r)
         var userId = userPool(rnd.nextInt(userPool.size))
-        // ISO-8601, minutes 1..100000 before base (data_generator.py:33).
+        // ISO-8601, minutes 1..100000 before base (data_generator.py:33);
+        // chronological mode confines file f to its own slice of that
+        // window, oldest file first.
+        val minutesBack =
+          if (!chronological) 1 + rnd.nextInt(100000)
+          else {
+            val slice = math.max(1, 100000 / numFiles)
+            val hi = (numFiles - f + 1) * slice // older end of file f's slice
+            math.max(1, hi - rnd.nextInt(slice))
+          }
         var ts = java.time.Instant
-          .ofEpochSecond(baseEpoch - (1 + rnd.nextInt(100000)) * 60L)
+          .ofEpochSecond(baseEpoch - minutesBack * 60L)
           .toString.dropRight(1).replace("T", " ") // "yyyy-MM-dd HH:mm:ss"
         val ip = basePool(rnd.nextInt(basePool.size))
         var watch: String = (1 + rnd.nextInt(119)).toString
