@@ -558,6 +558,79 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, QuerySpec] = Map(
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embeddings
+    // first, then compare cosines ONLY within a cluster — the candidate set
+    // is Σ_c C(|c|, 2) instead of C(N, 2), which is what makes
+    // embedding-level dedup feasible on a web-scale corpus. Assignment is
+    // the llm_embed_kmeans pass (one corpus scan against BROADCAST seed
+    // centroids, k·N distance rows never shuffle); the within-cluster pair
+    // scan is a self-equi-join on cluster_id. A vector is dropped when a
+    // smaller-id vector in the SAME cluster has cosine ≥ 0.95 (the keep-min
+    // rule every dedup here uses); survivors come back via one anti-join.
+    //
+    // Scale shape: at 100 TB k grows with the corpus (k ≈ N/⟨cluster⟩,
+    // e.g. √N — the llm_knn_ivf sizing), keeping per-key join work bounded
+    // and the cluster key count high; the fixture pins k = 8 seed centroids
+    // so the DuckDB oracle can rebuild the identical assignment. Cosines
+    // fold left-to-right from zero (vec_cosine ≡ the oracle's list_reduce),
+    // so the ≥ 0.95 cut is bit-stable across engines.
+    "llm_dedup_semantic" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.register(s)
+        val corpus = embCorpus(s, dir)
+        val cents = corpus.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ve").as("cv"))
+        val assigned = corpus.crossJoin(broadcast(cents))
+          .withColumn("d2", expr("""
+            aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("ve"))
+        val drops = assigned
+          .select(col("cid"), col("vec_id").as("vec_a"), col("ve").as("va"))
+          .join(assigned
+            .select(col("cid"), col("vec_id").as("vec_b"), col("ve").as("vb")),
+            Seq("cid"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(VectorOps.cosine("va", "vb") >= 0.95)
+          .select(col("vec_b").as("vec_id")).distinct()
+        assigned.join(drops, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid").as("cluster_id"))
+      },
+      oracle = Some(s"""
+        WITH $embCorpusSql,
+        c AS (SELECT vec_id AS cid, ve AS cv FROM corpus WHERE vec_id < 8),
+        dd AS (
+          SELECT vec_id, cid, ve,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [(ve[i] - cv[i]) * (ve[i] - cv[i])
+                    for i in generate_series(1, 64)]),
+                   (a, b) -> a + b) AS d2
+          FROM corpus, c),
+        asg AS (
+          SELECT vec_id, cid, ve FROM (
+            SELECT vec_id, cid, ve,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dd) WHERE rn = 1),
+        drops AS (
+          SELECT DISTINCT y.vec_id
+          FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE (CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                        i -> x.ve[i] * x.ve[i]), (p, q) -> p + q) = 0
+                       OR list_reduce(list_transform(generate_series(1, 64),
+                        i -> y.ve[i] * y.ve[i]), (p, q) -> p + q) = 0 THEN 0.0
+                 ELSE list_reduce(list_transform(generate_series(1, 64),
+                     i -> x.ve[i] * y.ve[i]), (p, q) -> p + q)
+                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> x.ve[i] * x.ve[i]), (p, q) -> p + q))
+                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> y.ve[i] * y.ve[i]), (p, q) -> p + q))) END) >= 0.95)
+        SELECT vec_id, cid AS cluster_id FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)""")),
+
     // Exact dedup: group by content digest, keep the smallest id.
     "llm_dedup_exact" -> QuerySpec(
       fn = (s, dir) =>

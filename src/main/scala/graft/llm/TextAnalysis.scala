@@ -46,6 +46,128 @@ object TextAnalysis extends QueryModule {
 
   def queries: Map[String, QuerySpec] = Map(
     // ------------------------------------------------------------------
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every raw document
+    // by how much target-domain probability mass its tokens carry relative
+    // to raw-corpus mass, under hashed bag-of-tokens models — the weights a
+    // curator resamples by to tilt a web crawl toward a quality domain
+    // (here: the English slice as the target). Features are md5 buckets
+    // mod 256 (a power of two, so Spark's pmod over the signed md5_long
+    // equals DuckDB's unsigned %); both models are 256-row count tables
+    // BROADCAST onto one token pass, so the corpus never shuffles for the
+    // model — only the per-doc aggregation groups. Add-one smoothing keeps
+    // unseen-target buckets finite. The weight stays RATIONAL (the
+    // llm_lm_score discipline): per-doc smoothed mass sums are exact
+    // integers, and the single closing double expression
+    // (t_mass·(R+256))/(r_mass·(T+256)) is spelled identically in both
+    // engines — bit-stable, no logs or per-token products.
+    "llm_dsir_weights" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .withColumn("f", pmod(expr("md5_long(term)"), lit(256)))
+        val target = toks.filter(col("lang") === "en")
+          .groupBy("f").agg(count(lit(1)).as("tf"))
+        val raw = toks.groupBy("f").agg(count(lit(1)).as("rf"))
+        val consts = raw.agg(sum(col("rf")).as("rtot"))
+          .crossJoin(target.agg(sum(col("tf")).as("ttot")))
+        toks
+          .join(broadcast(raw), Seq("f"))
+          .join(broadcast(target), Seq("f"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(coalesce(col("tf"), lit(0L)) + lit(1L)).as("t_mass"),
+            sum(col("rf") + lit(1L)).as("r_mass"))
+          .crossJoin(broadcast(consts))
+          .select(col("doc_id"), col("n_toks"), col("t_mass"), col("r_mass"),
+            ((col("t_mass").cast("double") * (col("rtot") + lit(256L)).cast("double"))
+              / (col("r_mass").cast("double") * (col("ttot") + lit(256L)).cast("double")))
+              .as("weight"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 md5_number_upper(unnest(string_split_regex(lower(text), '\s+')))
+                   % 256 AS f
+          FROM documents),
+        tgt AS (SELECT f, COUNT(*) AS tf FROM toks WHERE lang = 'en' GROUP BY f),
+        raw AS (SELECT f, COUNT(*) AS rf FROM toks GROUP BY f),
+        consts AS (
+          SELECT (SELECT CAST(SUM(rf) AS BIGINT) FROM raw) AS rtot,
+                 (SELECT CAST(SUM(tf) AS BIGINT) FROM tgt) AS ttot)
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(COALESCE(g.tf, 0) + 1) AS BIGINT) AS t_mass,
+               CAST(SUM(r.rf + 1) AS BIGINT) AS r_mass,
+               (CAST(CAST(SUM(COALESCE(g.tf, 0) + 1) AS BIGINT) AS DOUBLE)
+                  * CAST(rtot + 256 AS DOUBLE))
+               / (CAST(CAST(SUM(r.rf + 1) AS BIGINT) AS DOUBLE)
+                  * CAST(ttot + 256 AS DOUBLE)) AS weight
+        FROM toks t
+        JOIN raw r ON t.f = r.f
+        LEFT JOIN tgt g ON t.f = g.f, consts
+        GROUP BY t.doc_id, rtot, ttot""")),
+
+    // ------------------------------------------------------------------
+    // Corpus drift: per-source total-variation distance between the
+    // source's token distribution and the REST of the corpus — the
+    // monitoring number a pipeline tracks to notice a source changing under
+    // it (scraper broke, domain shifted) before it poisons the mix. TV
+    // needs every token of the union support, but the absent-token
+    // contribution collapses analytically (Σ_{tok∉src} n_rest·N_src =
+    // N_src·(N_rest − R_src) with R_src = rest-occurrences of the source's
+    // OWN tokens), so only (source, term) rows that exist are ever
+    // materialized: one (source, term) aggregate, one equi-join to per-term
+    // totals, one per-source aggregate. All moments are exact integers
+    // (products ≤ N² — BIGINT-safe to ~3·10⁹ tokens, the DECIMAL(38,0)
+    // swap is the documented next gear); the one closing double division is
+    // spelled identically in both engines.
+    "llm_corpus_drift" -> QuerySpec(
+      fn = (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("source"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+        val st = toks.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+        val t = st.groupBy("term").agg(sum(col("n_st")).as("n_t"))
+        val src = st.groupBy("source").agg(sum(col("n_st")).as("n_src"))
+        val all = src.agg(sum(col("n_src")).as("n_all"))
+        st.join(t, Seq("term"))
+          .join(broadcast(src), Seq("source"))
+          .crossJoin(broadcast(all))
+          .groupBy(col("source"), col("n_src"), col("n_all"))
+          .agg(
+            sum(abs(col("n_st") * (col("n_all") - col("n_src"))
+              - (col("n_t") - col("n_st")) * col("n_src"))).as("present_abs"),
+            sum(col("n_t") - col("n_st")).as("r_src"))
+          .select(col("source"), col("n_src").as("n_tokens"),
+            ((col("present_abs")
+              + col("n_src") * ((col("n_all") - col("n_src")) - col("r_src")))
+              .cast("double")
+              / (lit(2L) * col("n_src") * (col("n_all") - col("n_src")))
+                .cast("double")).as("tv_distance"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents),
+        st AS (SELECT source, term, COUNT(*) AS n_st FROM toks GROUP BY 1, 2),
+        t AS (SELECT term, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+        src AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_src
+                FROM st GROUP BY 1),
+        alltot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n_all FROM src)
+        SELECT st.source, n_src AS n_tokens,
+               CAST(CAST(SUM(abs(n_st * (n_all - n_src)
+                       - (n_t - n_st) * n_src)) AS BIGINT)
+                    + n_src * ((n_all - n_src)
+                       - CAST(SUM(n_t - n_st) AS BIGINT)) AS DOUBLE)
+               / CAST(2 * n_src * (n_all - n_src) AS DOUBLE) AS tv_distance
+        FROM st
+        JOIN t ON t.term = st.term
+        JOIN src ON src.source = st.source, alltot
+        GROUP BY st.source, n_src, n_all""")),
+
+    // ------------------------------------------------------------------
     // Per-document statistics + a rational-arithmetic quality score.
     "llm_text_stats" -> QuerySpec(
       fn = (s, dir) => docs(s, dir)

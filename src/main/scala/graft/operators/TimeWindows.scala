@@ -46,6 +46,80 @@ object TimeWindows extends QueryModule {
   }
 
   def queries: Map[String, QuerySpec] = Map(
+    // Single change-point detection (binary segmentation, first split):
+    // for each event type's hourly count series, the split that maximizes
+    // the between-segment variance reduction gain(k) = S₁²/k + S₂²/(n−k)
+    // − S²/n — the CUSUM-family screen that finds WHEN a series changed
+    // level, not just that it drifted (ts_cusum). Every moment is an
+    // integer window sum over the pre-aggregated ~types×hours grid (the
+    // ts_acf contract): ordered cumulative sums and the whole-partition
+    // totals share ONE shuffle on event_type, the gain is a single double
+    // expression spelled identically in both engines (identical integer
+    // inputs → identical doubles → identical argmax), and ties break on
+    // the earlier bucket. O(types × hours) state regardless of event
+    // volume; the argmax is a rank-1 window, never a driver-side scan.
+    "ts_changepoint" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        val wp = Window.partitionBy($"event_type")
+        val cum = hourly.select($"event_type", $"bucket",
+          sum($"x").over(w).as("s1"),
+          row_number().over(w).cast("long").as("k"),
+          sum($"x").over(wp).as("s"),
+          count(lit(1)).over(wp).as("n"))
+        val gains = cum.filter($"k" < $"n")
+          .withColumn("gain",
+            $"s1".cast("double") * $"s1".cast("double") / $"k".cast("double")
+              + ($"s" - $"s1").cast("double") * ($"s" - $"s1").cast("double")
+                / ($"n" - $"k").cast("double")
+              - $"s".cast("double") * $"s".cast("double") / $"n".cast("double"))
+        gains
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"event_type").orderBy($"gain".desc, $"bucket")))
+          .filter($"rn" === 1)
+          .select($"event_type", date_format($"bucket", fmt).as("split_end"),
+            $"k".as("n_before"), ($"n" - $"k").as("n_after"),
+            ($"s1".cast("double") / $"k".cast("double")).as("mean_before"),
+            (($"s" - $"s1").cast("double") / ($"n" - $"k").cast("double"))
+              .as("mean_after"),
+            $"gain")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bucket,
+                 CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY bucket) AS BIGINT) AS k,
+                 CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM hourly),
+        gains AS (
+          SELECT event_type, bucket, s1, k, s, n,
+                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                   + CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE)
+                     / CAST(n - k AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS gain
+          FROM cum WHERE k < n)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS split_end,
+               k AS n_before, n - k AS n_after,
+               CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before,
+               CAST(s - s1 AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_after,
+               gain
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY gain DESC, bucket) AS rn
+          FROM gains)
+        WHERE rn = 1""")),
+
     // Sequenced funnel (view → click → purchase, strictly ordered in event
     // time): each stage's earliest qualifying timestamp is one keyed
     // aggregation joined back — no per-user event sorting, no
