@@ -568,18 +568,23 @@ object Dedup extends QueryModule {
     // smaller-id vector in the SAME cluster has cosine ≥ 0.95 (the keep-min
     // rule every dedup here uses); survivors come back via one anti-join.
     //
-    // Scale shape: at 100 TB k grows with the corpus (k ≈ N/⟨cluster⟩,
-    // e.g. √N — the llm_knn_ivf sizing), keeping per-key join work bounded
-    // and the cluster key count high; the fixture pins k = 8 seed centroids
-    // so the DuckDB oracle can rebuild the identical assignment. Cosines
-    // fold left-to-right from zero (vec_cosine ≡ the oracle's list_reduce),
-    // so the ≥ 0.95 cut is bit-stable across engines.
+    // Scale shape: k follows the llm_knn_ivf sizing — nlist ≈ √N centroids
+    // (every (N div nlist)-th vec_id), derived from the corpus count by
+    // BOTH engines so the gate still hash-matches. That makes assignment
+    // N·√N cosine work and the within-cluster pair scan Σ_c C(|c|,2) ≈
+    // N^1.5/2 — the balanced point; a fixed k would send the pair scan
+    // quadratic exactly the way the pre-round-7 IVF assignment went.
+    // Cosines fold left-to-right from zero (vec_cosine ≡ the oracle's
+    // list_reduce), so the ≥ 0.95 cut is bit-stable across engines.
     "llm_dedup_semantic" -> QuerySpec(
       fn = (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         graft.functions.GraftFunctions.register(s)
         val corpus = embCorpus(s, dir)
-        val cents = corpus.filter(col("vec_id") < 8)
+        val n = corpus.count()
+        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val smod = math.max(1L, n / nlist)
+        val cents = corpus.filter(col("vec_id") % smod === 0)
           .select(col("vec_id").as("cid"), col("ve").as("cv"))
         val assigned = corpus.crossJoin(broadcast(cents))
           .withColumn("d2", expr("""
@@ -602,7 +607,12 @@ object Dedup extends QueryModule {
       },
       oracle = Some(s"""
         WITH $embCorpusSql,
-        c AS (SELECT vec_id AS cid, ve AS cv FROM corpus WHERE vec_id < 8),
+        smod AS (
+          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+            AS m
+          FROM corpus),
+        c AS (SELECT vec_id AS cid, ve AS cv FROM corpus
+              WHERE vec_id % (SELECT m FROM smod) = 0),
         dd AS (
           SELECT vec_id, cid, ve,
                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
