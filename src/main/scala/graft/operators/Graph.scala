@@ -216,6 +216,59 @@ object Graph extends QueryModule {
         GROUP BY 1, 2, 3, 4"""
 
   def queries: Map[String, QuerySpec] = Map(
+    // k-core decomposition (k = 3, iterative peeling): repeatedly drop
+    // nodes whose degree among the SURVIVORS is < k; what remains is the
+    // maximal subgraph where everyone has ≥ k in-core neighbors — the
+    // standard community-density screen (and the classic "which suppliers/
+    // customers sit in a robust trade cluster" question on this graph).
+    // Peeling is the same bounded-iteration discipline as the other graph
+    // ops: each round is one edge⋈live semi-restriction + one degree
+    // aggregate (O(edges) work, O(nodes) state), lineage cut on the
+    // componentRounds checkpoint cadence; 8 rounds reach fixpoint on any
+    // graph this size, and extra rounds past fixpoint are exact no-ops in
+    // BOTH engines, so the unrolled-CTE oracle checks the iteration
+    // round-for-round. Output is each core member with its in-core degree.
+    "rel_graph_kcore" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val und = checkpointed(strongEdges(s, dir))
+        val edges = und.select($"a".as("src"), $"b".as("dst"))
+          .union(und.select($"b".as("src"), $"a".as("dst")))
+        var live = edges.select($"src".as("node")).distinct()
+        for (r <- 1 to 8) {
+          live = edges
+            .join(live.select($"node".as("src")), "src")
+            .join(live.select($"node".as("dst")), "dst")
+            .groupBy($"src").agg(count(lit(1)).as("d"))
+            .filter($"d" >= 3).select($"src".as("node"))
+          live = maybeCheckpoint(live, r, 8)
+        }
+        edges
+          .join(live.select($"node".as("src")), "src")
+          .join(live.select($"node".as("dst")), "dst")
+          .groupBy($"src".as("node")).agg(count(lit(1)).as("core_degree"))
+      },
+      oracle = {
+        val rounds = (1 to 8).map { r =>
+          s"""
+        live$r AS MATERIALIZED (
+          SELECT src AS node FROM uedges
+          JOIN live${r - 1} la ON uedges.src = la.node
+          JOIN live${r - 1} lb ON uedges.dst = lb.node
+          GROUP BY src HAVING COUNT(*) >= 3)"""
+        }.mkString(",")
+        Some(s"""
+        WITH $strongEdgesSql,
+        uedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep
+                UNION ALL SELECT b AS src, a AS dst FROM keep),
+        live0 AS (SELECT DISTINCT src AS node FROM uedges),
+        $rounds
+        SELECT src AS node, COUNT(*) AS core_degree FROM uedges
+        JOIN live8 la ON uedges.src = la.node
+        JOIN live8 lb ON uedges.dst = lb.node
+        GROUP BY src""")
+      }),
+
     "rel_graph_pagerank" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
