@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.RelationalQueries,
     graft.operators.TimeWindows,
     graft.operators.Graph,
+    graft.operators.Merge,
     graft.operators.Baskets,
     graft.operators.Geo,
     graft.pipeline.PipelineQueries,

@@ -23,14 +23,27 @@ object Verify {
       math.max(1, math.min(4, cpus / 2)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val declared = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    val futures = declared.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add(name)
+          // A failed query must still appear in the correctness report
+          // (as an obvious mismatch), never silently shrink it: write a
+          // one-row sentinel whose schema can't match any oracle.
+          try {
+            import spark.implicits._
+            Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+              .toDF("__error").coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+          }
         }
       }
     }
@@ -38,6 +51,22 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // Registry-vs-output contract: one result dir per declared query, no
+    // silent drops. (Sentinels above make this unconditionally true unless
+    // even the sentinel write failed — then scream.)
+    val missing = declared.map(_._1).filterNot(n =>
+      new java.io.File(s"$outDir/$n").isDirectory)
+    if (missing.nonEmpty)
+      System.err.println(
+        s"[verify] REGISTRY VIOLATION: ${missing.size} declared queries " +
+        s"produced no output: ${missing.sorted.mkString(", ")}")
+    if (!failed.isEmpty)
+      System.err.println(
+        s"[verify] ${failed.size}/${declared.size} queries FAILED: " +
+        failed.toArray.toSeq.map(_.toString).sorted.mkString(", "))
+    else
+      System.err.println(
+        s"[verify] all ${declared.size} declared queries produced output")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

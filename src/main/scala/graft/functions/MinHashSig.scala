@@ -91,7 +91,16 @@ object GraftFunctions {
     Seq(
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinHashSig].getCanonicalName, "minhash_sig"),
-        (children: Seq[Expression]) => MinHashSig(children.head)),
+        // 1-arg: default 128 perms. 2-arg: minhash_sig(sh, numPerms) — the
+        // permutation family is indexed per-perm, so a longer signature is a
+        // superset (identical prefix) of a shorter one.
+        (children: Seq[Expression]) => children match {
+          case Seq(c) => MinHashSig(c)
+          case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n, _)) =>
+            MinHashSig(c, n.toString.toInt)
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig(array<string>[, numPerms literal])")
+        }),
       (FunctionIdentifier("hyperplane_codes"),
         new ExpressionInfo(classOf[HyperplaneCodes].getCanonicalName, "hyperplane_codes"),
         (children: Seq[Expression]) => HyperplaneCodes(children.head)),

@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *     join on (band, band-hash); only candidates are verified. No all-pairs
   *     product anywhere. With r=4 rows × b=32 bands (128 perms),
   *     P[miss | J≥0.8] ≤ (1−0.8⁴)³² ≈ 5·10⁻⁸.
-  *   - the exact shingle-join Jaccard (`llm_dedup_jaccard`) is the oracle
-  *     *definition* of near-dup; its cost is bounded by shingle document
-  *     frequency and it exists to pin the semantics the LSH path must match.
+  *   - the exact prefix-filtered shingle Jaccard ([[exactJaccardPairs]])
+  *     pins the near-dup semantics; it is an audit API, NOT a declared
+  *     query — its Σ df² candidate bound is quadratic on df-saturated
+  *     corpora, so the declared `llm_dedup_jaccard` ships the banded-LSH
+  *     plan at audit-grade parameters (r=4/b=64, miss ≈ 4e-15) instead.
   *   - SimHash: near-identical docs agree on one of four 16-bit chunks
   *     (pigeonhole for hamming ≤ 3 and overwhelmingly for ≤ 6), so
   *     candidates come from a shuffle join on (chunk index, chunk value).
@@ -211,14 +213,16 @@ object Dedup extends QueryModule {
     * The (r, b) split tunes the recall/candidate trade at a given
     * threshold: a true pair at Jaccard J survives with
     * 1 − (1 − J^r)^b, so lower r (shorter band slices) buys recall at
-    * looser thresholds at the cost of more random collisions. r·b must
-    * not exceed the 128 permutations in the signature. */
+    * looser thresholds at the cost of more random collisions. The
+    * signature is sized to exactly r·b perms (the per-perm hash family
+    * makes longer signatures identical-prefix supersets, so the default
+    * 4×32 produces the same bands as the historical fixed-128 form). */
   def bandsOf(corpus: DataFrame, r: Int = 4, b: Int = 32): DataFrame = {
-    require(r * b <= 128, s"r*b = ${r * b} exceeds the 128-perm signature")
+    require(r * b <= 1024, s"r*b = ${r * b} exceeds the 1024-perm sanity cap")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val slices = (1 to r).map(i => s"element_at(sig, bb * $r + $i)").mkString(", ")
     shingleArrays(corpus)
-      .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+      .select(col("doc_id"), expr(s"minhash_sig(sh, ${r * b})").as("sig"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${b - 1}), bb -> xxhash64($slices))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -712,18 +716,21 @@ object Dedup extends QueryModule {
         FROM inter JOIN sizes ON sizes.doc_id = d1
         WHERE CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.9""")),
 
-    // Near-dup ground truth: exact shingle-Jaccard pairs ≥ 0.8, via the
-    // prefix-filtered AllPairs/PPJoin plan — the engine's EXACT-algorithm
-    // reference path (guaranteed-complete candidates, no probabilistic
-    // argument). Its documented candidate bound Σ_token df_prefix·df is
-    // quadratic when the shingle domain saturates (this fixture's 31-word
-    // vocab: 9M candidates at 100k docs, ~900M at 1M — 962 s at sf10).
-    // The operational spelling at scale is [[lshJaccardPairs]], which
-    // produces the IDENTICAL pair set (asserted by DedupSpec, checked by
-    // the same oracle under llm_dedup_minhash) in 62 s at sf10; this
-    // entry deliberately keeps the exact plan as the audit path.
+    // Near-dup ground truth: shingle-Jaccard pairs ≥ 0.8 at audit-grade
+    // confidence. Declared plan: banded LSH candidates at r=4/b=64 —
+    // per-true-pair miss probability (1 − 0.8⁴)⁶⁴ ≈ 4e-15, i.e. below
+    // one expected missed pair per ~10¹⁴ true pairs — with exact
+    // per-pair verification, so every emitted pair is exactly correct
+    // and completeness holds to a bound far past fixture/cluster scale.
+    // Candidate volume is Σ_buckets C(sz,2) (signature agreement), which
+    // stays LINEAR on df-saturated corpora where the prefix-filtered
+    // exact plan's Σ df² bound goes quadratic (measured e=1.87/decade,
+    // 962 s at sf10 vs 62 s for the banded plan producing the identical
+    // pair set — asserted equal by DedupSpec). The guaranteed-complete
+    // PPJoin plan remains available as the non-declared audit API
+    // [[exactJaccardPairs]] for bounded forensic runs.
     "llm_dedup_jaccard" -> QuerySpec(
-      fn = (s, dir) => exactJaccardPairs(nearCorpus(s, dir)),
+      fn = (s, dir) => lshJaccardPairs(nearCorpus(s, dir), tau = 0.8, r = 4, b = 64),
       oracle = Some(jaccardOracle)),
 
     // Threshold calibration sweep: pair counts at several Jaccard cut

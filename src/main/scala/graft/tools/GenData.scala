@@ -151,14 +151,16 @@ object GenData {
           (h(95, $"o_orderkey", $"l_linenumber", lit(26)) + 1) * 86400L)
           .as("l_shipdate")), "lineitem")
 
-    // events.ts: nanos LONG over 30 days of 2024-01, micros granularity —
-    // Tables.load divides by 1000 exactly as for the driver fixture's
-    // TIMESTAMP(NANOS) column.
+    // events.ts: timestamp[us] without timezone (TIMESTAMP_NTZ) over 30 days
+    // of 2024-01 — mirrors the driver fixture's current encoding; the
+    // schema-adaptive Tables.load reinterprets the wall clock as UTC.
+    // (Earlier fixture generations carried TIMESTAMP(NANOS)/nanos-long;
+    // Tables.load still accepts those — TablesLoadSpec covers both.)
     val epoch24us = 1704067200L * 1000000L // 2024-01-01 UTC, micros
     write(range(nEvents).select(
       $"id".as("event_id"),
-      ((lit(epoch24us) + h(30L * 86400L * 1000000L, $"id", lit(27)))
-        * 1000L).as("ts"),
+      timestamp_micros(lit(epoch24us) + h(30L * 86400L * 1000000L, $"id", lit(27)))
+        .cast("timestamp_ntz").as("ts"),
       h(math.max(nCust / 10, 1L), $"id", lit(28)).as("user_id"),
       pick(Seq("click", "error", "purchase", "signup", "view"),
         $"id", lit(29)).as("event_type"),
