@@ -240,11 +240,20 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
       .withColumn("n", size(col("sh")))
 
-  /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs. */
+  /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs.
+    *
+    * SHUFFLE_HASH hints on the candidate side: the shingle-set table's
+    * Catalyst size estimate comes from the scan BEFORE the array transform
+    * fans it out, so the planner can (and at sf10 did) under-estimate it
+    * ~100× and broadcast ~1 GiB — a driver OOM locally and never viable at
+    * corpus scale. The hint pins both verify joins to shuffled hash joins
+    * with the (much smaller) pair list as the build side. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
       tau: Double = 0.8): DataFrame =
     cand
+      .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
+      .hint("shuffle_hash")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
@@ -342,7 +351,15 @@ object Dedup extends QueryModule {
   def lshJaccardPairs(corpus: DataFrame, tau: Double = 0.8, r: Int = 4,
       b: Int = 32): DataFrame = {
     val bands = bandsOf(corpus, r, b)
+    // MERGE hint: the band table is |docs|·b rows behind a posexplode,
+    // whose size estimate is the pre-explode child's — broadcastable on
+    // paper, ~1 GiB for real at sf10 (a driver OOM). And with every core
+    // running a task, a shuffled-HASH build of |docs|·b/partitions rows
+    // per task OOMs the executor at b=64. Sort-merge is the shape that
+    // holds at any scale: both sides shuffle once on (band, bh) and the
+    // sorts spill instead of dying.
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .hint("merge")
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -368,12 +385,14 @@ object Dedup extends QueryModule {
     // failure recovery) would otherwise join a doc's identical bands to
     // themselves and emit jaccard-1.0 self-pairs.
     val crossCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .hint("merge") // band tables mis-estimate behind posexplode (see lshJaccardPairs)
       .join(idxBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     val withinCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .hint("merge")
       .join(nb.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
