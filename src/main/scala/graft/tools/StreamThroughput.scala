@@ -56,7 +56,17 @@ object StreamThroughput {
       val (bv, bq) = Medallion.startBronze(spark, dirs, t)
       (drain(bv, "bronze-valid"), drain(bq, "bronze-quarantine"))
     }
-    val (silverBatches, silverSec) = timed(drain(Medallion.startSilver(spark, dirs, t), "silver"))
+    // Silver must drain its whole backlog in ONE admission batch here: this
+    // drain is a REPLAY — it advances ~800 minutes of event time per wall
+    // second at the largest point — so the 2 h watermark advancing between
+    // forced admission splits would drop genuinely-old history (measured
+    // 22% at 3200 input files with the default 1000-file tail cap; the
+    // SURVEY §8 "tail admission caps" caveat in the wild). A replay either
+    // admits everything under one watermark epoch, or needs its watermark
+    // sized to the replay's reorder window — the tool measures throughput,
+    // not the late filter, so it takes the former.
+    val (silverBatches, silverSec) = timed(drain(
+      Medallion.startSilver(spark, dirs, t, maxFilesPerTrigger = 1000000), "silver"))
     val (goldBatches, goldSec) = timed(drain(Medallion.startGoldIncremental(spark, dirs, t), "gold"))
     if (spark.streams.active.isEmpty)
       scala.util.Try(

@@ -366,4 +366,30 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("AsofJoin"), "attribution lost the native as-of operator")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("LSH dedup: corpus-sized band/set tables never broadcast") {
+    // The band and shingle-set tables sit behind posexplode/transform, so
+    // Catalyst's size estimates are the pre-fanout child's — without the
+    // strategy hints the planner picks a "broadcastable" side that
+    // materializes ~1 GiB at sf10 (measured: driver abort + executor OOM).
+    // Candidate self-join = sort-merge (spills, never a per-task hash
+    // build of |docs|·b rows); verify joins = shuffled hash with the pair
+    // list as build side.
+    for (n <- Seq("llm_dedup_jaccard", "llm_dedup_minhash")) {
+      val p = plan(n)
+      assert(p.contains("SortMergeJoin"), s"$n candidate join lost sort-merge")
+      assert(p.contains("ShuffledHashJoin"), s"$n verify join lost shuffled-hash")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$n broadcasts a corpus-sized side:\n$p")
+    }
+  }
+
+  test("rel_merge_upsert: MERGE is one shuffle join, no broadcast of the target") {
+    val p = plan("rel_merge_upsert")
+    assert(!p.contains("CartesianProduct"), "merge fell out of the equi-join path")
+    // Full-outer on the key: either shuffle strategy is fine, broadcast of
+    // a full table side is not (the target is never broadcastable at scale).
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"merge join not a shuffle join:\n$p")
+  }
 }
