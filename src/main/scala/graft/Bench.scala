@@ -129,8 +129,17 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
+    val twoPass = args.isEmpty
     def timedPass(order: Seq[String]): Map[String, (Double, Option[String], Double)] =
       order.map { name =>
+        // Targeted profiling measures each query against a settled heap:
+        // a heavy neighbor's collection debt otherwise lands in the next
+        // query's wall clock (measured 3.8 → 25 s on llm_knn_ivf after
+        // llm_dedup_minhash at sf10). Full two-pass runs keep the
+        // historical in-suite measurement — min-of-two-orderings plus the
+        // solo-rerun triage already absorb neighborhood effects there, and
+        // a per-query full GC would break comparability with BENCH_PREV.
+        if (!twoPass) System.gc()
         val g0 = gcSeconds()
         val t0 = System.nanoTime()
         try {
@@ -151,7 +160,6 @@ object Bench {
     // Pass 1 in the given (sorted) order; pass 2, full runs only, in a
     // seeded-shuffled order so each query sees different neighbors. Probes
     // bracket the passes (full runs only — targeted profiling stays lean).
-    val twoPass = args.isEmpty
     // Each probe point is the MIN of three consecutive runs: transient JVM
     // residue (JIT re-tiering, a concurrent GC cycle, listener backlog from
     // the preceding pass) recovers within a run or two, while genuine

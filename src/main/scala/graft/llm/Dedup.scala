@@ -277,8 +277,14 @@ object Dedup extends QueryModule {
       .distinct()
     val shared = wins.groupBy(col("w")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 50)).select(col("w"))
-    val kept = wins.join(shared, "w")
-    kept.as("a").join(kept.as("b"),
+    // MERGE hints: both join sides here are WINDOW-scale (every ≥2-doc
+    // 40-char window in the corpus) — tens of millions of rows at sf10.
+    // The shared-window table's post-shuffle size estimate can squeak
+    // under the broadcast threshold while its deserialized hash map does
+    // not fit (measured: AQE broadcast OOM at sf10). Corpus-scale sides
+    // shuffle; they never broadcast.
+    val kept = wins.hint("merge").join(shared, "w")
+    kept.as("a").hint("merge").join(kept.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
@@ -438,6 +444,7 @@ object Dedup extends QueryModule {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("k", "chunk")))
       .filter(col("bsz") <= simhashBucketCap)
     chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("k"), col("chunk"))
+      .hint("merge") // corpus×4 rows behind posexplode — mis-estimated, never broadcastable
       .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("k"), col("chunk")),
         Seq("k", "chunk"))
       .filter(col("doc_a") < col("doc_b"))

@@ -112,7 +112,13 @@ object Knn extends QueryModule {
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("vq"), col("cent_id"))
     val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    probes.join(assigned, "cent_id")
+    // Explicit broadcast: probes is |queries|·nprobe rows (small by the
+    // documented contract) but sits behind a window over a join, so its
+    // size estimate is unusable — left to itself the planner BIMODALLY
+    // flips between broadcasting it (measured 4.7 s at sf10) and
+    // shuffling the entire vector-carrying corpus on cent_id (24.8 s).
+    // The inverted-list probe must stream the corpus side map-only.
+    broadcast(probes).join(assigned, "cent_id")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine", VectorOps.cosine("vq", "ve"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
