@@ -242,18 +242,21 @@ object Dedup extends QueryModule {
 
   /** Exact-Jaccard verification over candidate (doc_a, doc_b) pairs.
     *
-    * SHUFFLE_HASH hints on the candidate side: the shingle-set table's
-    * Catalyst size estimate comes from the scan BEFORE the array transform
-    * fans it out, so the planner can (and at sf10 did) under-estimate it
-    * ~100× and broadcast ~1 GiB — a driver OOM locally and never viable at
-    * corpus scale. The hint pins both verify joins to shuffled hash joins
-    * with the (much smaller) pair list as the build side. */
+    * MERGE hints on both verify joins: the shingle-set table's Catalyst
+    * size estimate comes from the scan BEFORE the array transform fans it
+    * out, so the planner can (and at sf10 did) under-estimate it ~100× and
+    * broadcast ~1 GiB — a driver OOM locally and never viable at corpus
+    * scale. A shuffled-hash build of the pair list is faster when it fits,
+    * but the loose-threshold sweep's candidate volume outgrew a per-task
+    * hash build at sf30 (128 MB acquisition failure with every core
+    * running a task) — sort-merge spills instead of dying, at any τ and
+    * any scale. */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
       tau: Double = 0.8): DataFrame =
     cand
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))

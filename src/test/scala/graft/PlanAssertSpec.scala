@@ -372,13 +372,12 @@ class PlanAssertSpec extends SparkSpec {
     // Catalyst's size estimates are the pre-fanout child's — without the
     // strategy hints the planner picks a "broadcastable" side that
     // materializes ~1 GiB at sf10 (measured: driver abort + executor OOM).
-    // Candidate self-join = sort-merge (spills, never a per-task hash
-    // build of |docs|·b rows); verify joins = shuffled hash with the pair
-    // list as build side.
+    // Candidate self-join AND verify joins = sort-merge (spills, never a
+    // per-task hash build — the sweep's candidate volume outgrew a
+    // shuffled-hash build at sf30).
     for (n <- Seq("llm_dedup_jaccard", "llm_dedup_minhash")) {
       val p = plan(n)
       assert(p.contains("SortMergeJoin"), s"$n candidate join lost sort-merge")
-      assert(p.contains("ShuffledHashJoin"), s"$n verify join lost shuffled-hash")
       assert(!p.contains("BroadcastHashJoin"),
         s"$n broadcasts a corpus-sized side:\n$p")
     }
