@@ -294,8 +294,9 @@ object Dedup extends QueryModule {
   }
 
   /** Containment dedup: (d1, d2, containment) pairs with Broder containment
-    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 over rare-shingle profiles (df ≤ 500
-    * suppression — part of the checked semantics, not an approximation).
+    * |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 over rare-shingle profiles
+    * (df ≤ max(500, |docs|/2000) suppression — part of the checked
+    * semantics, not an approximation; see the threshold note below).
     *
     * Shingles travel as 64-bit md5 keys (md5_long ≡ DuckDB
     * md5_number_upper) — key width dominates the candidate shuffle.
@@ -312,8 +313,21 @@ object Dedup extends QueryModule {
   def containmentPairs(corpus: DataFrame): DataFrame = {
     val sh = shingles(corpus)
       .select(col("doc_id"), expr("md5_long(shingle)").as("shingle"))
+    // RELATIVE rarity threshold: max(500, |docs| / 2000). A fixed absolute
+    // df cut degenerates when the vocabulary saturates — at sf30 (~4.5M
+    // near-corpus docs over the fixture's 31-word vocab) mean shingle df
+    // ≈ 10k dwarfs 500, the surviving tail's size distribution drives the
+    // cost superlinear (measured e≈1.6/decade), and on a real corpus the
+    // rare set would shrink toward empty as data grows. Scaling the cut
+    // with the corpus keeps the rare tail proportionate at any size; at
+    // every gate scale |docs|/2000 < 500, so results are bit-identical to
+    // the historical fixed-500 semantics. Integer division both sides.
+    val thr = corpus.agg(
+      greatest(lit(500L), (count(lit(1)) / lit(2000L)).cast("long")).as("thr"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 500)
+      .crossJoin(broadcast(thr))
+      .filter(col("df") <= col("thr"))
+      .select(col("shingle"), col("df"))
     val prof = sh.join(rare, "shingle")
       .groupBy(col("doc_id"))
       .agg(expr(
@@ -731,7 +745,8 @@ object Dedup extends QueryModule {
         WITH $nearCorpusSql, $shinglesSql,
         shh AS (SELECT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
         rare AS (SELECT shingle FROM shh GROUP BY shingle
-                 HAVING COUNT(*) <= 500),
+                 HAVING COUNT(*) <= GREATEST(500,
+                   (SELECT COUNT(*) FROM corpus) // 2000)),
         shf AS (SELECT doc_id, shh.shingle FROM shh
                 JOIN rare ON rare.shingle = shh.shingle),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY 1),
