@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.Geo,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
+    graft.llm.CorpusDiagnostics,
     graft.llm.Knn,
     graft.llm.Retrieval,
     graft.llm.Embeddings,

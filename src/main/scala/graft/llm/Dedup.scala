@@ -182,6 +182,44 @@ object Dedup extends QueryModule {
   private val jaccardOracle =
     s"""WITH $jaccardPairsCtes SELECT doc_a, doc_b, jaccard FROM pairs"""
 
+  /** DuckDB reconstruction of the MD5-token SimHash candidate pipeline
+    * (fingerprints as 0/1 bit lists — DuckDB's 64-bit shifts
+    * overflow-check), ending in `scand(doc_a, doc_b, hamming)` BEFORE the
+    * hamming cut so callers choose their threshold. Mirrors
+    * [[simhashMd5Pairs]] including the [[simhashBucketCap]] guard; expects
+    * a preceding `corpus(doc_id, text)` CTE. */
+  private def simhashCtes = s"""
+        th AS (
+          SELECT doc_id, md5_number_upper(tok) AS h
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+                FROM corpus)),
+        votes AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th, generate_series(0, 63) g(b)
+          GROUP BY doc_id, b),
+        bv AS (
+          SELECT doc_id,
+                 list(CASE WHEN vote >= 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+          FROM votes GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, bits, k,
+                 list_reduce(list_transform(generate_series(1, 16),
+                     j -> bits[k * 16 + j] * (1 << (j - 1))), (a, b) -> a + b)
+                   AS chunk
+          FROM bv, generate_series(0, 3) g(k)
+          QUALIFY COUNT(*) OVER (PARTITION BY k, chunk) <= $simhashBucketCap),
+        scand AS (
+          SELECT doc_a, doc_b,
+                 CAST(list_reduce(list_transform(generate_series(1, 64),
+                     i -> CASE WHEN ba[i] <> bb[i] THEN 1 ELSE 0 END),
+                   (a, b) -> a + b) AS INT) AS hamming
+          FROM (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.bits AS ba, b.bits AS bb
+            FROM ch a JOIN ch b
+              ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id))"""
+
   /** Per-document distinct shingle ARRAY (no explode — signatures fold over
     * it in place). */
   private def shingleArrays(corpus: DataFrame): DataFrame =
@@ -828,39 +866,51 @@ object Dedup extends QueryModule {
     "llm_dedup_simhash" -> QuerySpec(
       fn = (s, dir) => simhashMd5Pairs(nearCorpus(s, dir)),
       oracle = Some(s"""
-        WITH $nearCorpusSql,
-        th AS (
-          SELECT doc_id, md5_number_upper(tok) AS h
-          FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
-                FROM corpus)),
-        votes AS (
-          SELECT doc_id, b,
-                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM th, generate_series(0, 63) g(b)
-          GROUP BY doc_id, b),
-        bv AS (
-          SELECT doc_id,
-                 list(CASE WHEN vote >= 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
-          FROM votes GROUP BY doc_id),
-        ch AS (
-          SELECT doc_id, bits, k,
-                 list_reduce(list_transform(generate_series(1, 16),
-                     j -> bits[k * 16 + j] * (1 << (j - 1))), (a, b) -> a + b)
-                   AS chunk
-          FROM bv, generate_series(0, 3) g(k)
-          QUALIFY COUNT(*) OVER (PARTITION BY k, chunk) <= $simhashBucketCap),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.bits AS ba, b.bits AS bb
-          FROM ch a JOIN ch b
-            ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, hamming FROM (
-          SELECT doc_a, doc_b,
-                 CAST(list_reduce(list_transform(generate_series(1, 64),
-                     i -> CASE WHEN ba[i] <> bb[i] THEN 1 ELSE 0 END),
-                   (a, b) -> a + b) AS INT) AS hamming
-          FROM cand)
-        WHERE hamming <= 6""")),
+        WITH $nearCorpusSql, $simhashCtes
+        SELECT doc_a, doc_b, hamming FROM scand WHERE hamming <= 6""")),
+
+    // Approximation-quality evaluation: the SimHash candidate detector
+    // (hamming ≤ 6) scored against the exact-Jaccard-≥0.8 ground truth on
+    // the SAME corpus — the confusion counts + precision/recall a curator
+    // reads before trusting a cheap detector at 100 TB. Both legs are the
+    // library's own declared plans (each independently oracle-checked);
+    // the full-outer join of two pair sets costs no more than the larger
+    // leg, and the final aggregate is a single row. Ratios are int/int in
+    // double — bit-identical across engines.
+    "llm_dedup_eval" -> QuerySpec(
+      fn = (s, dir) => {
+        val corpus = nearCorpus(s, dir)
+        val cand = simhashMd5Pairs(corpus)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+        val truth = lshJaccardPairs(corpus, tau = 0.8)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+        cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            sum(when(col("c").isNotNull && col("t").isNotNull, 1).otherwise(0))
+              .cast("long").as("tp"),
+            sum(when(col("c").isNotNull && col("t").isNull, 1).otherwise(0))
+              .cast("long").as("fp"),
+            sum(when(col("c").isNull && col("t").isNotNull, 1).otherwise(0))
+              .cast("long").as("fn"))
+          .select(col("tp"), col("fp"), col("fn"),
+            (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+            (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+      },
+      oracle = Some(s"""
+        WITH $nearCorpusSql, $simhashCtes, $pairsFromCorpusSql,
+        cnd AS (SELECT doc_a, doc_b FROM scand WHERE hamming <= 6),
+        conf AS (
+          SELECT c.doc_a IS NOT NULL AS in_c, p.doc_a IS NOT NULL AS in_t
+          FROM cnd c FULL OUTER JOIN pairs p
+            ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+        SELECT tp, fp, fn,
+               CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+               CAST(tp AS DOUBLE) / (tp + fn) AS recall
+        FROM (
+          SELECT CAST(SUM(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN in_c AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN NOT in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM conf)""")),
 
     // Near-dup clusters: connected components over the LSH-found pair set,
     // checked against a recursive-CTE transitive closure in DuckDB. The

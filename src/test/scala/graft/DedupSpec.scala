@@ -136,4 +136,22 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("vec_b") =!= col("vec_a") + 1000000).count() === 0L)
     assert(out.filter(col("cosine") < 0.99).count() === 0L)
   }
+
+  test("dedup eval confusion counts tie out against its own two legs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+    val nCand = graft.llm.Dedup.simhashMd5Pairs(corpus).count()
+    val nTruth = graft.llm.Dedup.lshJaccardPairs(corpus, tau = 0.8).count()
+    val r = run("llm_dedup_eval").collect().head
+    val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+    assert(tp + fp === nCand, "tp+fp must equal the candidate-pair count")
+    assert(tp + fn === nTruth, "tp+fn must equal the ground-truth pair count")
+    assert(r.getAs[Double]("precision") === tp.toDouble / (tp + fp))
+    assert(r.getAs[Double]("recall") === tp.toDouble / (tp + fn))
+    // The constructed near-dups guarantee a non-degenerate matrix.
+    assert(tp > 0)
+  }
 }
