@@ -964,6 +964,44 @@ object Dedup extends QueryModule {
           AND doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)
           AND (md5_number_upper('cur42:' || CAST(doc_id AS VARCHAR)) & 1023) < 512""")),
 
+    // STREAMING curation e2e as a declared, oracle-checked query: the
+    // documents table arrives in two waves through CurateStream — quality
+    // gate (lang + length), then INCREMENTAL LSH dedup where each
+    // micro-batch joins only the persisted band index (never re-dedups
+    // ingested text) — and the final keep set must equal a from-scratch
+    // batch dedup of the gated corpus (LSH is a pure per-doc function, so
+    // accumulated pairs ≡ the full-corpus pair set; CurateStreamSpec pins
+    // the equality across waves, restarts, and replays). Gate-then-dedup
+    // ordering — the complement of llm_curate_e2e's dedup-then-gate.
+    "llm_curate_stream" -> QuerySpec(
+      fn = (s, dir) => {
+        import graft.streaming.CurateStream
+        val landing = graft.api.Scratch.dir("curate_landing")
+        val state = graft.api.Scratch.dir("curate_state")
+        val cp = graft.api.Scratch.dir("curate_cp")
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        val gate = CurateStream.GateConfig(
+          langs = Seq("en", "fr", "es"), minChars = 100, maxChars = 500)
+        (0 to 1).foreach { wave =>
+          d.filter(pmod(col("doc_id"), lit(2)) === wave)
+            .coalesce(2).write.mode("append").parquet(landing)
+          CurateStream.runAvailableNow(s, landing, state, cp, gate,
+            maxFilesPerTrigger = 1)
+        }
+        CurateStream.survivors(s, state)
+          .join(s.read.parquet(s"$state/docs").select("doc_id", "lang"),
+            "doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, lower(text) AS text FROM documents
+          WHERE lang IN ('en', 'fr', 'es') AND n_chars BETWEEN 100 AND 500),
+        $pairsFromCorpusSql, $closureCtes
+        SELECT d.doc_id, d.lang FROM documents d
+        JOIN corpus c ON c.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE cluster <> node)""")),
+
     // Embedding-cosine near-dup via hyperplane LSH + exact verification.
     "llm_dedup_embed" -> QuerySpec(
       fn = (s, dir) => embNearDupPairs(embCorpus(s, dir)),
