@@ -440,20 +440,33 @@ object Dedup extends QueryModule {
     * corpus's pairs with this increment equals a from-scratch dedup of the
     * combined corpus (asserted by DedupSpec). */
   def incrementPairs(newDocs: DataFrame, idxBands: DataFrame,
-      idxSets: DataFrame): DataFrame = {
-    val nb = bandsOf(newDocs)
+      idxSets: DataFrame): DataFrame =
+    incrementPairs(newDocs, idxBands, idxSets, broadcastIncrement = false)
+
+  /** As [[incrementPairs]]; `broadcastIncrement = true` switches the join
+    * strategy for BOUNDED increments (a micro-batch, a daily delta): the
+    * increment's band table and candidate list broadcast, so the persisted
+    * index and set tables are SCANNED and hash-probed in place — zero
+    * index shuffle per batch. The default sort-merge path remains the
+    * safe spelling when the "increment" can itself be corpus-sized. */
+  def incrementPairs(newDocs: DataFrame, idxBands: DataFrame,
+      idxSets: DataFrame, broadcastIncrement: Boolean): DataFrame = {
+    val nb0 = bandsOf(newDocs)
+    val nb = if (broadcastIncrement) broadcast(nb0) else nb0
+    def hinted(df: DataFrame): DataFrame =
+      // Band tables mis-estimate behind posexplode (see lshJaccardPairs):
+      // without the explicit choice the planner can broadcast the INDEX.
+      if (broadcastIncrement) df else df.hint("merge")
     // doc_a =!= doc_b: a re-run whose batch overlaps the index (partial-
     // failure recovery) would otherwise join a doc's identical bands to
     // themselves and emit jaccard-1.0 self-pairs.
-    val crossCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .hint("merge") // band tables mis-estimate behind posexplode (see lshJaccardPairs)
+    val crossCand = hinted(nb.select(col("doc_id").as("doc_a"), col("band"), col("bh")))
       .join(idxBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    val withinCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .hint("merge")
+    val withinCand = hinted(nb.select(col("doc_id").as("doc_a"), col("band"), col("bh")))
       .join(nb.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -462,8 +475,24 @@ object Dedup extends QueryModule {
     // dropDuplicates: a doc present in BOTH the index and the batch must
     // contribute one shingle set, or every pair touching it verifies (and
     // emits) once per copy.
-    verifyPairs(cand, idxSets.unionAll(setsOf(newDocs)).dropDuplicates("doc_id"))
+    val sets = idxSets.unionAll(setsOf(newDocs)).dropDuplicates("doc_id")
+    if (broadcastIncrement) verifyPairsBroadcast(cand, sets)
+    else verifyPairs(cand, sets)
   }
+
+  /** [[verifyPairs]] with the CANDIDATE side broadcast: for a bounded
+    * increment the pair list is small, so both set lookups become hash
+    * probes over a straight scan of the set table — no set-table shuffle.
+    * Same output as verifyPairs (same joins, different physical strategy). */
+  private def verifyPairsBroadcast(cand: DataFrame, sets: DataFrame,
+      tau: Double = 0.8): DataFrame =
+    broadcast(broadcast(cand)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
 
   /** 64-bit SimHash over word tokens — the native codegen expression
     * [[graft.functions.SimHash64]]: one loop per document, no row

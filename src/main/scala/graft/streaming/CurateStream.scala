@@ -83,8 +83,12 @@ object CurateStream {
         .select("doc_id", "band", "bh")
       val idxSets = readOr(spark, s"$stateDir/sets", Dedup.setsOf(emptyCorpus))
         .select("doc_id", "sh", "n")
+      // Micro-batches are bounded (source admission caps), so the
+      // increment broadcasts and the persisted index is scanned in place —
+      // zero index shuffle per batch.
       val newPairs = Dedup.incrementPairs(
-        accepted.select("doc_id", "text"), idxBands, idxSets)
+        accepted.select("doc_id", "text"), idxBands, idxSets,
+        broadcastIncrement = true)
       // batch=<id> subdirs: a replayed batch overwrites its own output.
       def put(df: DataFrame, name: String): Unit =
         df.write.mode(SaveMode.Overwrite)
