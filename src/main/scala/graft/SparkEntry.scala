@@ -25,6 +25,7 @@ object SparkEntry {
     graft.llm.Retrieval,
     graft.llm.Embeddings,
     graft.llm.TextAnalysis,
+    graft.llm.Training,
     graft.llm.MultimodalQueries,
     graft.sources.SourceFormats)
 
