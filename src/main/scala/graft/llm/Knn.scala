@@ -126,6 +126,68 @@ object Knn extends QueryModule {
       .filter(col("rank") <= k)
   }
 
+  /** Squared-L2 distance between 8-dim subvectors `s` of two 64-dim arrays
+    * — an ordered left-to-right fold (j ascending), so the oracle's
+    * `list_reduce` over the same `generate_series` order is bit-identical. */
+  private def subdistExpr(v1: String, v2: String, sExpr: String): String =
+    s"""aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+        (a, j) -> a + (element_at($v1, ($sExpr) * 8 + j) - element_at($v2, ($sExpr) * 8 + j))
+                    * (element_at($v1, ($sExpr) * 8 + j) - element_at($v2, ($sExpr) * 8 + j)))"""
+
+  /** Product-quantization ANN (PQ + asymmetric distance, Jégou et al.
+    * 2011): 64-dim vectors are split into m=8 subspaces of 8 dims; each
+    * subspace has a 16-entry codebook (a deterministic uniform sample of
+    * the corpus, the same bootstrap as the IVF centroids, reproducible
+    * cross-engine), and a vector is stored as 8 nibbles — the per-subspace
+    * nearest codeword ids. Search computes the asymmetric distance
+    * ADC(q, x) = Σ_s ‖q_s − codeword(x.code_s)‖²: the query stays exact,
+    * only the corpus side is quantized.
+    *
+    * Why this is THE 100 TB shape: the scored pass streams the CODES table
+    * — 8 small ints per vector instead of 64 floats (32× less I/O and
+    * memory than the brute scan; 4 bits/subspace in a packed layout) —
+    * against broadcast queries and a broadcast 16-row codebook, map-only
+    * until the per-query top-k. Encoding is one shuffle-free corpus pass
+    * against the broadcast codebook (the IVF assignment shape). Everything
+    * is deterministic arithmetic in a fixed fold order, so the DuckDB
+    * oracle rebuilds the same codebook, codes, AND distances bit-for-bit.
+    *
+    * Ties: codeword argmin keeps the SMALLEST codeword id (strict `<` over
+    * the c-sorted array); final ranking orders (adc asc, neighbor_id). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val n = corpus.count()
+    val mod = math.max(1L, n / 16)
+    // 16 codewords: every (n div 16)-th vec_id, first 16 in id order.
+    val wCb = Window.orderBy("vec_id")
+    val cb = corpus.filter(col("vec_id") % mod === 0)
+      .withColumn("c", row_number().over(wCb) - 1)
+      .filter(col("c") < 16)
+      .select(col("c"), col("ve").as("vc"))
+    val cbArr = cb.agg(sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
+    // Encode: per subspace, fold the codeword array for the strict-min
+    // distance (distances computed ONCE per codeword — HOF lambdas are not
+    // CSE'd, so the (c, d) pairs are materialized before the argmin fold).
+    val coded = corpus.crossJoin(broadcast(cbArr))
+      .withColumn("code", expr(s"""
+        transform(sequence(0, 7), s ->
+          aggregate(
+            transform(cb, w -> named_struct('c', w.c, 'd', ${subdistExpr("ve", "w.vc", "s")})),
+            named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)),
+            (acc, p) -> CASE WHEN p.d < acc.d THEN p ELSE acc END).c)"""))
+      .select(col("vec_id"), col("code"))
+    // ADC scan: codes ⋈ broadcast queries ⋈ broadcast codebook, map-only.
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("ve").as("vq")))
+    val wR = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
+    coded.join(q, col("vec_id") =!= col("query_id"))
+      .crossJoin(broadcast(cbArr))
+      .withColumn("adc", expr(s"""
+        aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE),
+          (acc, s) -> acc + ${subdistExpr("vq", "element_at(cb, element_at(code, s + 1) + 1).vc", "s")})"""))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus with 10 planted near neighbors per vector (dim i nudged by
     * +0.02, ids offset by i·10⁶) — gives ANN something real to retrieve. */
   def plantedCorpus(base: DataFrame): DataFrame =
@@ -330,5 +392,63 @@ object Knn extends QueryModule {
                                        ORDER BY cosine DESC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10""")),
+
+    // Product-quantization ANN: codes + asymmetric distance (see
+    // [[pqTopK]]). Deterministic end to end — the oracle rebuilds the SAME
+    // codebook (uniform vec_id sample), the SAME 8-nibble codes (strict-min
+    // argmin, ties to the smaller codeword id), and bit-identical ADC
+    // distances (every fold left-to-right in the same index order).
+    "llm_knn_pq" -> QuerySpec(
+      fn = (s, dir) => {
+        val base = emb(s, dir)
+        pqTopK(base, base.filter(col("vec_id") < 20), k = 10)
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        cmod AS (SELECT greatest(1, count(*) // 16) AS m FROM base),
+        cb AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS vc
+          FROM base WHERE vec_id % (SELECT m FROM cmod) = 0
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        sub AS (
+          SELECT b.vec_id, s.s, cb.c,
+                 list_reduce(list_transform(generate_series(1, 8),
+                   j -> (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])
+                      * (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])),
+                   (x, y) -> x + y) AS d
+          FROM base b
+          CROSS JOIN generate_series(0, 7) s(s)
+          CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, list(c ORDER BY s) AS code FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, c) AS r
+            FROM sub) WHERE r = 1 GROUP BY vec_id),
+        q AS (SELECT vec_id AS query_id, ve AS vq FROM base WHERE vec_id < 20),
+        parts AS (
+          SELECT q.query_id, cd.vec_id AS neighbor_id, s.s,
+                 list_reduce(list_transform(generate_series(1, 8),
+                   j -> (q.vq[s.s * 8 + j] - cb.vc[s.s * 8 + j])
+                      * (q.vq[s.s * 8 + j] - cb.vc[s.s * 8 + j])),
+                   (x, y) -> x + y) AS d
+          FROM codes cd
+          CROSS JOIN q
+          CROSS JOIN generate_series(0, 7) s(s)
+          JOIN cb ON cb.c = cd.code[s.s + 1]
+          WHERE q.query_id <> cd.vec_id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 list_reduce(list(d ORDER BY s), (x, y) -> x + y) AS adc
+          FROM parts GROUP BY query_id, neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10""")))
 }

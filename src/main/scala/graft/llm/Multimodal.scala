@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * partition-preserving `mapPartitions` batching (the JVM analog of
   * `mapInPandas` batch shape), deterministic outputs. The IMAGE path is a
   * real codec: payloads are genuine PNGs and `decode` reads them with the
-  * JDK's `javax.imageio` (no extra dependencies). Audio/video decode
-  * remains a STUB — this environment ships no audio/video codecs — with
-  * deterministic fake dimensions derived from header bytes, each stub
-  * point marked below.
+  * JDK's `javax.imageio` (no extra dependencies). The AUDIO path is also a
+  * real codec: payloads are genuine 16-bit PCM WAV files and
+  * [[decodeAudio]] reads them with the JDK's `javax.sound.sampled`
+  * (PCM/WAV needs no external codec) — sample rate, channel count, and
+  * frame count are decoder-reported, and the DSP features (energy, zero
+  * crossings) are computed from the decoded samples. Only COMPRESSED
+  * audio (mp3/ogg) and video container decode remain STUBS — this
+  * environment ships no such codecs — each stub point marked below.
   *
   * Scale notes: per-asset work is shuffle-free map work; payloads never
   * pass through a shuffle unless the caller aggregates them; feature
@@ -41,8 +45,9 @@ object Multimodal {
       frames: Array[Array[Byte]])
 
   /** Synthesize a deterministic asset table from `documents`: image assets
-    * carry a REAL PNG payload ([[pngPayload]]); audio/video carry the UTF-8
-    * text bytes as an opaque stand-in. */
+    * carry a REAL PNG payload ([[pngPayload]]); audio assets a REAL 16-bit
+    * PCM WAV payload ([[wavPayload]]); video carries the UTF-8 text bytes
+    * as an opaque stand-in (no video container codec in this env). */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -50,7 +55,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        val media = if (kind == "image") pngPayload(id) else bytes
+        val media =
+          if (kind == "image") pngPayload(id)
+          else if (kind == "audio") wavPayload(id)
+          else bytes
         MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
       }
   }
@@ -79,10 +87,97 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Audio sample count / waveform parameters, closed-form in the id —
+    * shared by the generator, the decoder's test expectations, and the
+    * DuckDB oracle (which recomputes the features from these formulas). */
+  def wavFrames(id: Long): Int = 256 + (id % 16).toInt * 64
+  def wavStep(id: Long): Int = 3 + (id % 5).toInt
+  /** Integer sawtooth sample i of asset `id`: exact int16, no floats. */
+  def wavSample(id: Long, i: Int): Int = ((i * wavStep(id) * 257) % 65536) - 32768
+
+  /** A genuine RIFF/WAVE file, deterministic in the id: 16 kHz 16-bit
+    * mono PCM, [[wavFrames]] samples of the [[wavSample]] integer sawtooth
+    * written little-endian. PCM bytes are verbatim samples, so the real
+    * codec's decode must reproduce the generator's integers EXACTLY —
+    * which is what makes the audio features SQL-oracle-able. */
+  def wavPayload(id: Long): Array[Byte] = {
+    val n = wavFrames(id)
+    val sampleRate = 16000
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)               // PCM
+      .putShort(1)               // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)    // byte rate
+      .putShort(2)               // block align
+      .putShort(16)              // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Decoder-reported audio facts + integer-exact DSP features. */
+  final case class AudioFeatures(
+      asset_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      sum_sq: Long,      // Σ sample²  (energy; exact integer)
+      zero_cross: Long)  // sign changes between consecutive samples
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the WAV
+    * container and streams PCM frames (PCM needs no plugin codec — this is
+    * a true decode path, not a stub). Per-partition batching like
+    * [[decode]]. Non-audio or unparseable payloads are dropped (a real
+    * ingest would quarantine them; the asset synthesis here makes every
+    * audio payload valid). Features are exact integers so the DuckDB
+    * oracle can recompute them from the generator's closed form — the
+    * codec roundtrip is differentially checked bit-for-bit. */
+  def decodeAudio(in: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import in.sparkSession.implicits._
+    in.mapPartitions { batch =>
+      batch.flatMap { a =>
+        if (a.meta.kind != "audio") None
+        else
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(a.media))
+            val fmt = ais.getFormat
+            val bytes = ais.readAllBytes()
+            ais.close()
+            // 16-bit little-endian signed mono PCM (as declared by fmt).
+            val n = bytes.length / 2
+            var sumSq = 0L
+            var zc = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              sumSq += s.toLong * s
+              val neg = s < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            Some(AudioFeatures(a.asset_id, fmt.getSampleRate.toInt,
+              fmt.getChannels, fmt.getSampleSizeInBits, n.toLong, sumSq, zc))
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** Decode: images go through the REAL `javax.imageio` codec (PNG/BMP/GIF/
     * JPEG — whatever the JDK registry handles) and report true pixel
-    * dimensions; audio/video dimensions are a STUB (no codecs in this
-    * environment) derived deterministically from the first payload bytes.
+    * dimensions; audio goes through the REAL `javax.sound.sampled` WAV
+    * parser and reports the codec's sample rate; video dimensions are a
+    * STUB (no video container codecs in this environment) derived
+    * deterministically from the first payload bytes.
     * Runs per partition so codec init/reuse amortizes across the batch,
     * exactly like a `mapInPandas` batch. */
   /** Shared image-decode attempt: None for non-image kinds, undecodable
@@ -103,13 +198,23 @@ object Multimodal {
         val meta = img match {
           case Some(i) => // real decoder-reported dimensions
             a.meta.copy(width = i.getWidth, height = i.getHeight, sampleRate = 0)
+          case None if a.meta.kind == "audio" =>
+            // REAL decode: sample rate as reported by the WAV parser.
+            val sr =
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(a.media))
+                val r = ais.getFormat.getSampleRate.toInt
+                ais.close(); r
+              } catch { case scala.util.control.NonFatal(_) => 0 }
+            a.meta.copy(width = 0, height = 0, sampleRate = sr)
           case None =>
             val b0 = if (a.media.nonEmpty) a.media(0) & 0xff else 0
             val b1 = if (a.media.length > 1) a.media(1) & 0xff else 0
             a.meta.copy(
               width = 16 + (b0 % 64) * 16,     // STUB: decoder-reported width
               height = 16 + (b1 % 64) * 16,    // STUB: decoder-reported height
-              sampleRate = if (a.meta.kind == "audio") 16000 else 0)
+              sampleRate = 0)
         }
         DecodedAsset(a.asset_id, a.media, meta,
           features = byteHistogram(a.media),
@@ -227,5 +332,56 @@ object MultimodalQueries extends QueryModule {
                    0, (octet_length(encode(text)) - 32) // 64))
                    AS frame_idx
           FROM documents
-          WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 32)""")))
+          WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 32)""")),
+
+    // ------------------------------------------------------------------
+    // REAL audio decode, differentially checked: the Spark side builds a
+    // genuine PCM WAV per audio asset, decodes it through the JDK's actual
+    // javax.sound.sampled codec (not a stub — PCM/WAV parse needs no
+    // plugin), and reports decoder facts (sample rate / channels / bit
+    // depth / frame count) plus integer-exact DSP features (energy Σs²,
+    // zero crossings) computed from the DECODED samples. The oracle never
+    // sees the bytes: it recomputes every column from the generator's
+    // closed-form integer waveform — so a single flipped bit anywhere in
+    // the header-write → container-parse → PCM-read roundtrip breaks the
+    // hash. Scale shape: pure per-asset map work (mapPartitions batch,
+    // codec amortized), payloads never shuffle, output is one narrow row
+    // per asset.
+    "llm_mm_audio" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeAudio(Multimodal.assets(s, dir))
+          .toDF()
+          .select(col("asset_id"), col("sample_rate"), col("channels"),
+            col("bits"), col("n_frames"), col("sum_sq"), col("zero_cross"))
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 256 + (doc_id % 16) * 64 AS n,
+                 3 + doc_id % 5 AS k
+          FROM documents WHERE doc_id % 3 = 1),
+        s AS (
+          SELECT asset_id, n, i,
+                 ((i * k * 257) % 65536) - 32768 AS smp
+          FROM (SELECT asset_id, n, k,
+                       unnest(generate_series(0, n - 1)) AS i
+                FROM a)),
+        flagged AS (
+          SELECT asset_id, smp,
+                 CASE WHEN (smp < 0) <> (lag(smp) OVER
+                        (PARTITION BY asset_id ORDER BY i) < 0)
+                      THEN 1 ELSE 0 END AS xing
+          FROM s),
+        f AS (
+          SELECT asset_id,
+                 SUM(smp * smp) AS sum_sq,
+                 SUM(xing) AS zero_cross
+          FROM flagged GROUP BY asset_id)
+        SELECT a.asset_id,
+               16000 AS sample_rate, 1 AS channels, 16 AS bits,
+               CAST(a.n AS BIGINT) AS n_frames,
+               CAST(f.sum_sq AS BIGINT) AS sum_sq,
+               CAST(f.zero_cross AS BIGINT) AS zero_cross
+        FROM a JOIN f USING (asset_id)""")))
 }

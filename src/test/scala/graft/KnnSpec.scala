@@ -89,4 +89,41 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.95, f"IVF recall too low: $recall%.3f")
     corpus.unpersist()
   }
+
+  test("PQ/ADC: planted exact duplicate is always the top-1 neighbor") {
+    // The asymmetric-distance identity that makes PQ correct: for a
+    // duplicate of the query, each subspace stores the codeword NEAREST to
+    // the query's own subvector, so ADC(q, dup) = Σ_s min_c d(q_s, c) — the
+    // pointwise minimum over every possible code. No corpus vector can
+    // score strictly lower, so the duplicate must rank first (ties only
+    // with code-identical vectors, broken by the smaller planted id).
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("ve", VectorOps.asDouble("embedding"))
+      .select(col("vec_id"), col("ve"))
+    val queries = base.filter(col("vec_id") < 20)
+    // Duplicates planted at vec_id + 5_000_000 (above the corpus range,
+    // below any tie candidate's id ordering concerns).
+    val corpus = base.unionAll(
+      queries.select((col("vec_id") + 5000000L).as("vec_id"), col("ve")))
+
+    val top = Knn.pqTopK(corpus, queries, k = 30)
+      .select("query_id", "neighbor_id", "adc").collect()
+      .groupBy(_.getLong(0))
+    assert(top.size === 20)
+    top.foreach { case (q, rows) =>
+      val minAdc = rows.map(_.getDouble(2)).min
+      val dupAdc = rows.find(_.getLong(1) === q + 5000000L).map(_.getDouble(2))
+      // A code-identical corpus vector may TIE the duplicate, but nothing
+      // can beat the pointwise-minimum ADC the duplicate achieves.
+      assert(dupAdc.contains(minAdc),
+        s"query $q: duplicate adc $dupAdc is not the minimum $minAdc")
+    }
+
+    // Determinism: codes and ranking identical across repartitionings.
+    val a = Knn.pqTopK(corpus.repartition(7), queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val b = Knn.pqTopK(corpus.repartition(3), queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(a === b)
+  }
 }

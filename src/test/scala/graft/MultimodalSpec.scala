@@ -20,8 +20,16 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(sum - 1f) < 1e-3, s"histogram not normalized: $sum")
       assert(d.frames.length === 4)
       assert(d.frames.map(_.length).sum === d.media.length, "frames must tile the payload")
-      assert(d.meta.width >= 16 && d.meta.height >= 16)
-      assert((d.meta.kind == "audio") == (d.meta.sampleRate == 16000))
+      if (d.meta.kind == "audio") {
+        // REAL decode: the WAV parser must report the generator's format.
+        assert(d.meta.sampleRate === 16000)
+        assert(d.meta.width === 0 && d.meta.height === 0)
+        val magic = d.media.take(4).map(_.toChar).mkString
+        assert(magic === "RIFF", "audio payload is not a WAV")
+      } else {
+        assert(d.meta.width >= 16 && d.meta.height >= 16)
+        assert(d.meta.sampleRate === 0)
+      }
       if (d.meta.kind == "image") {
         // The REAL javax.imageio decode must report the generated PNG's
         // true pixel dimensions.
@@ -38,6 +46,35 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decode(Multimodal.assets(spark, sfDir).repartition(3), 4)
       .collect().map(d => d.asset_id -> d.features.toSeq).toMap
     rows.foreach(d => assert(again(d.asset_id) === d.features.toSeq))
+  }
+
+  test("audio decode runs the real WAV codec and reproduces the generator's samples") {
+    val feats = Multimodal.decodeAudio(Multimodal.assets(spark, sfDir).repartition(4))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      // Decoder-reported format facts.
+      assert(f.sample_rate === 16000)
+      assert(f.channels === 1)
+      assert(f.bits === 16)
+      assert(f.n_frames === Multimodal.wavFrames(f.asset_id).toLong)
+      // The decoded samples must be the generator's integers EXACTLY —
+      // recompute both features from the closed form and compare.
+      val n = Multimodal.wavFrames(f.asset_id)
+      var sumSq = 0L; var zc = 0L; var prevNeg = false
+      (0 until n).foreach { i =>
+        val s = Multimodal.wavSample(f.asset_id, i)
+        sumSq += s.toLong * s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+      }
+      assert(f.sum_sq === sumSq, s"energy mismatch for asset ${f.asset_id}")
+      assert(f.zero_cross === zc, s"zero-cross mismatch for asset ${f.asset_id}")
+    }
+    // Every audio-kind asset decodes (none dropped by the codec).
+    val audioIn = Multimodal.assets(spark, sfDir).filter(_.meta.kind == "audio").count()
+    assert(feats.length.toLong === audioIn)
   }
 
   test("resize re-encodes images at target dimensions, passes others through") {
