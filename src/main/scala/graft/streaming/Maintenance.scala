@@ -192,7 +192,8 @@ object Maintenance {
   private def applySwap(
       fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path,
-      partPath: Path): Int = {
+      partPath: Path,
+      prefix: String = "compacted-"): Int = {
     val manifestPath = new Path(tmp, "_originals")
     val in = fs.open(manifestPath)
     val manifest =
@@ -205,7 +206,7 @@ object Maintenance {
     rewritten.foreach { st =>
       val tag = java.lang.Long.toHexString(
         (st.getPath.getName.hashCode.toLong << 32) ^ st.getLen)
-      val dest = new Path(partPath, s"compacted-$tag.parquet")
+      val dest = new Path(partPath, s"$prefix$tag.parquet")
       // A completed rename leaves no tmp source, so re-runs never reach
       // here for already-applied files; a dest that exists while the source
       // is still in tmp is a genuine name collision — fail rather than
@@ -218,6 +219,122 @@ object Maintenance {
     originals.foreach(p => if (fs.exists(p)) fs.delete(p, false))
     fs.delete(tmp, true)
     rewritten.length
+  }
+
+  /** Tmp-dir name segment for a (possibly nested or empty) partition path:
+    * "/" cannot appear in a single path component, so it is escaped, as is
+    * the escape char itself; the empty (unpartitioned) root gets a marker
+    * no real hive dir can produce (it contains the escape char). */
+  private def encodeTmpName(partName: String): String =
+    if (partName.isEmpty) "%ROOT%"
+    else partName.replace("%", "%25").replace("/", "%2F")
+
+  private def decodeTmpTarget(root: Path, encoded: String): Path =
+    if (encoded == "%ROOT%") root
+    else new Path(root, encoded.replace("%2F", "/").replace("%25", "%"))
+
+  /** Audit record of a [[deleteWhere]] run. */
+  final case class DeleteReport(
+      filesTotal: Int,      // data files in the table before the delete
+      filesRewritten: Int,  // files that contained ≥1 matching row
+      rowsDeleted: Long)    // matching rows removed
+
+  /** Targeted row erasure (GDPR right-to-be-forgotten / retention purge)
+    * without a transaction log: `DELETE FROM table WHERE predicate` as a
+    * file-level rewrite that touches ONLY the files containing matches.
+    *
+    * Why this shape at 100 TB: an erasure request matches a tiny fraction
+    * of files (one user's rows cluster in few partitions; a retention cut
+    * is partition-aligned), so phase 1 — one predicate scan grouped by
+    * `_metadata.file_path` — prices the delete at O(matching files)
+    * rewrites, with every untouched file left byte-identical on disk. A
+    * naive `filter(!pred).write` would rewrite the entire table. With a
+    * partition-keyed predicate the phase-1 scan itself prunes directories
+    * (hive-style partition pruning), so even the read side is bounded.
+    *
+    * Null semantics follow SQL DELETE: rows where the predicate is TRUE
+    * are removed; FALSE and NULL rows are kept.
+    *
+    * Crash safety reuses the compaction swap protocol per affected
+    * partition dir — rewrite to a hidden tmp, `_originals` manifest as the
+    * commit point, idempotent completion on replay — so a crash anywhere
+    * leaves either the old files (pre-commit) or a completed delete
+    * (post-commit), never a half-state. Like compaction, this targets
+    * CLOSED tables/partitions (no live stream tailing the dir).
+    *
+    * The audit report is the compliance deliverable: which files were
+    * rewritten and how many rows were erased, without retaining the erased
+    * content anywhere (the manifest names files, not rows). */
+  def deleteWhere(spark: SparkSession, tableDir: String, predicate: String): DeleteReport = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return DeleteReport(0, 0, 0L)
+
+    // Finish any committed-but-unapplied prior delete swaps first, so this
+    // run's phase-1 scan never reads a half-swapped dir. (Compaction
+    // recovers its own tmps the same way on its next run.)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith(".delete_tmp_")) {
+        val target = decodeTmpTarget(root, n.stripPrefix(".delete_tmp_"))
+        if (fs.exists(new Path(st.getPath, "_originals")))
+          applySwap(fs, st.getPath, target, "deleted-")
+        else fs.delete(st.getPath, true)
+      }
+    }
+
+    // Phase 1: one scan — matching rows grouped by source file. Files with
+    // zero matches never appear and are never rewritten.
+    val table = spark.read.parquet(tableDir)
+    val perFile = table
+      .filter(expr(predicate))
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => norm(new Path(r.getString(0))) -> r.getLong(1))
+      .toMap
+    val rowsDeleted = perFile.values.sum
+    // Total data-file count (audit denominator): recursive listing.
+    def listDataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toIndexedSeq.filter(s => isDataFile(s.getPath.getName)).flatMap { s =>
+        if (s.isDirectory) listDataFiles(s.getPath) else Seq(s)
+      }
+    val allFiles = listDataFiles(root)
+    if (perFile.isEmpty) return DeleteReport(allFiles.size, 0, 0L)
+
+    val affected = allFiles.filter(s => perFile.contains(norm(s.getPath)))
+    // Phase 2: per affected partition dir, rewrite ONLY that dir's affected
+    // files minus matching rows. Partition columns live in the dir name,
+    // not the files: the rewrite read derives them via basePath (so the
+    // predicate can reference them) and drops them again before writing
+    // back into the dir.
+    val byDir = affected.groupBy(_.getPath.getParent)
+    var rewritten = 0
+    byDir.foreach { case (dirPath, files) =>
+      val partName = norm(dirPath).stripPrefix(norm(root)).stripPrefix("/")
+      val tmp = new Path(root, s".delete_tmp_${encodeTmpName(partName)}")
+      fs.delete(tmp, true)
+      val partCols = partName.split("/").toSeq
+        .filter(_.contains("=")).map(_.split("=", 2)(0))
+      val kept = spark.read
+        .option("basePath", tableDir)
+        .parquet(files.map(_.getPath.toString): _*)
+        .filter(!expr(s"coalesce(($predicate), false)"))
+        .drop(partCols: _*)
+      kept.coalesce(math.max(1, files.size)).write.mode("overwrite").parquet(tmp.toString)
+      // Commit point: manifest of exactly the files this rewrite replaces.
+      val manifest = files.map(_.getPath.toString).mkString("\n")
+      val staged = new Path(tmp, "_originals.staging")
+      val out = fs.create(staged, true)
+      try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      require(fs.rename(staged, new Path(tmp, "_originals")),
+        s"could not commit delete manifest in $tmp")
+      applySwap(fs, tmp, dirPath, "deleted-")
+      rewritten += files.size
+    }
+    DeleteReport(allFiles.size, rewritten, rowsDeleted)
   }
 
   /** Compact every closed partition of a layer table. */

@@ -192,4 +192,79 @@ class MaintenanceSpec extends SparkSpec {
         s"file $f spans x=$spanX y=$spanY of 4096 — not z-clustered")
     }
   }
+
+  test("deleteWhere rewrites only matching files; untouched files stay byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("delete_where")
+    // 2 partitions × 10 files; user 7's rows land only in SOME files.
+    (1 to 2000).map(i => (i.toLong, i % 40, s"d${i % 2 + 1}"))
+      .toDF("id", "user_id", "event_date")
+      .repartition(10, col("id"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect()
+    val expectKept = before.filterNot(r => r.getInt(1) == 7)
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val filesBefore = snapshot()
+
+    val report = Maintenance.deleteWhere(spark, dir, "user_id = 7")
+    assert(report.rowsDeleted === before.count(_.getInt(1) == 7).toLong)
+    assert(report.filesRewritten > 0 && report.filesRewritten < report.filesTotal,
+      s"delete must touch a strict subset of files: $report")
+
+    // Exact surviving content.
+    val after = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("user_id"),
+        r.getAs[String]("event_date"))).sorted.toSeq
+    assert(after === expectKept, "delete changed non-matching rows")
+
+    // Files without matches are THE SAME files (path, size, mtime) —
+    // physically untouched, not rewritten-equal.
+    val filesAfter = snapshot()
+    val untouched = filesBefore.keySet.intersect(filesAfter.keySet)
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(filesBefore(p) === filesAfter(p), s"$p was modified"))
+    assert(filesBefore.size - untouched.size === report.filesRewritten)
+
+    // Idempotence: a second run deletes nothing and touches nothing.
+    val again = Maintenance.deleteWhere(spark, dir, "user_id = 7")
+    assert(again.rowsDeleted === 0L && again.filesRewritten === 0)
+    assert(snapshot() === filesAfter)
+  }
+
+  test("deleteWhere: NULL predicate rows are kept; partition predicate prunes whole dirs") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("delete_null")
+    Seq((1L, Some(1)), (2L, None), (3L, Some(3)), (4L, None))
+      .toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // v = 1 is TRUE only for id=1; NULL for ids 2 and 4 — both KEPT.
+    val rep = Maintenance.deleteWhere(spark, dir, "v = 1")
+    assert(rep.rowsDeleted === 1L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted
+      === Array(2L, 3L, 4L))
+
+    // Partition-column predicate: deletes a whole partition's rows, other
+    // partition physically untouched.
+    val dir2 = tempDir("delete_part")
+    (1 to 100).map(i => (i.toLong, s"d${i % 2}"))
+      .toDF("id", "part").repartition(2)
+      .write.partitionBy("part").mode("overwrite").parquet(dir2)
+    val rep2 = Maintenance.deleteWhere(spark, dir2, "part = 'd1'")
+    assert(rep2.rowsDeleted === 50L)
+    val left = spark.read.parquet(dir2)
+    assert(left.count() === 50L)
+    assert(left.filter(col("part") === "d1").count() === 0L)
+    // The schema written back must not carry the partition column twice:
+    // a fresh read still derives `part` from the directory layout.
+    assert(left.columns.toSeq.count(_ == "part") === 1)
+  }
 }
