@@ -1243,6 +1243,100 @@ object TextAnalysis extends QueryModule {
         GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""")),
 
     // ------------------------------------------------------------------
+    // BPE TRAINING LOOP (3 merge rounds) — the iterative extension of
+    // llm_bpe_step: word types split to character symbols, then each round
+    // (1) counts adjacent symbol pairs weighted by word frequency,
+    // (2) picks the most frequent pair (ties → lexicographic), and
+    // (3) merges it greedily left-to-right in every word.
+    //
+    // Scale shape: the corpus is touched ONCE (the word-count shuffle);
+    // all rounds then operate on the VOCAB-sized table — classic BPE
+    // trains on type frequencies, so a 100 TB corpus reduces to ~1M vocab
+    // rows before the loop starts. Each round's vocab is reliably
+    // checkpointed (the iterative-operator discipline: no lineage-tree
+    // re-execution, survives executor loss).
+    //
+    // The merge needs NO per-row scan loop in either engine: symbols are
+    // serialized as '|'-wrapped, '||'-separated strings, and replacing
+    // '|a||b|' with '|ab|' is exactly BPE's greedy left-to-right
+    // non-overlapping merge (both engines' replace() scans left-to-right;
+    // the double separator keeps neighbor boundaries intact when the
+    // match consumes one '|' from each side, and symbols cannot contain
+    // the separator). Identical string program both sides → the oracle
+    // re-derives the same merges bit-for-bit.
+    "llm_bpe_train" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.api.Checkpoints.ensureDir(s)
+        var vocab = docs(s, dir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .select(concat(lit("|"),
+            expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||')"),
+            lit("|")).as("s"), col("cnt"))
+          .checkpoint()
+        var merges: Seq[DataFrame] = Nil
+        for (r <- 1 to 3) {
+          val pairs = vocab
+            .select(col("cnt"),
+              expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").as("syms"))
+            .filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                   i -> named_struct('a', element_at(syms, i),
+                                     'b', element_at(syms, i + 1)))""")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("pc"))
+          val best = pairs.orderBy(col("pc").desc, col("a"), col("b"))
+            .limit(1).checkpoint()
+          merges = merges :+ best.withColumn("round", lit(r))
+          vocab = vocab
+            .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+            .withColumn("s",
+              expr("replace(s, '|' || ma || '||' || mb || '|', '|' || ma || mb || '|')"))
+            .select("s", "cnt")
+            .checkpoint()
+        }
+        merges.reduce(_ unionAll _)
+          .select(col("round"), col("a"), col("b"),
+            concat(col("a"), col("b")).as("merged"), col("pc"))
+      },
+      oracle = Some {
+        def round(i: Int, prev: String): String = s"""
+        p$i AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+          FROM (
+            SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT cnt,
+                         string_split(substring(s, 2, length(s) - 2), '||') AS syms
+                  FROM $prev)
+            WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        b$i AS (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
+        v$i AS (
+          SELECT replace(s,
+                   '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
+                   '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS s,
+                 cnt
+          FROM $prev)"""
+        s"""
+        WITH words AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents),
+        v0 AS (
+          SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM words WHERE length(w) >= 1 GROUP BY w),
+        ${round(1, "v0")},
+        ${round(2, "v1")},
+        ${round(3, "v2")}
+        SELECT round, a, b, a || b AS merged, pc FROM (
+          SELECT 1 AS round, a, b, pc FROM b1
+          UNION ALL SELECT 2, a, b, pc FROM b2
+          UNION ALL SELECT 3, a, b, pc FROM b3)"""
+      }),
+
+    // ------------------------------------------------------------------
     // Sequence packing plan (training-window assembly): documents are
     // dealt into 32 content-hash shards, ordered deterministically within
     // each shard, and assigned (bin, offset) positions against a 512-token
