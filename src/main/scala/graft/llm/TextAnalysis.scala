@@ -27,6 +27,80 @@ object TextAnalysis extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Shared oracle CTE chain for the BPE trainer (see `llm_bpe_train`):
+    * v0 = char-symbol vocab with type counts; per round i, pI = weighted
+    * adjacent-pair counts, bI = the winning merge, vI = the vocab after
+    * applying it via the boundary-safe string replace. */
+  private def bpeRoundSql(i: Int, prev: String): String = s"""
+        p$i AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+          FROM (
+            SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT cnt,
+                         string_split(substring(s, 2, length(s) - 2), '||') AS syms
+                  FROM $prev)
+            WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        b$i AS (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
+        v$i AS (
+          SELECT replace(s,
+                   '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
+                   '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS s,
+                 cnt
+          FROM $prev)"""
+
+  private def bpeTrainCtes: String = s"""
+        words AS (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents),
+        v0 AS (
+          SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM words WHERE length(w) >= 1 GROUP BY w),
+        ${bpeRoundSql(1, "v0")},
+        ${bpeRoundSql(2, "v1")},
+        ${bpeRoundSql(3, "v2")}"""
+
+  /** The BPE trainer (see `llm_bpe_train` for the full rationale): one
+    * corpus shuffle to word-type counts, then 3 pair-count/argmax/merge
+    * rounds over the vocab-sized table, each reliably checkpointed. */
+  def bpeTrainDf(s: SparkSession, dir: String): DataFrame = {
+    graft.api.Checkpoints.ensureDir(s)
+    var vocab = docs(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||')"),
+        lit("|")).as("s"), col("cnt"))
+      .checkpoint()
+    var merges: Seq[DataFrame] = Nil
+    for (r <- 1 to 3) {
+      val pairs = vocab
+        .select(col("cnt"),
+          expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> named_struct('a', element_at(syms, i),
+                                 'b', element_at(syms, i + 1)))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+      val best = pairs.orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).checkpoint()
+      merges = merges :+ best.withColumn("round", lit(r))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("s",
+          expr("replace(s, '|' || ma || '||' || mb || '|', '|' || ma || mb || '|')"))
+        .select("s", "cnt")
+        .checkpoint()
+    }
+    merges.reduce(_ unionAll _)
+      .select(col("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("pc"))
+  }
+
   /** Stopword lists for the 5 fixture languages (tiny on purpose — this is
     * the classic marker-word heuristic, not a model). */
   private val stopwords: Seq[(String, Seq[String])] = Seq(
@@ -1265,76 +1339,71 @@ object TextAnalysis extends QueryModule {
     // the separator). Identical string program both sides → the oracle
     // re-derives the same merges bit-for-bit.
     "llm_bpe_train" -> QuerySpec(
-      fn = (s, dir) => {
-        graft.api.Checkpoints.ensureDir(s)
-        var vocab = docs(s, dir)
-          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-          .filter(length(col("w")) >= 1)
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .select(concat(lit("|"),
-            expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||')"),
-            lit("|")).as("s"), col("cnt"))
-          .checkpoint()
-        var merges: Seq[DataFrame] = Nil
-        for (r <- 1 to 3) {
-          val pairs = vocab
-            .select(col("cnt"),
-              expr("split(substring(s, 2, length(s) - 2), '\\\\|\\\\|')").as("syms"))
-            .filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              """transform(sequence(1, size(syms) - 1),
-                   i -> named_struct('a', element_at(syms, i),
-                                     'b', element_at(syms, i + 1)))""")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("pc"))
-          val best = pairs.orderBy(col("pc").desc, col("a"), col("b"))
-            .limit(1).checkpoint()
-          merges = merges :+ best.withColumn("round", lit(r))
-          vocab = vocab
-            .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
-            .withColumn("s",
-              expr("replace(s, '|' || ma || '||' || mb || '|', '|' || ma || mb || '|')"))
-            .select("s", "cnt")
-            .checkpoint()
-        }
-        merges.reduce(_ unionAll _)
-          .select(col("round"), col("a"), col("b"),
-            concat(col("a"), col("b")).as("merged"), col("pc"))
-      },
-      oracle = Some {
-        def round(i: Int, prev: String): String = s"""
-        p$i AS (
-          SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
-          FROM (
-            SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-            FROM (SELECT cnt,
-                         string_split(substring(s, 2, length(s) - 2), '||') AS syms
-                  FROM $prev)
-            WHERE len(syms) >= 2)
-          GROUP BY 1, 2),
-        b$i AS (SELECT a, b, pc FROM p$i ORDER BY pc DESC, a, b LIMIT 1),
-        v$i AS (
-          SELECT replace(s,
-                   '|' || (SELECT a FROM b$i) || '||' || (SELECT b FROM b$i) || '|',
-                   '|' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '|') AS s,
-                 cnt
-          FROM $prev)"""
-        s"""
-        WITH words AS (
-          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-          FROM documents),
-        v0 AS (
-          SELECT '|' || array_to_string(string_split(w, ''), '||') || '|' AS s,
-                 CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM words WHERE length(w) >= 1 GROUP BY w),
-        ${round(1, "v0")},
-        ${round(2, "v1")},
-        ${round(3, "v2")}
+      fn = (s, dir) => bpeTrainDf(s, dir),
+      oracle = Some(s"""
+        WITH $bpeTrainCtes
         SELECT round, a, b, a || b AS merged, pc FROM (
           SELECT 1 AS round, a, b, pc FROM b1
           UNION ALL SELECT 2, a, b, pc FROM b2
-          UNION ALL SELECT 3, a, b, pc FROM b3)"""
-      }),
+          UNION ALL SELECT 3, a, b, pc FROM b3)""")),
+
+    // ------------------------------------------------------------------
+    // BPE APPLY (tokenizer inference): encode every document with the 3
+    // merges llm_bpe_train learned, in learned order — per word the same
+    // boundary-safe serialize → replace×3 → count program, so the oracle
+    // (which re-derives the merges itself and applies them the same way)
+    // checks the whole train→apply lifecycle. Per-doc output: character
+    // count vs post-merge token count — the compression the tokenizer
+    // bought. Scale shape: training reduces to the vocab table (see
+    // llm_bpe_train); application is one codegen string-HOF pass over the
+    // corpus, no shuffle, no explode — the merges ride in as 3 string
+    // literals (driver-side O(1) state, the k-means-centroid discipline).
+    "llm_bpe_apply" -> QuerySpec(
+      fn = (s, dir) => {
+        val merges = bpeTrainDf(s, dir).orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        def lit_(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val serialized =
+          "'|' || array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||') || '|'"
+        val applied = merges.foldLeft(serialized) { case (acc, (a, b)) =>
+          s"replace($acc, '|' || ${lit_(a)} || '||' || ${lit_(b)} || '|', " +
+            s"'|' || ${lit_(a)} || ${lit_(b)} || '|')"
+        }
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1)").as("ws"))
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"),
+            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+              .as("n_chars"),
+            expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
+                acc + CAST(size(split(substring($applied, 2, length($applied) - 2),
+                                      '\\\\|\\\\|')) AS BIGINT))""")
+              .as("n_tokens"))
+      },
+      oracle = Some(s"""
+        WITH $bpeTrainCtes,
+        ww AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> length(w) >= 1)) AS w
+          FROM documents),
+        applied AS (
+          SELECT doc_id, length(w) AS nc,
+                 replace(replace(replace(
+                     '|' || array_to_string(string_split(w, ''), '||') || '|',
+                     '|' || (SELECT a FROM b1) || '||' || (SELECT b FROM b1) || '|',
+                     '|' || (SELECT a FROM b1) || (SELECT b FROM b1) || '|'),
+                     '|' || (SELECT a FROM b2) || '||' || (SELECT b FROM b2) || '|',
+                     '|' || (SELECT a FROM b2) || (SELECT b FROM b2) || '|'),
+                     '|' || (SELECT a FROM b3) || '||' || (SELECT b FROM b3) || '|',
+                     '|' || (SELECT a FROM b3) || (SELECT b FROM b3) || '|') AS r3
+          FROM ww)
+        SELECT doc_id,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(SUM(len(string_split(substring(r3, 2, length(r3) - 2), '||')))
+                 AS BIGINT) AS n_tokens
+        FROM applied GROUP BY doc_id""")),
 
     // ------------------------------------------------------------------
     // Sequence packing plan (training-window assembly): documents are
