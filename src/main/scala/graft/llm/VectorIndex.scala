@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index: build once, append increments, query many.
+  *
+  * `llm_knn_ivf` / `llm_knn_pq` recompute their cells and codes on every
+  * query — fine for a one-shot audit, wrong for the operational case where
+  * the corpus is ingested continuously and queried constantly. This is the
+  * band-index discipline from incremental dedup ([[Dedup.incrementPairs]])
+  * applied to vectors:
+  *
+  *   - '''build''' derives the IVF centroids (nlist ≈ √N uniform sample,
+  *     the `llm_knn_ivf` sizing) and the PQ codebook (16 codewords × 8
+  *     subspaces, the `llm_knn_pq` bootstrap) from the build corpus, then
+  *     persists three tables under the index dir: `centroids`, `codebook`,
+  *     and `codes` (vec_id, cell, 8-nibble code).
+  *   - '''append''' assigns NEW vectors against the FROZEN centroids +
+  *     codebook — one shuffle-free map pass against two broadcast single
+  *     rows; the raw text/vector data is never re-scanned. Each increment
+  *     writes its own `batch=<id>` subdir in overwrite mode, so a crashed
+  *     or replayed append overwrites its own output — idempotent without a
+  *     transaction log (the CurateStream state discipline).
+  *   - '''query''' probes the `nprobe` nearest cells and ADC-ranks the
+  *     codes in those cells: the query-time scan touches ~nprobe/nlist of
+  *     the CODES table (8 small ints per vector, never the raw vectors) —
+  *     at 100 TB the raw corpus is not read at all once indexed.
+  *
+  * Freezing the parameters is what makes appends O(increment): the
+  * documented trade is that centroids/codebook reflect the BUILD corpus
+  * (periodic re-build re-balances, exactly like re-training any ANN
+  * index); `VectorIndexSpec` pins append ≡ assign-everything-with-frozen-
+  * params, so drift is a re-balance concern, never a correctness one.
+  *
+  * Determinism: assignment and encoding reuse the exact fold programs of
+  * `llm_knn_ivf` / `llm_knn_pq` (cosine cell argmax ties → smaller
+  * cent_id; L2 codeword argmin ties → smaller codeword id; left-to-right
+  * folds), so the `llm_knn_ivfpq` oracle rebuilds the same index state in
+  * SQL and hash-checks query results bit-for-bit.
+  */
+object VectorIndex {
+
+  /** Frozen sizing derived from the build corpus count (mirrored by the
+    * oracle from the same count). */
+  final case class Params(centroidMod: Long, codebookMod: Long)
+
+  def paramsFor(n: Long): Params = {
+    val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    Params(
+      centroidMod = math.max(1L, n / nlist),
+      codebookMod = math.max(1L, n / 16))
+  }
+
+  private def centroidsOf(corpus: DataFrame, p: Params): DataFrame =
+    corpus.filter(col("vec_id") % p.centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
+
+  private def codebookOf(corpus: DataFrame, p: Params): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    corpus.filter(col("vec_id") % p.codebookMod === 0)
+      .withColumn("c", row_number().over(w) - 1)
+      .filter(col("c") < 16)
+      .select(col("c"), col("ve").as("vc"))
+  }
+
+  /** One map pass: (vec_id, cell, code) against broadcast centroids +
+    * codebook — the shared assignment program of build and append (public
+    * so the spec can pin append ≡ assign-everything-at-once). */
+  def assignCodes(
+      vecs: DataFrame, centroids: DataFrame, codebook: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val centArr = centroids.agg(
+      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+    val cbArr = codebook.agg(
+      sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
+    vecs.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
+      .withColumn("cell", expr("""
+        aggregate(
+          transform(cents, c -> named_struct('cid', c.cent_id,
+                                             'sim', vec_cosine(ve, c.vc))),
+          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
+          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
+      .withColumn("code", expr(s"""
+        transform(sequence(0, 7), s ->
+          aggregate(
+            transform(cb, w -> named_struct('c', w.c, 'd', ${Knn.subdistExpr("ve", "w.vc", "s")})),
+            named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)),
+            (acc, p) -> CASE WHEN p.d < acc.d THEN p ELSE acc END).c)"""))
+      .select(col("vec_id"), col("cell"), col("code"))
+  }
+
+  /** Build the index from scratch: freeze params from this corpus, persist
+    * centroids/codebook, encode the corpus as batch 0. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Params = {
+    val p = paramsFor(corpus.count())
+    val cents = centroidsOf(corpus, p)
+    val cb = codebookOf(corpus, p)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    append(spark, corpus, indexDir, batchId = 0L)
+    p
+  }
+
+  /** Encode an increment against the frozen index parameters. Idempotent
+    * per batchId: a replay overwrites its own `batch=` dir only. */
+  def append(spark: SparkSession, vecs: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    assignCodes(vecs, cents, cb)
+      .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
+  }
+
+  /** The persisted (vec_id, cell, code) table across all appended batches. */
+  def codes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes").drop("batch")
+
+  /** ANN query: probe the `nprobe` cells nearest each query vector, then
+    * ADC-rank the probed cells' CODES (raw vectors never read). Output
+    * (query_id, neighbor_id, adc, rank), self-matches excluded. */
+  def query(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val cbArr = cb.agg(sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("ve").as("vq"))
+    // Probe: queries are small by contract → broadcast against the
+    // centroid table, window top-nprobe per query.
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("sim", VectorOps.cosine("vq", "vc"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("query_id"), col("vq"), col("cent_id").as("cell"))
+    // Probe side is |queries|·nprobe rows behind a window — explicit
+    // broadcast (the llm_knn_ivf estimate lesson) so the codes table
+    // streams map-only. ADC scores via per-query distance tables
+    // ([[Knn.pqDistTables]]): 8 lookups + adds per candidate.
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
+    val dtabs = Knn.pqDistTables(queries, cbArr)
+    broadcast(probes.join(dtabs, "query_id").select("query_id", "cell", "dtab"))
+      .join(codes(spark, indexDir), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", Knn.adcExpr)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+}
