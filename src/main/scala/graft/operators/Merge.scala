@@ -84,6 +84,42 @@ object Merge extends QueryModule {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Snapshot diff — the audit complement of [[merge]]: classify every key
+    * as `added` / `removed` / `changed` between two versions of a table,
+    * with per-row attribution of WHICH data columns changed (null-safe
+    * comparison). Unchanged keys are dropped, so the output is
+    * |changes|-sized, not |table|-sized.
+    *
+    * Scale shape: the same ONE full-outer shuffle join on the key as
+    * merge, both sides struct-packed (each row shuffles once regardless of
+    * width); the column comparison is a codegen null-safe equality per
+    * data column, no extra pass. At 100 TB, with both snapshots bucketed
+    * by the key this is a co-located join; the output feeds compliance
+    * audits, replication checks, and CDC backfills. */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = before.columns.toSeq.filterNot(keys.contains).sorted
+    val b = before.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("__b"): _*)
+    val a = after.select(keys.map(col) :+
+      struct(dataCols.map(col): _*).as("__a"): _*)
+    val changedArr = array(dataCols.map { c =>
+      struct(lit(c).as("n"), (!(col(s"__b.$c") <=> col(s"__a.$c"))).as("ch"))
+    }: _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .withColumn("__ca", changedArr)
+      .withColumn("changed_cols",
+        when(col("change") === "changed",
+          expr("array_join(transform(filter(__ca, x -> x.ch), x -> x.n), ',')"))
+          .otherwise(lit("")))
+      // unchanged = matched with zero differing columns → dropped
+      .filter(col("change") =!= "changed" || col("changed_cols") =!= "")
+      .select(keys.map(col) ++ Seq(col("change"), col("changed_cols")): _*)
+  }
+
   // ------------------------------------------------------------------
   // Declared query: a three-way change set (updates, tombstones, inserts)
   // derived deterministically from `customer`, merged into `customer`.
@@ -132,5 +168,61 @@ object Merge extends QueryModule {
         UNION ALL
         SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment, s.c_nationkey
         FROM src s LEFT JOIN customer t USING (c_custkey)
-        WHERE t.c_custkey IS NULL AND s.op <> 'delete'""")))
+        WHERE t.c_custkey IS NULL AND s.op <> 'delete'""")),
+
+    // ------------------------------------------------------------------
+    // Snapshot diff: `orders` vs a deterministically mutated version —
+    // some keys removed, some rows changed in one or both data columns,
+    // some new keys inserted. Output = one row per CHANGED key with the
+    // change class and the exact columns that differ; unchanged keys never
+    // appear (|changes|-sized audit output). Doublings keep the mutated
+    // values bit-exact in both engines.
+    "rel_table_diff" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val before = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val after = before
+          .filter($"o_orderkey" % 89 =!= 0) // removed keys
+          .select($"o_orderkey",
+            when($"o_orderkey" % 97 === 0, $"o_totalprice" * 2)
+              .otherwise($"o_totalprice").as("o_totalprice"),
+            when($"o_orderkey" % 101 === 0, lit("X"))
+              .otherwise($"o_orderstatus").as("o_orderstatus"))
+          .unionAll(before.filter($"o_orderkey" % 103 === 0)
+            .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+              lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+        diff(before, after, keys = Seq("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        a AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus
+          FROM b WHERE o_orderkey % 89 <> 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, 1.0, 'N'
+          FROM b WHERE o_orderkey % 103 = 0),
+        j AS (
+          SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+                 CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                      WHEN a.o_orderkey IS NULL THEN 'removed'
+                      ELSE 'changed' END AS change,
+                 CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+                      THEN ''
+                      ELSE array_to_string(list_filter([
+                        CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM
+                                       a.o_orderstatus)
+                             THEN 'o_orderstatus' END,
+                        CASE WHEN NOT (b.o_totalprice IS NOT DISTINCT FROM
+                                       a.o_totalprice)
+                             THEN 'o_totalprice' END],
+                        x -> x IS NOT NULL), ',') END AS changed_cols
+          FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey)
+        SELECT o_orderkey, change, changed_cols
+        FROM j WHERE change <> 'changed' OR changed_cols <> ''""")))
 }
