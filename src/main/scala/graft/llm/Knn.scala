@@ -552,5 +552,85 @@ object Knn extends QueryModule {
                                        ORDER BY adc ASC, neighbor_id) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank
-        FROM ranked WHERE rank <= 10""")))
+        FROM ranked WHERE rank <= 10""")),
+
+    // Index health: per-IVF-cell member count + mean PQ reconstruction
+    // error (each vector's ADC distance to its own code) — the staleness
+    // signal that schedules an index re-build. Means in exact DECIMAL, so
+    // the report is partitioning-independent and hash-checkable.
+    "llm_index_health" -> QuerySpec(
+      fn = (s, dir) => {
+        val base = emb(s, dir)
+        val n = base.count()
+        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val cmod = math.max(1L, n / nlist)
+        val cbmod = math.max(1L, n / 16)
+        val cents = base.filter(col("vec_id") % cmod === 0)
+          .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
+        val wCb = Window.orderBy("vec_id")
+        val cb = base.filter(col("vec_id") % cbmod === 0)
+          .withColumn("c", row_number().over(wCb) - 1)
+          .filter(col("c") < 16)
+          .select(col("c"), col("ve").as("vc"))
+        VectorIndex.health(base, cents, cb)
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        smod AS (
+          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+                   AS m
+          FROM base),
+        cents AS (
+          SELECT vec_id AS cent_id, ve AS vc
+          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
+        cmod AS (SELECT greatest(1, count(*) // 16) AS m FROM base),
+        cb AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS vc
+          FROM base WHERE vec_id % (SELECT m FROM cmod) = 0
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+        cells AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT b.vec_id, c.cent_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
+                                               c.cent_id) AS r
+            FROM base b, cents c)
+          WHERE r = 1),
+        sub AS (
+          SELECT b.vec_id, s.s, cb.c,
+                 list_reduce(list_transform(generate_series(1, 8),
+                   j -> (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])
+                      * (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])),
+                   (x, y) -> x + y) AS d
+          FROM base b
+          CROSS JOIN generate_series(0, 7) s(s)
+          CROSS JOIN cb),
+        codes AS (
+          SELECT vec_id, list(c ORDER BY s) AS code FROM (
+            SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d ASC, c) AS r
+            FROM sub) WHERE r = 1 GROUP BY vec_id),
+        parts AS (
+          SELECT cl.cell, b.vec_id, s.s,
+                 list_reduce(list_transform(generate_series(1, 8),
+                   j -> (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])
+                      * (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])),
+                   (x, y) -> x + y) AS d
+          FROM base b
+          JOIN cells cl ON cl.vec_id = b.vec_id
+          JOIN codes cd ON cd.vec_id = b.vec_id
+          CROSS JOIN generate_series(0, 7) s(s)
+          JOIN cb ON cb.c = cd.code[s.s + 1]),
+        errs AS (
+          SELECT cell, vec_id,
+                 list_reduce(list(d ORDER BY s), (x, y) -> x + y) AS err
+          FROM parts GROUP BY cell, vec_id)
+        SELECT cell, COUNT(*) AS n,
+               CAST(SUM(CAST(err AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+                 AS mean_err
+        FROM errs GROUP BY cell""")))
 }

@@ -116,6 +116,47 @@ object VectorIndex {
   def codes(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/codes").drop("batch")
 
+  /** Index health report: per cell, the member count and the mean PQ
+    * quantization error — each vector's ADC distance to its OWN code,
+    * Σ_s ‖v_s − codeword(code_s)‖², which is exactly the reconstruction
+    * error the asymmetric distance adds to every query. Rising error on
+    * newly appended batches is the staleness signal that schedules a
+    * re-build (frozen geometry drifting from the data), the same way a
+    * B-tree fill factor schedules a reindex. One map pass over the
+    * vectors (the assignment program already computes the distances) +
+    * one |cells|-row aggregate; means in exact DECIMAL so the report is
+    * partitioning-independent. */
+  def health(vecs: DataFrame, centroids: DataFrame, codebook: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val centArr = centroids.agg(
+      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+    val cbArr = codebook.agg(
+      sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
+    // One map pass: cell + code + reconstruction error together (the
+    // assignment program with `ve` kept in flight — no re-join shuffle).
+    vecs.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
+      .withColumn("cell", expr("""
+        aggregate(
+          transform(cents, c -> named_struct('cid', c.cent_id,
+                                             'sim', vec_cosine(ve, c.vc))),
+          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
+          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
+      .withColumn("code", expr(s"""
+        transform(sequence(0, 7), s ->
+          aggregate(
+            transform(cb, w -> named_struct('c', w.c, 'd', ${Knn.subdistExpr("ve", "w.vc", "s")})),
+            named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)),
+            (acc, p) -> CASE WHEN p.d < acc.d THEN p ELSE acc END).c)"""))
+      .withColumn("err", expr(s"""
+        aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE),
+          (acc, s) -> acc + ${Knn.subdistExpr("ve", "element_at(cb, element_at(code, s + 1) + 1).vc", "s")})"""))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        graft.api.Exact.dsum(col("err")).as("sum_err"))
+      .withColumn("mean_err", col("sum_err") / col("n"))
+      .select(col("cell"), col("n"), col("mean_err"))
+  }
+
   /** ANN query: probe the `nprobe` cells nearest each query vector, then
     * ADC-rank the probed cells' CODES (raw vectors never read). Output
     * (query_id, neighbor_id, adc, rank), self-matches excluded. */
