@@ -92,29 +92,103 @@ object VectorIndex {
   }
 
   /** Build the index from scratch: freeze params from this corpus, persist
-    * centroids/codebook, encode the corpus as batch 0. */
-  def build(spark: SparkSession, corpus: DataFrame, indexDir: String): Params = {
+    * centroids/codebook, encode the corpus as batch 0. With `storeVectors`
+    * the raw vectors are also persisted per cell (IVF-flat `lists`) so
+    * exact-cosine operations — rescoring, semantic dedup — can run against
+    * the index without the original corpus. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
+      storeVectors: Boolean = false): Params = {
     val p = paramsFor(corpus.count())
     val cents = centroidsOf(corpus, p)
     val cb = codebookOf(corpus, p)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
-    append(spark, corpus, indexDir, batchId = 0L)
+    append(spark, corpus, indexDir, batchId = 0L, storeVectors = storeVectors)
     p
   }
 
   /** Encode an increment against the frozen index parameters. Idempotent
     * per batchId: a replay overwrites its own `batch=` dir only. */
-  def append(spark: SparkSession, vecs: DataFrame, indexDir: String, batchId: Long): Unit = {
+  def append(spark: SparkSession, vecs: DataFrame, indexDir: String, batchId: Long,
+      storeVectors: Boolean = false): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
-    assignCodes(vecs, cents, cb)
-      .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
+    if (!storeVectors) {
+      assignCodes(vecs, cents, cb)
+        .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
+    } else {
+      // One assignment, two projections (codes + IVF-flat lists); the
+      // increment is micro-batch-bounded, so materializing it once is
+      // cheaper than re-running the broadcast fold per write.
+      val centArr = cents.agg(
+        sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+      val assigned = vecs.crossJoin(broadcast(centArr))
+        .withColumn("cell", expr("""
+          aggregate(
+            transform(cents, c -> named_struct('cid', c.cent_id,
+                                               'sim', vec_cosine(ve, c.vc))),
+            named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
+            (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
+        .select(col("vec_id"), col("cell"), col("ve"))
+        .persist()
+      try {
+        graft.functions.GraftFunctions.register(spark)
+        assigned.select(col("vec_id"), col("cell"), col("ve"))
+          .write.mode("overwrite").parquet(s"$indexDir/lists/batch=$batchId")
+        val cbArr = cb.agg(
+          sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
+        assigned.crossJoin(broadcast(cbArr))
+          .withColumn("code", expr(s"""
+            transform(sequence(0, 7), s ->
+              aggregate(
+                transform(cb, w -> named_struct('c', w.c, 'd', ${Knn.subdistExpr("ve", "w.vc", "s")})),
+                named_struct('c', -1, 'd', CAST('Infinity' AS DOUBLE)),
+                (acc, p) -> CASE WHEN p.d < acc.d THEN p ELSE acc END).c)"""))
+          .select(col("vec_id"), col("cell"), col("code"))
+          .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
+      } finally assigned.unpersist()
+    }
   }
 
   /** The persisted (vec_id, cell, code) table across all appended batches. */
   def codes(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/codes").drop("batch")
+
+  /** The persisted IVF-flat (vec_id, cell, ve) table (storeVectors mode).
+    * `belowBatch` restricts to batches strictly before an id — the replay-
+    * stable "prior state" view an incremental batch joins against. */
+  def lists(spark: SparkSession, indexDir: String,
+      belowBatch: Option[Long] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$indexDir/lists")
+    belowBatch.fold(raw)(b => raw.filter(col("batch") < b)).drop("batch")
+  }
+
+  /** Incremental SemDeDup pair scan: exact-cosine ≥ tau pairs between a
+    * bounded increment and the indexed cell-mates, plus within-increment
+    * pairs — never index×index. Because cell assignment is a pure
+    * per-vector function of the FROZEN centroids, accumulated increment
+    * pairs ≡ one batch pair scan of everything ingested (the
+    * [[Dedup.incrementPairs]] invariant, for embeddings), so survivors
+    * computed from accumulated pairs are arrival-order-independent.
+    * Pairs are normalized (vec_a < vec_b); the increment side broadcasts. */
+  def semanticPairs(incr: DataFrame, index: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incr.sparkSession)
+    val a = incr.select(col("cell"), col("vec_id").as("ia"), col("ve").as("va"))
+    val vsIndex = broadcast(a)
+      .join(index.select(col("cell"), col("vec_id").as("ib"), col("ve").as("vb")),
+        "cell")
+      .filter(col("ia") =!= col("ib"))
+    val withinIncr = a
+      .join(incr.select(col("cell"), col("vec_id").as("ib"), col("ve").as("vb")),
+        "cell")
+      .filter(col("ia") < col("ib"))
+    vsIndex.unionByName(withinIncr)
+      .withColumn("cosine", VectorOps.cosine("va", "vb"))
+      .filter(col("cosine") >= tau)
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+      .distinct()
+  }
 
   /** Index health report: per cell, the member count and the mean PQ
     * quantization error — each vector's ADC distance to its OWN code,

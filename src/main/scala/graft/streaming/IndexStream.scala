@@ -46,37 +46,72 @@ object IndexStream {
   }
 
   /** Apply one micro-batch: bootstrap on first contact, append otherwise.
+    * With `semanticTau` set, the raw vectors persist per cell (IVF-flat
+    * lists) and each batch additionally records its incremental SemDeDup
+    * pairs — exact-cosine ≥ tau against the PRIOR batches' cell-mates and
+    * within itself ([[VectorIndex.semanticPairs]]) — under
+    * `pairs/batch=<id>` (overwrite → replay-idempotent). Accumulated pairs
+    * ≡ one batch pair scan, so [[survivors]] is arrival-order-independent.
     * Public so a daily batch orchestrator can drive the identical logic. */
-  def applyBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
+  def applyBatch(batch: DataFrame, batchId: Long, indexDir: String,
+      semanticTau: Option[Double] = None): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.select(col("vec_id"),
       VectorOps.asDouble("embedding").as("ve"))
     if (vecs.isEmpty) return
+    val store = semanticTau.isDefined
     if (!exists(spark, s"$indexDir/centroids")) {
       // First contact: freeze geometry from this batch, encode it as its
       // own batch dir (not batch 0 unconditionally — a replay must
       // overwrite the SAME dir it wrote before the crash).
-      VectorIndex.build(spark, vecs, indexDir)
+      VectorIndex.build(spark, vecs, indexDir, storeVectors = store)
       if (batchId != 0L) {
-        // build() wrote codes under batch=0; move them to this batch's id
-        // so the replay contract stays per-batch. (Only reachable when the
+        // build() wrote state under batch=0; move it to this batch's id so
+        // the replay contract stays per-batch. (Only reachable when the
         // index dir was created mid-stream, e.g. first non-empty batch.)
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.rename(
-          new org.apache.hadoop.fs.Path(s"$indexDir/codes/batch=0"),
-          new org.apache.hadoop.fs.Path(s"$indexDir/codes/batch=$batchId"))
+        Seq("codes", "lists").foreach { t =>
+          val src = new org.apache.hadoop.fs.Path(s"$indexDir/$t/batch=0")
+          if (fs.exists(src))
+            fs.rename(src,
+              new org.apache.hadoop.fs.Path(s"$indexDir/$t/batch=$batchId"))
+        }
       }
     } else {
-      VectorIndex.append(spark, vecs, indexDir, batchId)
+      VectorIndex.append(spark, vecs, indexDir, batchId, storeVectors = store)
     }
+    semanticTau.foreach { tau =>
+      // This batch's own assignment (just written) vs strictly-prior
+      // batches — the `belowBatch` cut keeps a post-crash replay's pair
+      // set identical to the original attempt's.
+      val mine = spark.read.parquet(s"$indexDir/lists/batch=$batchId")
+      val prior = VectorIndex.lists(spark, indexDir, belowBatch = Some(batchId))
+      VectorIndex.semanticPairs(mine, prior, tau)
+        .coalesce(1) // pair sets are tiny; also guarantees a schema-bearing
+                     // file lands even for a zero-pair batch
+        .write.mode("overwrite").parquet(s"$indexDir/pairs/batch=$batchId")
+    }
+  }
+
+  /** SemDeDup survivors over everything ingested: drop the GREATER id of
+    * every accumulated ≥-tau same-cell pair (the batch `llm_dedup_semantic`
+    * rule), one anti-join. */
+  def survivors(spark: SparkSession, indexDir: String): DataFrame = {
+    val ids = VectorIndex.codes(spark, indexDir).select("vec_id")
+    if (!exists(spark, s"$indexDir/pairs")) ids
+    else ids.join(
+      spark.read.parquet(s"$indexDir/pairs")
+        .select(col("vec_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
   }
 
   /** Drain everything currently in `landingDir` into the index (one
     * wave); restarts resume from the checkpoint. */
   def runAvailableNow(spark: SparkSession, landingDir: String,
       indexDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Int = 10): Unit = {
+      maxFilesPerTrigger: Int = 10,
+      semanticTau: Option[Double] = None): Unit = {
     val q: StreamingQuery = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -85,7 +120,7 @@ object IndexStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id, indexDir)
+        applyBatch(b, id, indexDir, semanticTau)
       }
       .start()
     q.awaitTermination()

@@ -64,4 +64,56 @@ class IndexStreamSpec extends SparkSpec {
       all.filter(col("vec_id") < 5), k = 5, nprobe = 4)
     assert(res.groupBy("query_id").count().count() === 5)
   }
+
+  test("incremental semantic dedup == batch pair scan with frozen geometry") {
+    val landing = tempDir("semstream_landing")
+    val idx = tempDir("semstream_idx")
+    val cp = tempDir("semstream_cp")
+
+    // Corpus = base embeddings + exact duplicates of ids < 30, planted in
+    // a DIFFERENT wave than their original (wave = (id%3 + 1) % 3), so
+    // most duplicate pairs are cross-batch — the case that distinguishes
+    // incremental from per-batch dedup.
+    val dups = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val all = base.unionAll(dups)
+    def waveOf = when(col("vec_id") >= 7000000L,
+        pmod(pmod(col("vec_id") - 7000000L, lit(3)) + 1, lit(3)))
+      .otherwise(pmod(col("vec_id"), lit(3)))
+    (0 to 2).foreach { wave =>
+      all.filter(waveOf === wave)
+        .coalesce(1).write.mode("append").parquet(landing)
+      IndexStream.runAvailableNow(spark, landing, idx, cp,
+        maxFilesPerTrigger = 1, semanticTau = Some(0.95))
+    }
+
+    // Reference: ONE pair scan of everything ingested under the geometry
+    // wave 0 froze — same-cell, a < b, exact cosine >= tau; drop every b.
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val ve = all.select(col("vec_id"), VectorOps.asDouble("embedding").as("ve"))
+    val av = VectorIndex.assignCodes(ve, cents, cb).select("vec_id", "cell")
+      .join(ve, "vec_id")
+    val dropped = av.select(col("cell"), col("vec_id").as("ia"), col("ve").as("va"))
+      .join(av.select(col("cell"), col("vec_id").as("ib"), col("ve").as("vb")), "cell")
+      .filter(col("ia") < col("ib"))
+      .filter(VectorOps.cosine("va", "vb") >= 0.95)
+      .select(col("ib")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "planted duplicates produced no pairs")
+    val expected = ve.select("vec_id").collect().map(_.getLong(0)).toSet -- dropped
+
+    val got = IndexStream.survivors(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // Every planted duplicate (greater id than its original) was dropped.
+    assert(dups.collect().map(_.getLong(0)).toSet.intersect(got).isEmpty)
+
+    // Replay: a drained stream re-run changes nothing.
+    IndexStream.runAvailableNow(spark, landing, idx, cp,
+      maxFilesPerTrigger = 1, semanticTau = Some(0.95))
+    assert(IndexStream.survivors(spark, idx)
+      .collect().map(_.getLong(0)).toSet === expected)
+  }
 }
