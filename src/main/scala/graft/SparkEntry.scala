@@ -21,6 +21,7 @@ object SparkEntry {
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,
     graft.llm.CorpusDiagnostics,
+    graft.llm.CurationOps,
     graft.llm.Knn,
     graft.llm.Retrieval,
     graft.llm.Embeddings,

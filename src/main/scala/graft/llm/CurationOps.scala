@@ -1,0 +1,224 @@
+package graft.llm
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators around SELECTION and EXPORT — the steps
+  * between "the corpus is clean" and "the trainer reads shards":
+  *
+  *   - `llm_sample_weighted`: probability-proportional-to-size (PPS)
+  *     Poisson sampling with Horvitz–Thompson inverse-probability weights —
+  *     the standard way to draw a budgeted subsample whose estimates stay
+  *     unbiased when documents differ in size/importance. Inclusion is a
+  *     pure function of the row (content-addressed hash vs an exact
+  *     integer threshold), so the sample is identical across reruns,
+  *     partitionings, and engines: the inclusion test
+  *     `u < B·w/ΣW` is evaluated as `h·ΣW < B·2³²·w` in exact wide-integer
+  *     arithmetic (DECIMAL(38,0) here, HUGEINT in the oracle) — no
+  *     floating-point boundary can flip membership. One count pass for ΣW
+  *     (broadcast scalar), then a map-only filter: two scans, no shuffle.
+  *   - `llm_script_profile`: per-document character-class profile
+  *     (letters / vowels / spaces / other, ASCII-ness) — the script/charset
+  *     signal multilingual curation filters on before tokenization.
+  *     Counts come from `regexp_replace` + `length` inside whole-stage
+  *     codegen; the only doubles are two single divisions of integers,
+  *     bit-identical across engines. Zero shuffles.
+  *   - `llm_decontaminate_fuzzy`: NEAR-duplicate test-set decontamination —
+  *     the fuzzy complement of `llm_decontaminate`'s exact 8-gram scan:
+  *     training documents whose shingle-Jaccard with an eval document
+  *     reaches 0.5 (a paraphrased or lightly edited benchmark leak shares
+  *     most of its 3-grams but few exact 8-grams). Candidates come from
+  *     banded MinHash-LSH at r=2/b=64 (per-true-pair miss probability at
+  *     τ=0.5 is (1 − 0.5²)⁶⁴ ≈ 1e-8) with the EVAL side broadcast — at
+  *     100 TB the eval set is tiny and the training corpus streams one
+  *     band scan; candidate verification is exact per-pair Jaccard, so
+  *     every emitted pair is exactly correct. The oracle runs the naive
+  *     cross-slice definition.
+  *   - `llm_shuffle_export`: the deterministic GLOBAL SHUFFLE + sharding
+  *     plan a trainer consumes — every document assigned a shard and a
+  *     position within it by content-addressed hash order (epoch-salted:
+  *     re-keying the salt re-shuffles). A single global sort would
+  *     serialize the corpus through one task; per-shard windows keep all
+  *     shards ordering in parallel (the `llm_pack_sequences` argument),
+  *     and shard sizes concentrate tightly around N/16 by hash uniformity.
+  *
+  * Hashes are `md5_long` (≡ DuckDB `md5_number_upper` bit-for-bit), so the
+  * oracle rebuilds the same samples, bands excepted (bands are checked by
+  * RESULT: the oracle recomputes the declared pair semantics naively).
+  */
+object CurationOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** PPS Poisson sample at expected budget `b` with weight column `w`
+    * (positive integer). Inclusion: h·ΣW < b·2³²·w in exact integers. */
+  def weightedSample(docsDf: DataFrame, b: Int, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val tot = docsDf.agg(sum(col("n_chars")).cast("long").as("totw"))
+    docsDf
+      .crossJoin(broadcast(tot))
+      .withColumn("h", expr(
+        s"md5_long(concat('$salt:', CAST(doc_id AS STRING))) & 4294967295"))
+      .filter(
+        col("h").cast("decimal(38,0)") * col("totw").cast("decimal(38,0)") <
+          lit(b.toLong * 4294967296L).cast("decimal(38,0)") *
+            col("n_chars").cast("decimal(38,0)"))
+      .select(
+        col("doc_id"), col("source"), col("lang"),
+        col("n_chars").as("w"),
+        greatest(lit(1.0),
+          col("totw").cast("double") / (lit(b.toDouble) * col("n_chars")))
+          .as("ht_weight"))
+  }
+
+  /** Per-document character-class profile. */
+  def scriptProfile(docsDf: DataFrame): DataFrame = {
+    def cnt(pattern: String): org.apache.spark.sql.Column =
+      length(regexp_replace(col("text"), pattern, ""))
+    docsDf.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      cnt("[^a-z]").as("n_alpha"),
+      cnt("[^aeiou]").as("n_vowel"),
+      cnt("[^ ]").as("n_space"),
+      (length(col("text")) - cnt("[^a-z]") - cnt("[^ ]")).as("n_other"),
+      (length(col("text")) === cnt("[^\\x00-\\x7F]")).as("is_ascii"),
+      (cnt("[^a-z]").cast("double") / length(col("text"))).as("alpha_frac"),
+      (cnt("[^aeiou]").cast("double") /
+        greatest(cnt("[^a-z]"), lit(1))).as("vowel_frac"))
+  }
+
+  /** Fuzzy decontamination: train docs (source ≠ evalSource) within
+    * shingle-Jaccard ≥ tau of any eval doc (source = evalSource). */
+  def decontaminateFuzzy(docsDf: DataFrame, evalSource: String,
+      tau: Double): DataFrame = {
+    val corpus = docsDf.select(col("doc_id"), lower(col("text")).as("text"))
+    val srcs = docsDf.select(col("doc_id"), col("source"))
+    // r=2/b=64: per-true-pair miss (1 − τ²)^64 ≈ 1e-8 at τ=0.5.
+    val bands = Dedup.bandsOf(corpus, r = 2, b = 64)
+    val evalB = broadcast(
+      bands.join(srcs.filter(col("source") === evalSource), Seq("doc_id"))
+        .select(col("doc_id").as("eval_doc"), col("band"), col("bh")))
+    val trainB =
+      bands.join(srcs.filter(col("source") =!= evalSource), Seq("doc_id"))
+        .select(col("doc_id").as("train_doc"), col("band"), col("bh"))
+    // Eval side broadcast: the train band table streams one scan — zero
+    // corpus shuffle for candidate generation (the incrementPairs shape).
+    val cand = trainB.join(evalB, Seq("band", "bh"))
+      .select(col("train_doc"), col("eval_doc")).distinct()
+    val sets = Dedup.setsOf(corpus)
+    val evalSets = broadcast(
+      sets.join(srcs.filter(col("source") === evalSource), Seq("doc_id"))
+        .select(col("doc_id").as("eval_doc"), col("sh").as("se"),
+          col("n").as("ne")))
+    // The candidate list is pair-scale (small); build IT as the hash side
+    // rather than shuffling the shingle-set table into a sort.
+    cand.hint("shuffle_hash")
+      .join(sets.select(col("doc_id").as("train_doc"), col("sh").as("st"),
+        col("n").as("nt")), Seq("train_doc"))
+      .join(evalSets, Seq("eval_doc"))
+      .withColumn("i", size(array_intersect(col("st"), col("se"))))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("nt") + col("ne") - col("i")))
+      .filter(col("jaccard") >= tau)
+      .select("train_doc", "eval_doc", "jaccard")
+  }
+
+  /** Deterministic global-shuffle export plan: (doc_id, shard, pos). */
+  def shuffleExport(docsDf: DataFrame, nShards: Int, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val w = Window.partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
+    docsDf
+      .withColumn("shard", expr(
+        s"CAST(md5_long(concat('$salt:', CAST(doc_id AS STRING))) & ${nShards - 1} AS INT)"))
+      .withColumn("pri", expr(
+        s"md5_long(concat('$salt-ord:', CAST(doc_id AS STRING))) & 4294967295"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("source"))
+  }
+
+  def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    "llm_sample_weighted" -> QuerySpec(
+      fn = (s, dir) => weightedSample(docs(s, dir), b = 100, salt = "wps"),
+      oracle = Some("""
+        WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS totw FROM documents)
+        SELECT doc_id, source, lang, n_chars AS w,
+               greatest(1.0, CAST(totw AS DOUBLE) / (100.0 * n_chars))
+                 AS ht_weight
+        FROM documents, tot
+        WHERE CAST(md5_number_upper('wps:' || CAST(doc_id AS VARCHAR))
+                   & 4294967295 AS HUGEINT) * totw
+              < CAST(429496729600 AS HUGEINT) * n_chars""")),
+
+    // ------------------------------------------------------------------
+    "llm_script_profile" -> QuerySpec(
+      fn = (s, dir) => scriptProfile(docs(s, dir)),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(text) AS INT) AS n_chars,
+               CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS INT)
+                 AS n_alpha,
+               CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS INT)
+                 AS n_vowel,
+               CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS INT)
+                 AS n_space,
+               CAST(len(text)
+                    - len(regexp_replace(text, '[^a-z]', '', 'g'))
+                    - len(regexp_replace(text, '[^ ]', '', 'g')) AS INT)
+                 AS n_other,
+               len(text) = len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+                 AS is_ascii,
+               CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / len(text) AS alpha_frac,
+               CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / greatest(len(regexp_replace(text, '[^a-z]', '', 'g')), 1)
+                 AS vowel_frac
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    "llm_decontaminate_fuzzy" -> QuerySpec(
+      fn = (s, dir) => decontaminateFuzzy(docs(s, dir), "src0", tau = 0.5),
+      oracle = Some("""
+        WITH corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(toks) - 2, 1))]))
+                   AS shingle
+          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM corpus)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS i
+          FROM sh t JOIN sh e ON t.shingle = e.shingle
+          JOIN documents dt ON dt.doc_id = t.doc_id
+          JOIN documents de ON de.doc_id = e.doc_id
+          WHERE dt.source <> 'src0' AND de.source = 'src0'
+          GROUP BY 1, 2)
+        SELECT train_doc, eval_doc,
+               CAST(i AS DOUBLE) / (st.n + se.n - i) AS jaccard
+        FROM inter
+        JOIN sizes st ON st.doc_id = train_doc
+        JOIN sizes se ON se.doc_id = eval_doc
+        WHERE CAST(i AS DOUBLE) / (st.n + se.n - i) >= 0.5""")),
+
+    // ------------------------------------------------------------------
+    "llm_shuffle_export" -> QuerySpec(
+      fn = (s, dir) => shuffleExport(docs(s, dir), nShards = 16, salt = "ep0"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 15
+                    AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 15
+                 ORDER BY md5_number_upper('ep0-ord:' || CAST(doc_id AS VARCHAR))
+                            & 4294967295,
+                          doc_id) AS INT) AS pos,
+               source
+        FROM documents""")))
+}
