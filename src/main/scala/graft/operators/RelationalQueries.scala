@@ -2628,60 +2628,6 @@ object RelationalQueries extends QueryModule {
         SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
                ROUND((mean_a - mean_b) /
                      SQRT(var_a / n_a + var_b / n_b), 8) AS t_stat
-        FROM d""")),
-
-    // ------------------------------------------------------------------
-    // Full CUBE aggregation (all 2^k grouping-set combinations) with
-    // per-column grouping() indicators — the OLAP cross-tab companion to
-    // rel_agg_grouping_flags's ROLLUP. Spark executes the cube as ONE
-    // Expand (4 grouping sets) over one scan + one hash aggregate: the
-    // fan-out is 4×rows into a 6-group aggregate, never 4 scans. Sums are
-    // decimal-exact (order-independent at any parallelism).
-    "rel_agg_cube" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        t(s, dir, "lineitem")
-          .cube($"l_returnflag", $"l_linestatus")
-          .agg(
-            grouping($"l_returnflag").cast("int").as("g_flag"),
-            grouping($"l_linestatus").cast("int").as("g_status"),
-            count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
-      },
-      oracle = Some(s"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
-
-    // ------------------------------------------------------------------
-    // Distribution window functions: percent_rank / cume_dist / ntile —
-    // the relative-standing family (used for percentile cuts, quartile
-    // bucketing, score normalization). All three ride ONE window (same
-    // partition + order ⇒ one shuffle + one sort); the order key carries
-    // the unique c_custkey tiebreak so ntile's row order — and therefore
-    // every output — is deterministic under any partitioning. The emitted
-    // doubles are single divisions of integer rank/count pairs, identical
-    // in both engines.
-    "rel_window_distribution" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        val w = Window.partitionBy($"c_mktsegment")
-          .orderBy($"c_acctbal", $"c_custkey")
-        t(s, dir, "customer")
-          .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"),
-            ntile(4).over(w).as("quartile"))
-      },
-      oracle = Some("""
-        SELECT c_custkey, c_mktsegment, c_acctbal,
-               percent_rank() OVER w AS pr,
-               cume_dist() OVER w AS cd,
-               CAST(ntile(4) OVER w AS INT) AS quartile
-        FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment
-                     ORDER BY c_acctbal, c_custkey)"""))
+        FROM d"""))
   )
 }

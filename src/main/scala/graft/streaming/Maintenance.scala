@@ -337,6 +337,74 @@ object Maintenance {
     DeleteReport(allFiles.size, rewritten, rowsDeleted)
   }
 
+  /** Audit record of a [[vacuum]] run. */
+  final case class VacuumReport(
+      orphansDeleted: Int,  // uncommitted data files removed
+      orphanBytes: Long,    // their total size
+      tmpDirsDeleted: Int,  // stale pre-commit rewrite scratch dirs removed
+      filesKept: Int)       // live data files left untouched
+
+  /** VACUUM: garbage-collect a table's dead files — the Delta `VACUUM`
+    * analog for the engine's log-less tables.
+    *
+    * Two classes of garbage accrete under a streaming sink + the rewrite
+    * protocol, and batch readers see neither (so they are pure storage
+    * waste that still costs listing time and object-store money):
+    *
+    *   - UNCOMMITTED data files: a micro-batch task that died after
+    *     writing its file but before its batch committed leaves the file
+    *     on disk, absent from the `_spark_metadata` commit log — the
+    *     metadata-aware read skips it forever;
+    *   - STALE REWRITE SCRATCH: a compaction/delete rewrite that crashed
+    *     BEFORE its `_originals` commit point leaves a hidden
+    *     `.compact_tmp_*` dir. (A scratch dir WITH a manifest is a
+    *     committed-but-unapplied swap; it is rolled FORWARD by the next
+    *     maintenance pass, never vacuumed.)
+    *
+    * The retention window is the safety contract, exactly as in Delta's
+    * VACUUM: a file younger than `retentionMs` may belong to a micro-batch
+    * that is mid-commit (written, not yet logged) — deleting it would turn
+    * an in-flight batch's success into data loss on retry. Age is judged
+    * by filesystem modification time against the caller's clock, and
+    * `nowMs` is injectable so tests (and audit replays) are deterministic.
+    *
+    * Tables without a commit log get only the scratch-dir sweep: with no
+    * committed-set source of truth, every listed data file must be
+    * presumed live (deleting on a guess is how vacuums eat tables).
+    *
+    * 100 TB posture: one recursive listing + O(dead files) deletes, no
+    * data reads or rewrites at all; committed-set membership is a hash
+    * probe per file against the sink log already held for compaction. */
+  def vacuum(spark: SparkSession, tableDir: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis): VacuumReport = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return VacuumReport(0, 0L, 0, 0)
+    val cutoff = nowMs - retentionMs
+    val committed = committedFiles(spark, tableDir)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (!isDataFile(st.getPath.getName)) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    val files = walk(root)
+    val orphans = committed match {
+      case Some(set) =>
+        files.filter(st =>
+          !set.contains(norm(st.getPath)) && st.getModificationTime < cutoff)
+      case None => Seq.empty
+    }
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    val tmps = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_") &&
+        !fs.exists(new Path(st.getPath, "_originals")) &&
+        st.getModificationTime < cutoff)
+    tmps.foreach(st => fs.delete(st.getPath, true))
+    VacuumReport(orphans.length, orphans.map(_.getLen).sum, tmps.length,
+      files.length - orphans.length)
+  }
+
   /** Compact every closed partition of a layer table. */
   def compactTable(
       spark: SparkSession,

@@ -267,4 +267,88 @@ class MaintenanceSpec extends SparkSpec {
     // a fresh read still derives `part` from the directory layout.
     assert(left.columns.toSeq.count(_ == "part") === 1)
   }
+
+  test("vacuum removes aged orphans + stale scratch, never live or fresh files") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = tempDir("vacuum_tbl")
+    val cp = tempDir("vacuum_cp")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .withColumn("event_date", lit("2024-03-01"))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", dir).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    mem.addData((1 to 80).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(dir).count() === 80L)
+
+    // Plant: an OLD orphan (uncommitted, aged past retention), a FRESH
+    // orphan (uncommitted but recent — could be a mid-commit batch), and
+    // a stale pre-commit scratch dir (no _originals manifest).
+    val part = s"$dir/event_date=2024-03-01"
+    Seq((9001L, "orphan")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stage")
+    val src = new java.io.File(s"$dir/.stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val oldOrphan = new java.io.File(part, "part-99990-orphan.parquet")
+    val freshOrphan = new java.io.File(part, "part-99991-orphan.parquet")
+    java.nio.file.Files.copy(src.toPath, oldOrphan.toPath)
+    java.nio.file.Files.copy(src.toPath, freshOrphan.toPath)
+    val staleTmp = new java.io.File(s"$dir/.compact_tmp_event_date=2024-03-01")
+    staleTmp.mkdirs()
+    new java.io.File(staleTmp, "dangling.parquet").createNewFile()
+
+    val now = System.currentTimeMillis
+    val retention = 60 * 60 * 1000L // 1 h
+    // Age the old orphan and the scratch dir past retention.
+    oldOrphan.setLastModified(now - 2 * retention)
+    staleTmp.setLastModified(now - 2 * retention)
+
+    val liveBefore = new java.io.File(part).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.contains("orphan")).map(_.getName).toSet
+    val rep = Maintenance.vacuum(spark, dir, retention, now)
+    assert(rep.orphansDeleted === 1)
+    assert(rep.orphanBytes > 0L)
+    assert(rep.tmpDirsDeleted === 1)
+    assert(!oldOrphan.exists(), "aged orphan must be deleted")
+    assert(freshOrphan.exists(), "fresh orphan is inside retention — kept")
+    assert(!staleTmp.exists(), "stale scratch dir must be deleted")
+    // Every committed file untouched; reads identical.
+    val liveAfter = new java.io.File(part).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.contains("orphan")).map(_.getName).toSet
+    assert(liveAfter === liveBefore)
+    assert(spark.read.parquet(dir).count() === 80L)
+    // Idempotent: a second vacuum at the same clock finds nothing.
+    val rep2 = Maintenance.vacuum(spark, dir, retention, now)
+    assert(rep2.orphansDeleted === 0 && rep2.tmpDirsDeleted === 0)
+
+    // A scratch dir WITH a commit manifest is a pending (committed-but-
+    // unapplied) swap: the next maintenance pass rolls it FORWARD;
+    // vacuum must never delete it, however old.
+    val pending = new java.io.File(s"$dir/.compact_tmp_pending")
+    pending.mkdirs()
+    new java.io.File(pending, "_originals").createNewFile()
+    pending.setLastModified(now - 10 * retention)
+    val repP = Maintenance.vacuum(spark, dir, retention, now)
+    assert(repP.tmpDirsDeleted === 0)
+    assert(pending.exists(), "pending swap dir must survive vacuum")
+    new java.io.File(pending, "_originals").delete(); pending.delete()
+
+    // A log-less (plain parquet) table: data files are presumed live even
+    // when aged — only scratch dirs are swept.
+    val plain = tempDir("vacuum_plain")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(plain)
+    new java.io.File(plain).listFiles().foreach(
+      _.setLastModified(now - 3 * retention))
+    val rep3 = Maintenance.vacuum(spark, plain, retention, now)
+    assert(rep3.orphansDeleted === 0)
+    assert(spark.read.parquet(plain).count() === 2L)
+  }
 }
