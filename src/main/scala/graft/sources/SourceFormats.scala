@@ -94,5 +94,104 @@ object SourceFormats extends QueryModule {
         SELECT event_type, COUNT(*) AS n, ${Exact.sqlSum("value")} AS total,
                COUNT(DISTINCT event_id) AS n_ids
         FROM events WHERE event_type IN ('click', 'purchase')
-        GROUP BY event_type""")))
+        GROUP BY event_type""")),
+
+    // The `binaryFile` source — how raw multimodal assets ENTER the engine
+    // from an object store (one file per image/audio clip/video): stage the
+    // deterministic Multimodal asset payloads as real files, ingest them
+    // back through `spark.read.format("binaryFile")`, and prove the
+    // ingested BYTES are the originals. Audio (RIFF/WAVE, closed-form
+    // integer sawtooth) and video (UTF-8 text stand-in) rows emit their
+    // FULL content as hex, which the oracle re-derives byte-for-byte in
+    // SQL — the WAV header and every little-endian PCM sample are
+    // reconstructed by integer arithmetic on both engines; images (JDK PNG
+    // encoder output, not SQL-reconstructable) are instead decoded through
+    // the real `javax.imageio` codec and checked by their closed-form
+    // pixel dimensions — a corrupted payload cannot decode to the right
+    // size. Per-file work is map-only (the binaryFile scan lists and
+    // streams files; content is pruned when unselected); at 100 TB the
+    // same read takes `pathGlobFilter`/partitioned prefixes and each file
+    // stays a single task's unit of work.
+    "src_binary_files" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val stage = scratch("fmt_binary")
+        graft.llm.Multimodal.assets(s, dir).foreachPartition {
+          (it: Iterator[graft.llm.Multimodal.MediaAsset]) =>
+            it.foreach { a =>
+              val ext = a.meta.kind match {
+                case "image" => "png"; case "audio" => "wav"; case _ => "bin"
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(stage, s"asset_${a.asset_id}.$ext"),
+                a.media)
+            }
+        }
+        s.read.format("binaryFile").load(stage)
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .map { case (path, content) =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            val id = name.stripPrefix("asset_").takeWhile(_.isDigit).toLong
+            val kind = name.substring(name.lastIndexOf('.') + 1) match {
+              case "png" => "image"; case "wav" => "audio"; case _ => "video"
+            }
+            if (kind == "image") {
+              // Real codec decode: dimensions come from the PNG itself.
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(content))
+              (id, kind, None: Option[Long], Some(img.getWidth),
+                Some(img.getHeight), None: Option[String])
+            } else
+              (id, kind, Some(content.length.toLong), None: Option[Int],
+                None: Option[Int],
+                Some(content.map("%02x".format(_)).mkString))
+          }
+          .toDF("asset_id", "kind", "n_bytes", "px_w", "px_h", "content_hex")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT doc_id AS asset_id, text,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS kind
+          FROM documents),
+        aud AS (
+          SELECT asset_id, 256 + (asset_id % 16) * 64 AS n,
+                 3 + (asset_id % 5) AS step
+          FROM base WHERE kind = 'audio'),
+        samp AS (
+          SELECT a.asset_id,
+                 string_agg(printf('%02x%02x', u & 255, u >> 8), ''
+                            ORDER BY g.i) AS shex
+          FROM aud a
+          JOIN (SELECT i FROM generate_series(0, 2000) t(i)) g ON g.i < a.n
+          CROSS JOIN LATERAL (
+            SELECT ((g.i * a.step * 257) % 65536 + 32768) % 65536 AS u) c
+          GROUP BY a.asset_id),
+        wav AS (
+          SELECT a.asset_id, CAST(44 + 2 * a.n AS BIGINT) AS n_bytes,
+                 lower('52494646'
+                   || printf('%02x%02x%02x%02x', (36 + 2*a.n) & 255,
+                        ((36 + 2*a.n) >> 8) & 255, ((36 + 2*a.n) >> 16) & 255,
+                        ((36 + 2*a.n) >> 24) & 255)
+                   || '57415645666d7420' || '10000000' || '0100' || '0100'
+                   || '803e0000' || '007d0000' || '0200' || '1000'
+                   || '64617461'
+                   || printf('%02x%02x%02x%02x', (2*a.n) & 255,
+                        ((2*a.n) >> 8) & 255, ((2*a.n) >> 16) & 255,
+                        ((2*a.n) >> 24) & 255))
+                 || s.shex AS content_hex
+          FROM aud a JOIN samp s USING (asset_id))
+        SELECT b.asset_id, b.kind,
+               CASE b.kind WHEN 'audio' THEN w.n_bytes
+                           WHEN 'video' THEN CAST(octet_length(CAST(b.text AS BLOB)) AS BIGINT)
+                           END AS n_bytes,
+               CASE WHEN b.kind = 'image'
+                    THEN CAST(16 + b.asset_id % 48 AS INT) END AS px_w,
+               CASE WHEN b.kind = 'image'
+                    THEN CAST(16 + b.asset_id % 31 AS INT) END AS px_h,
+               CASE b.kind WHEN 'audio' THEN w.content_hex
+                           WHEN 'video' THEN lower(hex(CAST(b.text AS BLOB)))
+                           END AS content_hex
+        FROM base b LEFT JOIN wav w USING (asset_id)""")))
 }
