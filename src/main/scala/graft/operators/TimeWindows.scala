@@ -1433,6 +1433,78 @@ object TimeWindows extends QueryModule {
                                    CAST(ts AS DATE)) AS day
                   FROM events))
           GROUP BY user_id, grp)
-        GROUP BY user_id"""))
+        GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Classical additive time-series decomposition (trend + seasonal +
+    // residual — the moving-average form of STL) of each type's hourly
+    // volume series:
+    //   trend    = centered 25-hour moving average (full windows only);
+    //   seasonal = hour-of-day mean of the detrended series;
+    //   residual = series − trend − seasonal.
+    // Exactness discipline: summing detrended DOUBLES would be partial-
+    // aggregation-order-dependent, so the detrended series is carried in
+    // 25ths as the INTEGER 25·y − Σ₂₅y (window sums of counts), seasonal
+    // means stay integer-ratio, and trend/seasonal/residual each become
+    // ONE identically-spelled double expression — bit-identical at any
+    // parallelism. The grid is ~types×hours rows; one shuffle builds it,
+    // one window pass and one hour-of-day aggregate decompose it. Windows
+    // are over OBSERVED hours (gap-fill first via ts_gap_fill when the
+    // calendar matters); partial-history edges emit NULL, not a
+    // renormalized guess.
+    "ts_decompose" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val grid = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+          .agg(count(lit(1)).cast("long").as("y"))
+        val w = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(-12, 12)
+        val trended = grid
+          .withColumn("sum25", sum($"y").over(w))
+          .withColumn("cnt25", count(lit(1)).over(w))
+          .withColumn("det25",
+            when($"cnt25" === 25, lit(25L) * $"y" - $"sum25"))
+        val seasonal = trended.filter($"det25".isNotNull)
+          .groupBy($"event_type".as("et"), hour($"hr").as("shod"))
+          .agg((sum($"det25").cast("double") / (lit(25.0) * count(lit(1))))
+            .as("seasonal"))
+        trended
+          .join(broadcast(seasonal),
+            $"event_type" === $"et" && hour($"hr") === $"shod", "left")
+          .select($"event_type",
+            date_format($"hr", "yyyy-MM-dd HH:00").as("hr"), $"y",
+            when($"cnt25" === 25, $"sum25".cast("double") / 25.0).as("trend"),
+            $"seasonal",
+            when($"det25".isNotNull && $"seasonal".isNotNull,
+              $"det25".cast("double") / 25.0 - $"seasonal").as("residual"))
+      },
+      oracle = Some("""
+        WITH grid AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, hr, y,
+                 SUM(y) OVER w AS sum25,
+                 COUNT(*) OVER w AS cnt25,
+                 CASE WHEN COUNT(*) OVER w = 25
+                      THEN 25 * y - SUM(y) OVER w END AS det25
+          FROM grid
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        s AS (
+          SELECT event_type AS et, CAST(hour(hr) AS INT) AS shod,
+                 CAST(SUM(det25) AS DOUBLE) / (25.0 * COUNT(*)) AS seasonal
+          FROM t WHERE det25 IS NOT NULL GROUP BY 1, 2)
+        SELECT t.event_type, strftime(t.hr, '%Y-%m-%d %H:00') AS hr, t.y,
+               CASE WHEN t.cnt25 = 25
+                    THEN CAST(t.sum25 AS DOUBLE) / 25.0 END AS trend,
+               s.seasonal,
+               CASE WHEN t.det25 IS NOT NULL AND s.seasonal IS NOT NULL
+                    THEN CAST(t.det25 AS DOUBLE) / 25.0 - s.seasonal
+                    END AS residual
+        FROM t LEFT JOIN s
+          ON t.event_type = s.et AND CAST(hour(t.hr) AS INT) = s.shod"""))
   )
 }
