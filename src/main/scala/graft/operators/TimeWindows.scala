@@ -1460,18 +1460,19 @@ object TimeWindows extends QueryModule {
           .agg(count(lit(1)).cast("long").as("y"))
         val w = Window.partitionBy($"event_type").orderBy($"hr")
           .rowsBetween(-12, 12)
-        val trended = grid
+        // Seasonal as a SECOND WINDOW over (type, hour-of-day) rather than
+        // a groupBy + join back: the grid is built (and events scanned)
+        // exactly once, and sum/count over the hod partition ignore the
+        // NULL det25 edges — same integer moments the join spelling had.
+        val ws = Window.partitionBy($"event_type", hour($"hr"))
+        grid
           .withColumn("sum25", sum($"y").over(w))
           .withColumn("cnt25", count(lit(1)).over(w))
           .withColumn("det25",
             when($"cnt25" === 25, lit(25L) * $"y" - $"sum25"))
-        val seasonal = trended.filter($"det25".isNotNull)
-          .groupBy($"event_type".as("et"), hour($"hr").as("shod"))
-          .agg((sum($"det25").cast("double") / (lit(25.0) * count(lit(1))))
-            .as("seasonal"))
-        trended
-          .join(broadcast(seasonal),
-            $"event_type" === $"et" && hour($"hr") === $"shod", "left")
+          .withColumn("seasonal",
+            sum($"det25").over(ws).cast("double") /
+              (lit(25.0) * count($"det25").over(ws)))
           .select($"event_type",
             date_format($"hr", "yyyy-MM-dd HH:00").as("hr"), $"y",
             when($"cnt25" === 25, $"sum25".cast("double") / 25.0).as("trend"),
@@ -1494,17 +1495,18 @@ object TimeWindows extends QueryModule {
           WINDOW w AS (PARTITION BY event_type ORDER BY hr
                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
         s AS (
-          SELECT event_type AS et, CAST(hour(hr) AS INT) AS shod,
-                 CAST(SUM(det25) AS DOUBLE) / (25.0 * COUNT(*)) AS seasonal
-          FROM t WHERE det25 IS NOT NULL GROUP BY 1, 2)
-        SELECT t.event_type, strftime(t.hr, '%Y-%m-%d %H:00') AS hr, t.y,
-               CASE WHEN t.cnt25 = 25
-                    THEN CAST(t.sum25 AS DOUBLE) / 25.0 END AS trend,
-               s.seasonal,
-               CASE WHEN t.det25 IS NOT NULL AND s.seasonal IS NOT NULL
-                    THEN CAST(t.det25 AS DOUBLE) / 25.0 - s.seasonal
+          SELECT event_type, hr, y, sum25, cnt25, det25,
+                 CAST(SUM(det25) OVER ws AS DOUBLE)
+                   / (25.0 * COUNT(det25) OVER ws) AS seasonal
+          FROM t
+          WINDOW ws AS (PARTITION BY event_type, hour(hr)))
+        SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hr, y,
+               CASE WHEN cnt25 = 25
+                    THEN CAST(sum25 AS DOUBLE) / 25.0 END AS trend,
+               seasonal,
+               CASE WHEN det25 IS NOT NULL AND seasonal IS NOT NULL
+                    THEN CAST(det25 AS DOUBLE) / 25.0 - seasonal
                     END AS residual
-        FROM t LEFT JOIN s
-          ON t.event_type = s.et AND CAST(hour(t.hr) AS INT) = s.shod"""))
+        FROM s"""))
   )
 }

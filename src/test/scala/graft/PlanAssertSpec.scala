@@ -391,4 +391,47 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"merge join not a shuffle join:\n$p")
   }
+
+  test("llm_sample_weighted: map-only filter — the only exchanges feed the total") {
+    val p = plan("llm_sample_weighted")
+    // The corpus-side work is a scan + filter; the sole aggregation is the
+    // one-row SumW (its exchange partitions a single row). No corpus
+    // shuffle may exist: inclusion is a per-row function.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"weighted sample shuffles the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "total-weight scalar not broadcast")
+  }
+
+  test("llm_script_profile: zero exchanges — pure codegen map work") {
+    val p = plan("llm_script_profile")
+    assert(hashExchanges(p) == 0, s"script profile shuffles:\n$p")
+    // FormattedMode marks codegen stages with a leading `*`.
+    assert(p.contains("* Project"), s"projection left codegen:\n$p")
+  }
+
+  test("llm_decontaminate_fuzzy: eval side broadcasts; train corpus never broadcast") {
+    val p = plan("llm_decontaminate_fuzzy")
+    // Candidate generation joins the streaming train band scan against the
+    // BROADCAST eval bands; the verify join builds the small pair list.
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_shuffle_export: exactly one corpus exchange (the shard partition)") {
+    val p = plan("llm_shuffle_export")
+    assert(hashExchanges(p) == 1,
+      s"export plan should shuffle once on shard, found ${hashExchanges(p)}:\n$p")
+  }
+
+  test("ts_decompose: window and seasonal share the pre-aggregated grid") {
+    val p = plan("ts_decompose")
+    // The events table is scanned ONCE: trend windows and the seasonal
+    // aggregate both derive from the grouped types×hours grid.
+    // Formatted plans print each node in the tree AND the detail section.
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*""")) // detail headers only
+    assert(scans == 1, s"events scanned $scans times:\n$p")
+    assert(!p.contains("Join"), "decomposition needs no join at all")
+  }
 }
