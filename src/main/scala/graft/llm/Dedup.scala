@@ -1104,5 +1104,61 @@ object Dedup extends QueryModule {
                   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                      [dq[i] * dq[i] for i in generate_series(1, 64)]), (a, b) -> a + b)))
                END AS recon_cosine
-        FROM d""")))
+        FROM d""")),
+
+    // ------------------------------------------------------------------
+    // Leakage-safe dataset split: the content-addressed ~10% val split,
+    // with the NEAR-DUP GUARD a careful eval protocol requires — a val
+    // document whose shingle-Jaccard with ANY train document reaches 0.8
+    // is marked `leaky_val` (evaluating on it would test memorization of
+    // a train near-copy, not generalization; Lee et al. 2021 measure
+    // exactly this contamination). Split membership is a pure hash
+    // function of the row (rerun/partitioning/engine-stable, like every
+    // sampler here); the guard reuses the banded-LSH pair machinery at
+    // audit-grade r=4/b=64, so the pair pass is linear in the corpus, the
+    // directed-edge join is pair-scale, and the final verdict is one
+    // broadcast semi-join — no corpus×corpus work anywhere.
+    "llm_dataset_split" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val d = Tables.load(s, dir, "documents")
+        val corpus = d.select(col("doc_id"), lower(col("text")).as("text"))
+        val pairs = lshJaccardPairs(corpus, tau = 0.8, r = 4, b = 64)
+          .select("doc_a", "doc_b")
+        val splits = d.select(col("doc_id"),
+          when(expr("md5_long(concat('split:', CAST(doc_id AS STRING))) & 1023")
+            < 102, lit("val")).otherwise(lit("train")).as("split"))
+        val edges = pairs.unionAll(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        val trainIds = splits.filter(col("split") === "train")
+          .select(col("doc_id").as("partner"))
+        val leaky = edges
+          .join(trainIds, edges("doc_b") === trainIds("partner"), "left_semi")
+          .select(col("doc_a").as("doc_id")).distinct()
+        splits
+          .join(broadcast(leaky.withColumn("leak", lit(1))), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("split") === "val" && col("leak").isNotNull,
+              lit("leaky_val")).otherwise(col("split")).as("split"))
+      },
+      oracle = Some(s"""
+        WITH corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+        ${pairsFromCorpusSqlAt(0.8)},
+        s AS (
+          SELECT doc_id,
+                 CASE WHEN md5_number_upper('split:' || CAST(doc_id AS VARCHAR))
+                           & 1023 < 102
+                      THEN 'val' ELSE 'train' END AS split
+          FROM documents),
+        leaky AS (
+          SELECT DISTINCT v.doc_id
+          FROM s v
+          JOIN pairs p ON p.doc_a = v.doc_id OR p.doc_b = v.doc_id
+          JOIN s t ON t.doc_id = CASE WHEN p.doc_a = v.doc_id
+                                      THEN p.doc_b ELSE p.doc_a END
+          WHERE t.split = 'train')
+        SELECT s.doc_id,
+               CASE WHEN s.split = 'val' AND l.doc_id IS NOT NULL
+                    THEN 'leaky_val' ELSE s.split END AS split
+        FROM s LEFT JOIN leaky l ON l.doc_id = s.doc_id""")))
 }
