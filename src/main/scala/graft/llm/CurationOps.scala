@@ -208,6 +208,42 @@ object CurationOps extends QueryModule {
         WHERE CAST(i AS DOUBLE) / (st.n + se.n - i) >= 0.5""")),
 
     // ------------------------------------------------------------------
+    // Inverted-index export: term → (document frequency, total
+    // occurrences, bounded posting list) — the search/retrieval sidecar a
+    // corpus ships with. Postings are CAPPED at the 50 smallest doc_ids
+    // (deterministic total order): an uncapped list makes one row per
+    // term unboundedly wide on stopword-like terms — a real index shards
+    // postings, an export SAMPLES them, and df/n_occ stay exact either
+    // way. Two hash aggregates, no join; the list is serialized to CSV on
+    // both engines for the gate's canonicalizer (the rel_scalar_arrays
+    // discipline).
+    "llm_posting_index" -> QuerySpec(
+      fn = (s, dir) => {
+        val perDoc = docs(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("occ"))
+        perDoc.groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("df"),
+            sum(col("occ")).as("n_occ"),
+            concat_ws(",",
+              slice(sort_array(collect_list(col("doc_id"))), 1, 50))
+              .as("postings"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents),
+        pd AS (SELECT term, doc_id, COUNT(*) AS occ FROM t GROUP BY 1, 2)
+        SELECT term, COUNT(*) AS df, CAST(SUM(occ) AS BIGINT) AS n_occ,
+               array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',')
+                 AS postings
+        FROM pd GROUP BY term""")),
+
+    // ------------------------------------------------------------------
     "llm_shuffle_export" -> QuerySpec(
       fn = (s, dir) => shuffleExport(docs(s, dir), nShards = 16, salt = "ep0"),
       oracle = Some("""
