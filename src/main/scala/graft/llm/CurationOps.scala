@@ -87,7 +87,11 @@ object CurationOps extends QueryModule {
       cnt("[^ ]").as("n_space"),
       (length(col("text")) - cnt("[^a-z]") - cnt("[^ ]")).as("n_other"),
       (length(col("text")) === cnt("[^\\x00-\\x7F]")).as("is_ascii"),
-      (cnt("[^a-z]").cast("double") / length(col("text"))).as("alpha_frac"),
+      // greatest(_, 1): an empty document must not divide by zero — Spark
+      // yields NULL there while DuckDB yields IEEE NaN, which would split
+      // the engines on the same row.
+      (cnt("[^a-z]").cast("double") /
+        greatest(length(col("text")), lit(1))).as("alpha_frac"),
       (cnt("[^aeiou]").cast("double") /
         greatest(cnt("[^a-z]"), lit(1))).as("vowel_frac"))
   }
@@ -96,30 +100,32 @@ object CurationOps extends QueryModule {
     * shingle-Jaccard ≥ tau of any eval doc (source = evalSource). */
   def decontaminateFuzzy(docsDf: DataFrame, evalSource: String,
       tau: Double): DataFrame = {
-    val corpus = docsDf.select(col("doc_id"), lower(col("text")).as("text"))
-    val srcs = docsDf.select(col("doc_id"), col("source"))
+    // Bands/sets are pure per-document functions, so each side is hashed
+    // from ITS OWN slice — the eval passes run at eval-set scale (hashing
+    // the whole corpus and filtering afterwards would re-pay the two most
+    // expensive scans just to throw 99% away).
+    def corpusOf(side: DataFrame) =
+      side.select(col("doc_id"), lower(col("text")).as("text"))
+    val evalCorpus = corpusOf(docsDf.filter(col("source") === evalSource))
+    val trainCorpus = corpusOf(docsDf.filter(col("source") =!= evalSource))
     // r=2/b=64: per-true-pair miss (1 − τ²)^64 ≈ 1e-8 at τ=0.5.
-    val bands = Dedup.bandsOf(corpus, r = 2, b = 64)
-    val evalB = broadcast(
-      bands.join(srcs.filter(col("source") === evalSource), Seq("doc_id"))
-        .select(col("doc_id").as("eval_doc"), col("band"), col("bh")))
-    val trainB =
-      bands.join(srcs.filter(col("source") =!= evalSource), Seq("doc_id"))
-        .select(col("doc_id").as("train_doc"), col("band"), col("bh"))
+    val evalB = broadcast(Dedup.bandsOf(evalCorpus, r = 2, b = 64)
+      .select(col("doc_id").as("eval_doc"), col("band"), col("bh")))
+    val trainB = Dedup.bandsOf(trainCorpus, r = 2, b = 64)
+      .select(col("doc_id").as("train_doc"), col("band"), col("bh"))
     // Eval side broadcast: the train band table streams one scan — zero
     // corpus shuffle for candidate generation (the incrementPairs shape).
     val cand = trainB.join(evalB, Seq("band", "bh"))
       .select(col("train_doc"), col("eval_doc")).distinct()
-    val sets = Dedup.setsOf(corpus)
-    val evalSets = broadcast(
-      sets.join(srcs.filter(col("source") === evalSource), Seq("doc_id"))
-        .select(col("doc_id").as("eval_doc"), col("sh").as("se"),
-          col("n").as("ne")))
+    val evalSets = broadcast(Dedup.setsOf(evalCorpus)
+      .select(col("doc_id").as("eval_doc"), col("sh").as("se"),
+        col("n").as("ne")))
     // The candidate list is pair-scale (small); build IT as the hash side
     // rather than shuffling the shingle-set table into a sort.
     cand.hint("shuffle_hash")
-      .join(sets.select(col("doc_id").as("train_doc"), col("sh").as("st"),
-        col("n").as("nt")), Seq("train_doc"))
+      .join(Dedup.setsOf(trainCorpus)
+        .select(col("doc_id").as("train_doc"), col("sh").as("st"),
+          col("n").as("nt")), Seq("train_doc"))
       .join(evalSets, Seq("eval_doc"))
       .withColumn("i", size(array_intersect(col("st"), col("se"))))
       .withColumn("jaccard",
@@ -130,6 +136,9 @@ object CurationOps extends QueryModule {
 
   /** Deterministic global-shuffle export plan: (doc_id, shard, pos). */
   def shuffleExport(docsDf: DataFrame, nShards: Int, salt: String): DataFrame = {
+    // `hash & (n-1)` is only a uniform modulus for powers of two.
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val w = Window.partitionBy(col("shard")).orderBy(col("pri"), col("doc_id"))
     docsDf
@@ -174,7 +183,7 @@ object CurationOps extends QueryModule {
                len(text) = len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
                  AS is_ascii,
                CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                 / len(text) AS alpha_frac,
+                 / greatest(len(text), 1) AS alpha_frac,
                CAST(len(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
                  / greatest(len(regexp_replace(text, '[^a-z]', '', 'g')), 1)
                  AS vowel_frac
@@ -224,12 +233,21 @@ object CurationOps extends QueryModule {
             explode(split(lower(col("text")), "\\s+")).as("term"))
           .groupBy(col("term"), col("doc_id"))
           .agg(count(lit(1)).as("occ"))
-        perDoc.groupBy(col("term"))
+        // The cap must bind BEFORE the list materializes: ranking first
+        // and collecting only rank ≤ 50 keeps the aggregation buffer at
+        // ≤ 50 entries for any term; collecting everything and slicing
+        // after would hold O(df) ids in one buffer — the unbounded object
+        // the cap exists to prevent. Window and groupBy share the term
+        // partitioning (one exchange).
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        perDoc
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("term"))
           .agg(
             count(lit(1)).as("df"),
             sum(col("occ")).as("n_occ"),
             concat_ws(",",
-              slice(sort_array(collect_list(col("doc_id"))), 1, 50))
+              sort_array(collect_list(when(col("rn") <= 50, col("doc_id")))))
               .as("postings"))
       },
       oracle = Some("""

@@ -37,8 +37,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * against exact batch recounts): for every tracked token,
   * `c(t) ≤ true(t) ≤ c(t) + D`, and `D ≤ N/(m+1)` — so any token whose
   * true count exceeds N/(m+1) is guaranteed present. [[report]] surfaces
-  * tokens with `c + D ≥ φ·N` (no false negatives at support φ) with their
-  * [lb, ub] bounds.
+  * tokens with `c + D ≥ φ·N` with their [lb, ub] bounds — no false
+  * negatives PROVIDED φ > 1/(m+1) (below that floor eviction can beat the
+  * support threshold; report rejects such φ loudly).
   *
   * 100 TB posture: raw tokens never shuffle (the scan IS the only pass);
   * sketch size is a constant independent of corpus and vocabulary; and
@@ -82,7 +83,8 @@ object HeavyHitterStream {
   private val counterSchema = StructType(Seq(
     StructField("token", StringType), StructField("c", LongType)))
   private val metaSchema = StructType(Seq(
-    StructField("d", LongType), StructField("n", LongType)))
+    StructField("d", LongType), StructField("n", LongType),
+    StructField("m", LongType)))
 
   /** Fold one micro-batch of documents into the persisted summary.
     * Reads state `batch=<id−1>`, writes `batch=<id>` (overwrite ⇒ replay
@@ -93,6 +95,10 @@ object HeavyHitterStream {
     import spark.implicits._
     // Per-partition summaries: each partition emits ≤ m counter rows plus
     // one meta row carrying (its decrement total, its token count).
+    // Cached: the summary relation is sketch-scale (≤ m+1 rows per input
+    // partition), and BOTH the counter merge and the d/n meta aggregate
+    // read it — without the cache the second action would re-tokenize and
+    // re-sketch the whole batch (2× the token-volume scan per batch).
     val parts = batch
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -105,6 +111,7 @@ object HeavyHitterStream {
           Iterator(("", 0L, d, n))
       }
       .toDF("token", "c", "d", "n")
+      .cache()
     val prevDir = s"$stateDir/summary/batch=${batchId - 1}"
     if (batchId > 0 && !exists(spark, prevDir))
       // The chain must be unbroken: a missing predecessor means lost
@@ -129,6 +136,11 @@ object HeavyHitterStream {
     val w = Window.orderBy(col("c").desc, col("token"))
     val ranked = combined.withColumn("r", row_number().over(w)).cache()
     try {
+      prevMeta.take(1).foreach { pm =>
+        require(pm.getLong(2) == m.toLong,
+          s"capacity changed mid-stream: state has m=${pm.getLong(2)}, " +
+            s"caller passed m=$m — bounds would silently break")
+      }
       // v = (m+1)-th largest combined counter (0 when ≤ m survive): the
       // mergeable-summaries reduction subtracts v everywhere and the
       // error bound grows by exactly v.
@@ -149,20 +161,28 @@ object HeavyHitterStream {
       val outDir = s"$stateDir/summary/batch=$batchId"
       newCounters.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/counters")
-      Seq((d, n)).toDF("d", "n").write.mode(SaveMode.Overwrite)
+      Seq((d, n, m.toLong)).toDF("d", "n", "m").write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/meta")
-    } finally ranked.unpersist()
+    } finally { ranked.unpersist(); parts.unpersist() }
   }
 
-  /** Heavy hitters at support φ from the latest summary: every token with
-    * true count ≥ φ·N is guaranteed present (c + D ≥ true ≥ φ·N); bounds
-    * are [c, c + D]. */
+  /** Heavy hitters at support φ from the latest summary: bounds are
+    * [c, c + D] per reported token, and for φ > 1/(m+1) every token with
+    * true count ≥ φ·N is guaranteed present (true > N/(m+1) ≥ D forces a
+    * live counter, and c + D ≥ true ≥ φ·N passes the filter). Below that
+    * floor a token can be legitimately evicted while still clearing φ·N —
+    * no sketch of capacity m can promise otherwise — so the call REJECTS
+    * φ ≤ 1/(m+1) instead of returning a silently incomplete report. */
   def report(spark: SparkSession, stateDir: String, batchId: Long,
       phi: Double): DataFrame = {
     val dir = s"$stateDir/summary/batch=$batchId"
     val meta = spark.read.schema(metaSchema).parquet(s"$dir/meta")
       .collect().head
     val (d, n) = (meta.getLong(0), meta.getLong(1))
+    require(phi > 1.0 / (meta.getLong(2) + 1),
+      s"support phi=$phi is below the sketch's guarantee floor " +
+        s"1/(m+1)=${1.0 / (meta.getLong(2) + 1)} — results could silently " +
+        "miss qualifying tokens; raise phi or rebuild with larger m")
     spark.read.schema(counterSchema).parquet(s"$dir/counters")
       .withColumn("lb", col("c"))
       .withColumn("ub", col("c") + lit(d))

@@ -304,7 +304,27 @@ object Maintenance {
     val allFiles = listDataFiles(root)
     if (perFile.isEmpty) return DeleteReport(allFiles.size, 0, 0L)
 
-    val affected = allFiles.filter(s => perFile.contains(norm(s.getPath)))
+    // A streaming-sink commit log names the ORIGINAL files — paths the
+    // rewrite below deletes — so, exactly like compactTable, a rewriting
+    // delete RETIRES the log and the table becomes a plain listed parquet
+    // table. (Leaving the stale log would break metadata-aware reads AND
+    // make a later vacuum treat the rewritten survivors as uncommitted
+    // orphans — data loss.) Before retiring, uncommitted orphans are
+    // garbage-collected: the phase-1 scan above was metadata-aware and
+    // never read them, and once the log is gone their rows would become
+    // visible to listed reads.
+    val committedSnap = committedFiles(spark, tableDir)
+    committedSnap.foreach { committed =>
+      allFiles.filterNot(s => committed.contains(norm(s.getPath)))
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.delete(new Path(root, "_spark_metadata"), true)
+    }
+    val liveFiles = committedSnap match {
+      case Some(c) => allFiles.filter(s => c.contains(norm(s.getPath)))
+      case None => allFiles
+    }
+
+    val affected = liveFiles.filter(s => perFile.contains(norm(s.getPath)))
     // Phase 2: per affected partition dir, rewrite ONLY that dir's affected
     // files minus matching rows. Partition columns live in the dir name,
     // not the files: the rewrite read derives them via basePath (so the
@@ -396,10 +416,13 @@ object Maintenance {
       case None => Seq.empty
     }
     orphans.foreach(st => fs.delete(st.getPath, false))
-    val tmps = fs.listStatus(root).toSeq.filter(st =>
-      st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_") &&
+    val tmps = fs.listStatus(root).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory &&
+        (n.startsWith(".compact_tmp_") || n.startsWith(".delete_tmp_")) &&
         !fs.exists(new Path(st.getPath, "_originals")) &&
-        st.getModificationTime < cutoff)
+        st.getModificationTime < cutoff
+    }
     tmps.foreach(st => fs.delete(st.getPath, true))
     VacuumReport(orphans.length, orphans.map(_.getLen).sum, tmps.length,
       files.length - orphans.length)

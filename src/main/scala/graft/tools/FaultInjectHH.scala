@@ -97,7 +97,7 @@ object FaultInjectHH {
       val c = spark.read.parquet(s"$base/$t/state/summary/batch=$b/counters")
         .as[(String, Long)].collect().sorted.toSeq
       val meta = spark.read.parquet(s"$base/$t/state/summary/batch=$b/meta")
-        .as[(Long, Long)].collect().head
+        .select("d", "n").as[(Long, Long)].collect().head
       (c, meta)
     }
     val (ca, (da, na)) = summary("A")

@@ -268,6 +268,52 @@ class MaintenanceSpec extends SparkSpec {
     assert(left.columns.toSeq.count(_ == "part") === 1)
   }
 
+  test("deleteWhere on a logged table retires the log; vacuum then spares survivors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = tempDir("delete_logged")
+    val cp = tempDir("delete_logged_cp")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .withColumn("event_date", lit("2024-03-01"))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", dir).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    mem.addData((1 to 60).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    // Plant an uncommitted orphan: its rows are invisible now and must
+    // NOT become visible when the delete retires the log.
+    val part = s"$dir/event_date=2024-03-01"
+    Seq((7777L, "orphan")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.stage2")
+    val src2 = new java.io.File(s"$dir/.stage2").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(src2.toPath,
+      new java.io.File(part, "part-88888-orphan.parquet").toPath)
+
+    val rep = Maintenance.deleteWhere(spark, dir, "id <= 10")
+    assert(rep.rowsDeleted === 10L)
+    // The stale sink log named the pre-rewrite files — it must be gone,
+    // and the listed read must see exactly the surviving committed rows.
+    assert(!new java.io.File(s"$dir/_spark_metadata").exists(),
+      "rewriting delete must retire the sink commit log")
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 50L)
+    assert(after.filter($"v" === "orphan").isEmpty,
+      "uncommitted orphan rows leaked into the post-delete table")
+    // The round-trip that used to lose data: a vacuum after the delete
+    // must keep every survivor (no log -> files are presumed live).
+    val now = System.currentTimeMillis
+    new java.io.File(part).listFiles().foreach(
+      _.setLastModified(now - 10 * 60 * 60 * 1000L))
+    Maintenance.vacuum(spark, dir, retentionMs = 60 * 60 * 1000L, now)
+    assert(spark.read.parquet(dir).count() === 50L,
+      "vacuum deleted live rewritten files")
+  }
+
   test("vacuum removes aged orphans + stale scratch, never live or fresh files") {
     val s = spark
     import s.implicits._
