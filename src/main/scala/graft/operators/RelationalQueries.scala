@@ -2628,6 +2628,76 @@ object RelationalQueries extends QueryModule {
         SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
                ROUND((mean_a - mean_b) /
                      SQRT(var_a / n_a + var_b / n_b), 8) AS t_stat
-        FROM d"""))
+        FROM d""")),
+
+    // ------------------------------------------------------------------
+    // Data-governance masked view: the row-and-column security shape a
+    // warehouse serves analysts instead of raw PII. Row-level security is
+    // a pushdown-friendly predicate (the filter reaches the scan);
+    // column controls compose three standard techniques — consistent
+    // TOKENIZATION (salted md5: joinable/groupable across queries without
+    // revealing the key), partial masking (leading 2 chars + '***'), and
+    // value GENERALIZATION (balance into coarse 1000-unit bands). Pure
+    // map work, zero shuffles, and every masked value is deterministic —
+    // the oracle rebuilds the identical view.
+    "rel_masked_view" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+          .select(
+            md5(concat(lit("pii:"), $"c_custkey".cast("string"))).as("token"),
+            concat(substring($"c_name", 1, 2), lit("***")).as("name_masked"),
+            $"c_mktsegment".as("segment"),
+            floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+      },
+      oracle = Some("""
+        SELECT md5('pii:' || CAST(c_custkey AS VARCHAR)) AS token,
+               substr(c_name, 1, 2) || '***' AS name_masked,
+               c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""")),
+
+    // ------------------------------------------------------------------
+    // Map higher-order functions: transform_keys → transform_values →
+    // map_filter → map_entries, chained inside whole-stage codegen (the
+    // map-typed complement of rel_scalar_arrays' array HOFs). Values stay
+    // exact integers (floor-cents) so engine formatting can't drift; the
+    // surviving entries serialize sorted, the gate's collection
+    // discipline. The oracle re-derives the same entry set with plain
+    // conditional expressions — semantics are checked, not mechanism.
+    "rel_scalar_map_hof" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events").select(
+          $"event_id",
+          expr("""array_join(sort_array(transform(map_entries(
+                    map_filter(
+                      transform_values(
+                        transform_keys(
+                          map('a', CAST(floor(value * 100) AS BIGINT),
+                              'b', CAST(floor(value * 100) AS BIGINT) * 2),
+                          (k, v) -> upper(k)),
+                        (k, v) -> v + 1),
+                      (k, v) -> v > 5000)),
+                    e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')""")
+            .as("kept"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events)
+        SELECT event_id,
+               -- Spark's array_join serializes an empty array as '' while
+               -- DuckDB's array_to_string yields NULL: coalesce to match.
+               COALESCE(array_to_string(list_sort(
+                 [e FOR e IN
+                   [CASE WHEN c + 1 > 5000
+                         THEN 'A=' || CAST(c + 1 AS VARCHAR) END,
+                    CASE WHEN 2 * c + 1 > 5000
+                         THEN 'B=' || CAST(2 * c + 1 AS VARCHAR) END]
+                  IF e IS NOT NULL]), ','), '') AS kept
+        FROM b"""))
   )
 }
