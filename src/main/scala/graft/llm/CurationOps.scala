@@ -97,16 +97,33 @@ object CurationOps extends QueryModule {
   }
 
   /** Fuzzy decontamination: train docs (source ≠ evalSource) within
-    * shingle-Jaccard ≥ tau of any eval doc (source = evalSource). */
+    * shingle-Jaccard ≥ tau of any eval doc (source = evalSource).
+    *
+    * `maxEvalDocs` BOUNDS the eval side (content-addressed hash order, so
+    * the subset is deterministic and both engines pick the same docs):
+    * the plan broadcasts eval bands/sets, which is only sound when the
+    * eval side stays benchmark-sized — an unbounded eval slice growing
+    * with the corpus measured superlinear at sf30 (87.6 s vs the 50.8 s
+    * linear train-scan floor at the same scale). Real eval sets are
+    * fixed; the cap makes the declared plan's contract hold at any corpus
+    * size instead of assuming it. */
   def decontaminateFuzzy(docsDf: DataFrame, evalSource: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxEvalDocs: Int = 2000): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val evalIds = docsDf.filter(col("source") === evalSource)
+      .select(col("doc_id"), expr(
+        "md5_long(concat('eval:', CAST(doc_id AS STRING))) & 4294967295")
+        .as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(maxEvalDocs)
+      .select("doc_id")
     // Bands/sets are pure per-document functions, so each side is hashed
     // from ITS OWN slice — the eval passes run at eval-set scale (hashing
     // the whole corpus and filtering afterwards would re-pay the two most
     // expensive scans just to throw 99% away).
     def corpusOf(side: DataFrame) =
       side.select(col("doc_id"), lower(col("text")).as("text"))
-    val evalCorpus = corpusOf(docsDf.filter(col("source") === evalSource))
+    val evalCorpus = corpusOf(
+      docsDf.join(broadcast(evalIds), Seq("doc_id"), "left_semi"))
     val trainCorpus = corpusOf(docsDf.filter(col("source") =!= evalSource))
     // r=2/b=64: per-true-pair miss (1 − τ²)^64 ≈ 1e-8 at τ=0.5.
     val evalB = broadcast(Dedup.bandsOf(evalCorpus, r = 2, b = 64)
@@ -193,7 +210,12 @@ object CurationOps extends QueryModule {
     "llm_decontaminate_fuzzy" -> QuerySpec(
       fn = (s, dir) => decontaminateFuzzy(docs(s, dir), "src0", tau = 0.5),
       oracle = Some("""
-        WITH corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+        WITH eval_ids AS (
+          SELECT doc_id FROM documents WHERE source = 'src0'
+          ORDER BY md5_number_upper('eval:' || CAST(doc_id AS VARCHAR))
+                     & 4294967295, doc_id
+          LIMIT 2000),
+        corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
         sh AS (
           SELECT doc_id,
                  unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -206,8 +228,8 @@ object CurationOps extends QueryModule {
           SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS i
           FROM sh t JOIN sh e ON t.shingle = e.shingle
           JOIN documents dt ON dt.doc_id = t.doc_id
-          JOIN documents de ON de.doc_id = e.doc_id
-          WHERE dt.source <> 'src0' AND de.source = 'src0'
+          JOIN eval_ids de ON de.doc_id = e.doc_id
+          WHERE dt.source <> 'src0'
           GROUP BY 1, 2)
         SELECT train_doc, eval_doc,
                CAST(i AS DOUBLE) / (st.n + se.n - i) AS jaccard
