@@ -2660,6 +2660,49 @@ object RelationalQueries extends QueryModule {
         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')""")),
 
     // ------------------------------------------------------------------
+    // Approximate query processing from a content-addressed Bernoulli
+    // sample: revenue estimated from the deterministic 1/64 row sample
+    // with a Horvitz–Thompson scale-up and its unbiased standard error —
+    // the dashboard-acceleration shape at 100 TB, where the sample is
+    // materialized ONCE as a first-class table and every exploratory
+    // query reads 1/64th of the bytes. Membership is a pure hash of the
+    // row key (the sampler discipline: rerun/partitioning/engine-stable,
+    // so the "estimate" is itself deterministic and hash-checkable);
+    // Σx/Σx² accumulate in exact decimal, and the estimator/SE collapse
+    // to single double expressions spelled identically in both engines:
+    //   est = Σ_s x/p,  V̂ = (1−p)/p² · Σ_s x²,  se = sqrt(V̂).
+    "rel_aqp_sum" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "lineitem")
+          .filter(expr(
+            """(md5_long(concat('aqp:', CAST(l_orderkey AS STRING), '-',
+               CAST(l_linenumber AS STRING))) & 63) = 0"""))
+          .agg(
+            count(lit(1)).as("n_sample"),
+            (dsum($"l_extendedprice") * 64.0).as("est_sum"),
+            sqrt(dsum($"l_extendedprice" * $"l_extendedprice") *
+              (63.0 * 64.0)).as("se"))
+          .select($"n_sample", $"est_sum", $"se",
+            ($"est_sum" - lit(1.96) * $"se").as("ci_lo"),
+            ($"est_sum" + lit(1.96) * $"se").as("ci_hi"))
+      },
+      oracle = Some(s"""
+        WITH s AS (
+          SELECT COUNT(*) AS n_sample,
+                 ${sqlSum("l_extendedprice")} * 64.0 AS est_sum,
+                 SQRT(${sqlSum("l_extendedprice * l_extendedprice")}
+                      * (63.0 * 64.0)) AS se
+          FROM lineitem
+          WHERE (md5_number_upper('aqp:' || CAST(l_orderkey AS VARCHAR)
+                   || '-' || CAST(l_linenumber AS VARCHAR)) & 63) = 0)
+        SELECT n_sample, est_sum, se,
+               est_sum - 1.96 * se AS ci_lo,
+               est_sum + 1.96 * se AS ci_hi
+        FROM s""")),
+
+    // ------------------------------------------------------------------
     // Map higher-order functions: transform_keys → transform_values →
     // map_filter → map_entries, chained inside whole-stage codegen (the
     // map-typed complement of rel_scalar_arrays' array HOFs). Values stay
