@@ -383,5 +383,77 @@ object MultimodalQueries extends QueryModule {
                CAST(a.n AS BIGINT) AS n_frames,
                CAST(f.sum_sq AS BIGINT) AS sum_sq,
                CAST(f.zero_cross AS BIGINT) AS zero_cross
-        FROM a JOIN f USING (asset_id)""")))
+        FROM a JOIN f USING (asset_id)""")),
+
+    // ------------------------------------------------------------------
+    // Perceptual image hashing (average-hash) THROUGH THE REAL CODEC: each
+    // PNG payload is decoded with `javax.imageio`, nearest-neighbor-sampled
+    // to the canonical 8×8 grid, and each cell's gray level is compared to
+    // the image mean to form a 64-bit perceptual fingerprint — the
+    // near-identical-image dedup signal (recompression/metadata changes
+    // keep the hash; different pictures don't). Comparison stays exact
+    // integer end-to-end (gray·64 vs Σgray, never a float mean), and the
+    // hash ships as two 32-bit halves because the top bit of a single
+    // BIGINT would overflow signed arithmetic in the oracle. The generator
+    // pixels are closed-form in (x, y, id), so DuckDB recomputes the grid
+    // ANALYTICALLY — one flipped bit anywhere in encode → container parse
+    // → pixel decode → resampling arithmetic breaks the hash match. Pure
+    // per-asset map work (partition-batched decode), no shuffle.
+    "llm_mm_phash" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Multimodal.assets(s, dir)
+          .filter(_.meta.kind == "image")
+          .mapPartitions { it =>
+            it.map { a =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(a.media))
+              val (w, h) = (img.getWidth, img.getHeight)
+              val g3 = new Array[Long](64)
+              var i = 0
+              while (i < 64) {
+                val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+                g3(i) = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+                i += 1
+              }
+              val sum = g3.sum
+              var hi = 0L; var lo = 0L
+              i = 0
+              while (i < 64) {
+                if (g3(i) * 64 > sum) {
+                  if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+                }
+                i += 1
+              }
+              (a.asset_id, hi, lo)
+            }
+          }
+          .toDF("asset_id", "phash_hi", "phash_lo")
+      },
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id AS asset_id,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT asset_id, yy.i * 8 + xx.i AS i,
+                 (((xx.i * w) // 8) * 31 + ((yy.i * h) // 8) * 17 + asset_id)
+                   & 16777215 AS p
+          FROM img,
+               (SELECT i FROM generate_series(0, 7) t(i)) xx,
+               (SELECT i FROM generate_series(0, 7) t(i)) yy),
+        g AS (
+          SELECT asset_id, i,
+                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g3
+          FROM px),
+        m AS (SELECT asset_id, SUM(g3) AS s FROM g GROUP BY asset_id)
+        SELECT g.asset_id,
+               CAST(SUM(CASE WHEN i >= 32 AND g3 * 64 > s
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                 AS BIGINT) AS phash_hi,
+               CAST(SUM(CASE WHEN i < 32 AND g3 * 64 > s
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                 AS BIGINT) AS phash_lo
+        FROM g JOIN m USING (asset_id)
+        GROUP BY g.asset_id""")))
 }
