@@ -107,15 +107,22 @@ object CurationOps extends QueryModule {
     * linear train-scan floor at the same scale). Real eval sets are
     * fixed; the cap makes the declared plan's contract hold at any corpus
     * size instead of assuming it. */
-  def decontaminateFuzzy(docsDf: DataFrame, evalSource: String,
-      tau: Double, maxEvalDocs: Int = 2000): DataFrame = {
+  /** The bounded eval set: `maxEvalDocs` docs of `evalSource` in
+    * content-addressed hash order (deterministic on both engines). */
+  def evalSetIds(docsDf: DataFrame, evalSource: String,
+      maxEvalDocs: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val evalIds = docsDf.filter(col("source") === evalSource)
+    docsDf.filter(col("source") === evalSource)
       .select(col("doc_id"), expr(
         "md5_long(concat('eval:', CAST(doc_id AS STRING))) & 4294967295")
         .as("pri"))
       .orderBy(col("pri"), col("doc_id")).limit(maxEvalDocs)
       .select("doc_id")
+  }
+
+  def decontaminateFuzzy(docsDf: DataFrame, evalSource: String,
+      tau: Double, maxEvalDocs: Int = 2000): DataFrame = {
+    val evalIds = evalSetIds(docsDf, evalSource, maxEvalDocs)
     // Bands/sets are pure per-document functions, so each side is hashed
     // from ITS OWN slice — the eval passes run at eval-set scale (hashing
     // the whole corpus and filtering afterwards would re-pay the two most
@@ -167,6 +174,39 @@ object CurationOps extends QueryModule {
       .select(col("doc_id"), col("shard"), col("pos"), col("source"))
   }
 
+  /** Shared DuckDB CTEs for the fuzzy-decontamination pair set (bounded
+    * eval side, shingles, sizes, verified pairs at τ=0.5) — composed by
+    * both the pair query and the contamination report. */
+  private val fuzzyCtes = """
+        eval_ids AS (
+          SELECT doc_id FROM documents WHERE source = 'src0'
+          ORDER BY md5_number_upper('eval:' || CAST(doc_id AS VARCHAR))
+                     & 4294967295, doc_id
+          LIMIT 2000),
+        corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(toks) - 2, 1))]))
+                   AS shingle
+          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM corpus)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS i
+          FROM sh t JOIN sh e ON t.shingle = e.shingle
+          JOIN documents dt ON dt.doc_id = t.doc_id
+          JOIN eval_ids de ON de.doc_id = e.doc_id
+          WHERE dt.source <> 'src0'
+          GROUP BY 1, 2),
+        fuzzy AS (
+          SELECT train_doc, eval_doc,
+                 CAST(i AS DOUBLE) / (st.n + se.n - i) AS jaccard
+          FROM inter
+          JOIN sizes st ON st.doc_id = train_doc
+          JOIN sizes se ON se.doc_id = eval_doc
+          WHERE CAST(i AS DOUBLE) / (st.n + se.n - i) >= 0.5)"""
+
   def queries: Map[String, QuerySpec] = Map(
     // ------------------------------------------------------------------
     "llm_sample_weighted" -> QuerySpec(
@@ -209,34 +249,42 @@ object CurationOps extends QueryModule {
     // ------------------------------------------------------------------
     "llm_decontaminate_fuzzy" -> QuerySpec(
       fn = (s, dir) => decontaminateFuzzy(docs(s, dir), "src0", tau = 0.5),
-      oracle = Some("""
-        WITH eval_ids AS (
-          SELECT doc_id FROM documents WHERE source = 'src0'
-          ORDER BY md5_number_upper('eval:' || CAST(doc_id AS VARCHAR))
-                     & 4294967295, doc_id
-          LIMIT 2000),
-        corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-                   for i in generate_series(1, greatest(len(toks) - 2, 1))]))
-                   AS shingle
-          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-                FROM corpus)),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS i
-          FROM sh t JOIN sh e ON t.shingle = e.shingle
-          JOIN documents dt ON dt.doc_id = t.doc_id
-          JOIN eval_ids de ON de.doc_id = e.doc_id
-          WHERE dt.source <> 'src0'
-          GROUP BY 1, 2)
-        SELECT train_doc, eval_doc,
-               CAST(i AS DOUBLE) / (st.n + se.n - i) AS jaccard
-        FROM inter
-        JOIN sizes st ON st.doc_id = train_doc
-        JOIN sizes se ON se.doc_id = eval_doc
-        WHERE CAST(i AS DOUBLE) / (st.n + se.n - i) >= 0.5""")),
+      oracle = Some(s"""
+        WITH $fuzzyCtes
+        SELECT train_doc, eval_doc, jaccard FROM fuzzy""")),
+
+    // ------------------------------------------------------------------
+    // Benchmark contamination report: the one-row verdict a team reads
+    // before trusting an eval number — how much of the (bounded) eval set
+    // has a near-duplicate leak in the training corpus. Composes the
+    // fuzzy-decontamination pair set (same bounded eval side and τ) into
+    // eval-set size, leaked-doc count, pair count, leak rate, and the
+    // worst similarity. Aggregation state is pair-scale; the expensive
+    // part is the one train scan the pair query already prices.
+    "llm_contamination_report" -> QuerySpec(
+      fn = (s, dir) => {
+        val d = docs(s, dir)
+        val ev = evalSetIds(d, "src0", 2000)
+          .agg(count(lit(1)).as("n_eval"))
+        val lk = decontaminateFuzzy(d, "src0", tau = 0.5).agg(
+          countDistinct(col("eval_doc")).as("n_leaky"),
+          count(lit(1)).as("n_pairs"),
+          max(col("jaccard")).as("max_jaccard"))
+        ev.crossJoin(lk).select(
+          col("n_eval"), col("n_leaky"), col("n_pairs"),
+          (col("n_leaky").cast("double") / col("n_eval")).as("leak_rate"),
+          col("max_jaccard"))
+      },
+      oracle = Some(s"""
+        WITH $fuzzyCtes,
+        ev AS (SELECT COUNT(*) AS n_eval FROM eval_ids),
+        lk AS (SELECT COUNT(DISTINCT eval_doc) AS n_leaky,
+                      COUNT(*) AS n_pairs,
+                      MAX(jaccard) AS max_jaccard
+               FROM fuzzy)
+        SELECT n_eval, n_leaky, n_pairs,
+               CAST(n_leaky AS DOUBLE) / n_eval AS leak_rate, max_jaccard
+        FROM ev, lk""")),
 
     // ------------------------------------------------------------------
     // Inverted-index export: term → (document frequency, total
@@ -284,14 +332,18 @@ object CurationOps extends QueryModule {
         FROM pd GROUP BY term""")),
 
     // ------------------------------------------------------------------
+    // 256 shards declared: the shard count is the export's parallelism
+    // (each shard orders independently), so it scales with the corpus —
+    // a 100 TB export would use thousands; the per-shard window sort
+    // spills, so shard size bounds parallelism, not memory.
     "llm_shuffle_export" -> QuerySpec(
-      fn = (s, dir) => shuffleExport(docs(s, dir), nShards = 16, salt = "ep0"),
+      fn = (s, dir) => shuffleExport(docs(s, dir), nShards = 256, salt = "ep0"),
       oracle = Some("""
         SELECT doc_id,
-               CAST(md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 15
+               CAST(md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 255
                     AS INT) AS shard,
                CAST(row_number() OVER (
-                 PARTITION BY md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 15
+                 PARTITION BY md5_number_upper('ep0:' || CAST(doc_id AS VARCHAR)) & 255
                  ORDER BY md5_number_upper('ep0-ord:' || CAST(doc_id AS VARCHAR))
                             & 4294967295,
                           doc_id) AS INT) AS pos,
