@@ -96,6 +96,32 @@ object SourceFormats extends QueryModule {
         FROM events WHERE event_type IN ('click', 'purchase')
         GROUP BY event_type""")),
 
+    // File-level data skipping: the table is laid out by key range
+    // (16 files via repartitionByRange — the layout decision), a one-scan
+    // membership index records each file's distinct 16-bit key
+    // fingerprints, and the point lookup reads ONLY files whose summary
+    // may contain the key (no false negatives ⇒ exact results; false
+    // positives cost one extra file). The Delta-stats/Iceberg-metadata
+    // shape for plain parquet: at 100 TB a point lookup touches the tiny
+    // index + ~1 candidate file instead of the whole table. The oracle is
+    // the full-scan filter, so a pruning bug that drops a file loses rows
+    // and hash-fails; SkippingIndexSpec asserts the pruning itself.
+    "src_skipping_lookup" -> QuerySpec(
+      fn = (s, dir) => {
+        val tmp = scratch("fmt_skipidx")
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartitionByRange(16, col("user_id"))
+          .write.mode("overwrite").parquet(tmp)
+        val idx = SkippingIndex.build(s, tmp, "user_id")
+        SkippingIndex.lookup(s, tmp, idx, "user_id", lit(42L))
+          .select("event_id", "user_id", "event_type", "value")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE user_id = 42""")),
+
     // The `binaryFile` source — how raw multimodal assets ENTER the engine
     // from an object store (one file per image/audio clip/video): stage the
     // deterministic Multimodal asset payloads as real files, ingest them
