@@ -2703,6 +2703,37 @@ object RelationalQueries extends QueryModule {
         FROM s""")),
 
     // ------------------------------------------------------------------
+    // Grouped AQP from the same content-addressed sample: per-group
+    // estimated totals with per-group error bars, plus the honesty flag a
+    // dashboard needs — groups whose sample is too thin for the normal
+    // approximation (n < 30) are MARKED rather than silently reported.
+    // Same two-scans-of-1/64th plan as rel_aqp_sum; grouping adds one
+    // hash aggregate over the sampled rows only.
+    "rel_aqp_group" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        Tables.load(s, dir, "events")
+          .filter(expr(
+            "(md5_long(concat('aqpg:', CAST(event_id AS STRING))) & 63) = 0"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n_sample"),
+            (dsum($"value") * 64.0).as("est_sum"),
+            sqrt(dsum($"value" * $"value") * (63.0 * 64.0)).as("se"))
+          .select($"event_type", $"n_sample", $"est_sum", $"se",
+            ($"n_sample" < 30).as("thin_sample"))
+      },
+      oracle = Some(s"""
+        SELECT event_type, COUNT(*) AS n_sample,
+               ${sqlSum("value")} * 64.0 AS est_sum,
+               SQRT(${sqlSum("value * value")} * (63.0 * 64.0)) AS se,
+               COUNT(*) < 30 AS thin_sample
+        FROM events
+        WHERE (md5_number_upper('aqpg:' || CAST(event_id AS VARCHAR)) & 63) = 0
+        GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
     // Map higher-order functions: transform_keys → transform_values →
     // map_filter → map_entries, chained inside whole-stage codegen (the
     // map-typed complement of rel_scalar_arrays' array HOFs). Values stay
