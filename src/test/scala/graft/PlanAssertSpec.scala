@@ -424,6 +424,29 @@ class PlanAssertSpec extends SparkSpec {
       s"export plan should shuffle once on shard, found ${hashExchanges(p)}:\n$p")
   }
 
+  test("rel_aqp_sum: sample filter precedes the aggregate; no join anywhere") {
+    val p = plan("rel_aqp_sum")
+    assert(!p.contains("Join"), s"AQP estimator must not join:\n$p")
+    // The hash filter must run inside the scan stage, before aggregation —
+    // the whole point is aggregating 1/64th of the rows. Formatted-plan
+    // operator ids ascend from the scan upward, so the filter's id must be
+    // SMALLER than every aggregate's.
+    def ids(op: String): Seq[Int] =
+      s"""\\((\\d+)\\) $op""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val (f, a) = (ids("Filter"), ids("HashAggregate"))
+    assert(f.nonEmpty && a.nonEmpty && f.min < a.min,
+      s"sample filter not below the aggregate:\n$p")
+  }
+
+  test("llm_posting_index: window and aggregate share one term exchange") {
+    val p = plan("llm_posting_index")
+    // perDoc groupBy(term, doc_id) shuffles once; the rank window and the
+    // final term aggregate both consume term-partitioned rows — at most
+    // two exchanges total, never a third for the window.
+    assert(hashExchanges(p) <= 2,
+      s"posting index shuffles ${hashExchanges(p)}x:\n$p")
+  }
+
   test("ts_decompose: window and seasonal share the pre-aggregated grid") {
     val p = plan("ts_decompose")
     // The events table is scanned ONCE: trend windows and the seasonal
