@@ -1406,6 +1406,75 @@ object TextAnalysis extends QueryModule {
         FROM applied GROUP BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Tokenizer fertility by language: chars-per-token of the learned BPE
+    // merges PER LANGUAGE — the diagnostic that drives vocabulary
+    // allocation in multilingual tokenizers (a language with low
+    // compression is under-served by the merge table and trains on more,
+    // shorter tokens). Same train→apply lifecycle as llm_bpe_apply
+    // (merges re-derived by the oracle, applied via the boundary-safe
+    // serialize→replace program), aggregated to |languages| rows; the
+    // fertility ratio is ONE division of two exact integer sums.
+    "llm_tokenizer_fertility" -> QuerySpec(
+      fn = (s, dir) => {
+        val merges = bpeTrainDf(s, dir).orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        def lit_(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val serialized =
+          "'|' || array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||') || '|'"
+        val applied = merges.foldLeft(serialized) { case (acc, (a, b)) =>
+          s"replace($acc, '|' || ${lit_(a)} || '||' || ${lit_(b)} || '|', " +
+            s"'|' || ${lit_(a)} || ${lit_(b)} || '|')"
+        }
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            expr("filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1)").as("ws"))
+          .filter(size(col("ws")) > 0)
+          .select(col("lang"),
+            expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
+              .as("nc"),
+            expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
+                acc + CAST(size(split(substring($applied, 2, length($applied) - 2),
+                                      '\\\\|\\\\|')) AS BIGINT))""")
+              .as("nt"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("nt")).as("n_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+            (col("n_chars").cast("double") / col("n_tokens"))
+              .as("chars_per_token"))
+      },
+      oracle = Some(s"""
+        WITH $bpeTrainCtes,
+        ww AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> length(w) >= 1)) AS w
+          FROM documents),
+        applied AS (
+          SELECT doc_id, lang, length(w) AS nc,
+                 replace(replace(replace(
+                     '|' || array_to_string(string_split(w, ''), '||') || '|',
+                     '|' || (SELECT a FROM b1) || '||' || (SELECT b FROM b1) || '|',
+                     '|' || (SELECT a FROM b1) || (SELECT b FROM b1) || '|'),
+                     '|' || (SELECT a FROM b2) || '||' || (SELECT b FROM b2) || '|',
+                     '|' || (SELECT a FROM b2) || (SELECT b FROM b2) || '|'),
+                     '|' || (SELECT a FROM b3) || '||' || (SELECT b FROM b3) || '|',
+                     '|' || (SELECT a FROM b3) || (SELECT b FROM b3) || '|') AS r3
+          FROM ww),
+        perdoc AS (
+          SELECT doc_id, lang,
+                 CAST(SUM(nc) AS BIGINT) AS nc,
+                 CAST(SUM(len(string_split(substring(r3, 2, length(r3) - 2),
+                                           '||'))) AS BIGINT) AS nt
+          FROM applied GROUP BY doc_id, lang)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS DOUBLE) / SUM(nt) AS chars_per_token
+        FROM perdoc GROUP BY lang""")),
+
+    // ------------------------------------------------------------------
     // Sequence packing plan (training-window assembly): documents are
     // dealt into 32 content-hash shards, ordered deterministically within
     // each shard, and assigned (bin, offset) positions against a 512-token
