@@ -363,6 +363,60 @@ object Knn extends QueryModule {
     // sizing makes assignment N^1.5 work and keeps each inverted list at
     // ~√N vectors, the classical balance point. Both engines derive the
     // modulus from the same count, so the gate still hash-matches.
+    // ------------------------------------------------------------------
+    // Embedding-space outlier detection: the 20 vectors LEAST similar to
+    // their own nearest centroid — the density-based noise signal curation
+    // runs beside SemDeDup (too close to a neighbor → duplicate; too far
+    // from every cluster → noise/outlier, prune or audit). Same √N
+    // centroid sizing and the same shuffle-free broadcast-fold assignment
+    // as llm_knn_ivf (one corpus pass, N·√N cosine work), then ONE
+    // TakeOrderedAndProject ascending — no shuffle beyond the scan.
+    "llm_embed_outliers" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = emb(s, dir)
+        val n = base.count()
+        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val mod = math.max(1L, n / nlist)
+        val cents = base.filter(col("vec_id") % mod === 0)
+          .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
+        val centArr = cents.agg(
+          sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
+        base.crossJoin(broadcast(centArr))
+          .withColumn("best", expr("""
+            aggregate(
+              transform(cents, c -> named_struct('cid', c.cent_id,
+                                                 'sim', vec_cosine(ve, c.vc))),
+              named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
+              (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)"""))
+          .select(col("vec_id"), col("best.cid").as("cent_id"),
+            col("best.sim").as("cent_cosine"))
+          .orderBy(col("cent_cosine").asc, col("vec_id"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        smod AS (
+          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
+                   AS m
+          FROM base),
+        cents AS (
+          SELECT vec_id AS cent_id, ve AS vc
+          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
+        assigned AS (
+          SELECT vec_id, cent_id, sim AS cent_cosine FROM (
+            SELECT b.vec_id, c.cent_id, ${cosSql("b.ve", "c.vc")} AS sim,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
+                                               c.cent_id) AS r
+            FROM base b, cents c)
+          WHERE r = 1)
+        SELECT vec_id, cent_id, cent_cosine
+        FROM assigned ORDER BY cent_cosine ASC, vec_id LIMIT 20""")),
+
     "llm_knn_ivf" -> QuerySpec(
       fn = (s, dir) => {
         val base = emb(s, dir)
