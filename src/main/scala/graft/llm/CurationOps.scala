@@ -332,6 +332,46 @@ object CurationOps extends QueryModule {
         FROM pd GROUP BY term""")),
 
     // ------------------------------------------------------------------
+    // Temperature-scaled source sampling (the mT5/XLM-R multilingual
+    // mixing rule at α = 0.5): sampling share ∝ n^α flattens the source
+    // distribution so low-resource slices are not drowned — α=0.5 is the
+    // square-root spelling whose per-value result is CORRECTLY-ROUNDED
+    // IEEE in both engines (a general pow(n, α) is not). The share
+    // denominator Σ√n is a float sum, which is ORDER-dependent — so both
+    // engines fold the per-source √n values over the SAME sorted list
+    // (sort_array fold here, list_sort+list_reduce there) instead of
+    // trusting an aggregate's arrival order. |sources| rows total; the
+    // corpus contributes one count aggregate.
+    "llm_sample_temperature" -> QuerySpec(
+      fn = (s, dir) => {
+        val counts = docs(s, dir).groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(
+          sort_array(collect_list(struct(col("source"), col("n")))).as("xs"))
+          .select(expr("""
+            aggregate(xs, CAST(0.0 AS DOUBLE), (a, x) -> a + sqrt(x.n))""")
+            .as("denom"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n"),
+            sqrt(col("n")).as("weight"),
+            (sqrt(col("n")) / col("denom")).as("share"),
+            (sqrt(col("n")) / col("denom") * 1000.0).as("expected_docs"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        d AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     [sqrt(x.n) FOR x IN
+                       list_sort(list(struct_pack(source := source, n := n)))]),
+                   (a, b) -> a + b) AS denom
+          FROM c)
+        SELECT source, n, sqrt(n) AS weight,
+               sqrt(n) / denom AS share,
+               sqrt(n) / denom * 1000.0 AS expected_docs
+        FROM c, d""")),
+
+    // ------------------------------------------------------------------
     // 256 shards declared: the shard count is the export's parallelism
     // (each shard orders independently), so it scales with the corpus —
     // a 100 TB export would use thousands; the per-shard window sort
