@@ -45,6 +45,12 @@ import org.apache.spark.sql.functions._
   *     shards ordering in parallel (the `llm_pack_sequences` argument),
   *     and shard sizes concentrate tightly around N/16 by hash uniformity.
   *
+  * Later additions in the same spirit: `llm_posting_index` (bounded
+  * inverted-index export), `llm_contamination_report` (the one-row
+  * eval-trust verdict over the fuzzy pair set), and
+  * `llm_sample_temperature` (the mT5/XLM-R α=0.5 source-mixing rule with
+  * an order-pinned √n fold).
+  *
   * Hashes are `md5_long` (≡ DuckDB `md5_number_upper` bit-for-bit), so the
   * oracle rebuilds the same samples, bands excepted (bands are checked by
   * RESULT: the oracle recomputes the declared pair semantics naively).
