@@ -82,6 +82,60 @@ object Embeddings extends QueryModule {
   }
 
   def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss random projection (Achlioptas ±1 signs):
+    // 64 dims → 16 by a hash-derived sign matrix — the CHEAP
+    // dimensionality reduction used before ANN/clustering when PCA's
+    // corpus pass is not worth it (the projection needs no training and
+    // preserves pairwise distances within JL distortion). Signs come from
+    // md5 (≡ DuckDB md5_number_upper) so both engines hold the SAME
+    // matrix; every projected coordinate is a FIXED-ORDER fold over the
+    // 64 input dims (float addition is order-dependent — an aggregate's
+    // arrival order would break the hash match), scaled by the exact
+    // 1/√16 = 0.25. Output: 4 sample coordinates + the projected squared
+    // norm (itself a fixed-order fold over the 16 coordinates). Pure
+    // map-side codegen work; the corpus never shuffles.
+    "llm_embed_project" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val proj = """
+          transform(sequence(0, 15), j ->
+            0.25 * aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+              (a, i) -> a + CASE WHEN (md5_long(concat('rp:', CAST(j AS STRING),
+                                        ':', CAST(i AS STRING))) & 1) = 0
+                            THEN element_at(ve, i) ELSE -element_at(ve, i) END))"""
+        Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .withColumn("p", expr(proj))
+          .select(col("vec_id"),
+            expr("element_at(p, 1)").as("p0"),
+            expr("element_at(p, 2)").as("p1"),
+            expr("element_at(p, 3)").as("p2"),
+            expr("element_at(p, 4)").as("p3"),
+            expr("aggregate(p, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)")
+              .as("l2sq"))
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        p AS (
+          SELECT vec_id,
+                 [0.25 * list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      [CASE WHEN (md5_number_upper('rp:' || CAST(j AS VARCHAR)
+                                    || ':' || CAST(i AS VARCHAR)) & 1) = 0
+                            THEN ve[i] ELSE -ve[i] END
+                       for i in generate_series(1, 64)]),
+                    (a, b) -> a + b)
+                  for j in generate_series(0, 15)] AS pr
+          FROM e)
+        SELECT vec_id, pr[1] AS p0, pr[2] AS p1, pr[3] AS p2, pr[4] AS p3,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [x * x for x in pr]), (a, b) -> a + b) AS l2sq
+        FROM p""")),
+
     "llm_embed_pool" -> QuerySpec(
       fn = (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
