@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.Graph,
     graft.operators.Merge,
     graft.operators.Baskets,
+    graft.operators.Finance,
     graft.operators.Geo,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,

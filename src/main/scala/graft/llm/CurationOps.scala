@@ -378,6 +378,92 @@ object CurationOps extends QueryModule {
         FROM c, d""")),
 
     // ------------------------------------------------------------------
+    // Budget-constrained greedy corpus selection (knapsack by density):
+    // keep the highest value-per-token documents until a token budget
+    // (25% of the corpus) is spent. The textbook spelling — one global
+    // sort by density with a running cumsum — serializes the corpus
+    // through a single task, so this is the two-phase threshold plan that
+    // scales: (1) aggregate token mass into ≤512 quantized density
+    // buckets and find the cutoff bucket from the tiny cumulative
+    // histogram (a 512-row window — bounded by construction, never by
+    // data); (2) take whole buckets above the cutoff with a broadcast
+    // semi-join, and order documents ONLY inside the one boundary bucket
+    // (a per-bucket window over ~N/512 rows) to spend the remainder.
+    // Density = chars/token, a double division of two integers —
+    // bit-identical across engines; ties inside the boundary bucket break
+    // on doc_id. At 100 TB: two scans, one small aggregate, zero global
+    // sorts.
+    "llm_select_budget" -> QuerySpec(
+      fn = (s, dir) => {
+        val base = docs(s, dir).select(
+          col("doc_id"), col("n_chars"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+          .withColumn("ratio", col("n_chars").cast("double") / col("n_tokens"))
+          .withColumn("bucket",
+            least(floor(col("ratio") * 16), lit(511L)).cast("long"))
+        val hist = base.groupBy(col("bucket"))
+          .agg(sum(col("n_tokens")).as("tok"))
+        val wd = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bud = base.agg(expr("sum(n_tokens) div 4").as("budget"))
+        val cum = hist.withColumn("cum_incl", sum(col("tok")).over(wd))
+          .crossJoin(broadcast(bud))
+        val fullB = cum.filter(col("cum_incl") <= col("budget"))
+          .select(col("bucket"))
+        val boundary = cum.filter(col("cum_incl") > col("budget"))
+          .orderBy(col("bucket").desc).limit(1)
+          .select(col("bucket"),
+            (col("budget") - (col("cum_incl") - col("tok"))).as("remaining"))
+        val wb = Window.partitionBy(col("bucket"))
+          .orderBy(col("ratio").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fullDocs = base.join(broadcast(fullB), "bucket")
+          .select(col("doc_id"), col("n_tokens"), col("bucket"),
+            lit(true).as("in_full"))
+        val boundDocs = base.join(broadcast(boundary), "bucket")
+          .withColumn("cumtok", sum(col("n_tokens")).over(wb))
+          .filter(col("cumtok") <= col("remaining"))
+          .select(col("doc_id"), col("n_tokens"), col("bucket"),
+            lit(false).as("in_full"))
+        fullDocs.unionByName(boundDocs)
+      },
+      oracle = Some("""
+        WITH b2 AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(n_chars AS DOUBLE)
+                   / CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS ratio,
+                 CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE)
+                   / CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   * 16), 511) AS BIGINT) AS bucket
+          FROM documents),
+        hist AS (SELECT bucket, SUM(n_tokens) AS tok FROM b2 GROUP BY bucket),
+        bud AS (SELECT SUM(n_tokens) // 4 AS budget FROM b2),
+        cum AS (
+          SELECT bucket, tok,
+                 SUM(tok) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+          FROM hist),
+        full_b AS (SELECT bucket FROM cum, bud WHERE cum_incl <= budget),
+        boundary AS (
+          SELECT bucket, budget - (cum_incl - tok) AS remaining
+          FROM cum, bud WHERE cum_incl > budget
+          ORDER BY bucket DESC LIMIT 1),
+        bdocs AS (
+          SELECT doc_id, n_tokens, b2.bucket AS bucket, remaining,
+                 SUM(n_tokens) OVER (PARTITION BY b2.bucket
+                   ORDER BY ratio DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+          FROM b2 JOIN boundary ON b2.bucket = boundary.bucket)
+        SELECT b2.doc_id, b2.n_tokens, b2.bucket, TRUE AS in_full
+        FROM b2 JOIN full_b USING (bucket)
+        UNION ALL
+        SELECT doc_id, n_tokens, bucket, FALSE AS in_full
+        FROM bdocs WHERE cumtok <= remaining""")),
+
+    // ------------------------------------------------------------------
     // 256 shards declared: the shard count is the export's parallelism
     // (each shard orders independently), so it scales with the corpus —
     // a 100 TB export would use thousands; the per-shard window sort

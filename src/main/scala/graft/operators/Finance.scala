@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.api.{Exact, QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Financial time-series operators over `events` (SURVEY §2.8 extension —
+  * the reference aggregates watch-time only, but an analytics engine for a
+  * wealth-management data platform needs the candlestick/returns family):
+  *
+  *   - `ts_ohlc`: per (event_type, hour) candlestick — open/high/low/close
+  *     plus volume. Unlike `ts_downsample_m4` (four full ranking windows,
+  *     one per extreme), this is ONE hash aggregate: open/close come from
+  *     `min_by`/`max_by` keyed on the total order (ts, event_id), which
+  *     partial-aggregates map-side like any min/max. At 100 TB that is a
+  *     single shuffle of ~types×hours groups, no window sort of raw rows.
+  *   - `ts_drawdown`: maximum drawdown per user over the cumulative value
+  *     path — running peak minus running sum, maximized. The cumulative
+  *     path accumulates in exact DECIMAL (the [[Exact]] contract), so the
+  *     running max and the final drawdown are bit-identical across
+  *     partitionings and engines. One window sorted by the per-user total
+  *     order; state is O(1) per row.
+  *   - `ts_twap`: time-weighted average value per (user, day) — each
+  *     observation weighted by its holding interval (time until the next
+  *     observation that day; the day's last observation carries no
+  *     interval). Weights are exact integer microseconds, products
+  *     accumulate in DECIMAL, and the single final division runs in
+  *     double on both engines. One lead window + one hash aggregate.
+  *
+  * All three shuffle once on their grouping key and carry no driver-side
+  * state; the windows partition by user (or user-day), so no single task
+  * ever sees more than one key's history.
+  */
+object Finance extends QueryModule {
+
+  import Exact.dsum
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def queries: Map[String, QuerySpec] = Map(
+
+    // ------------------------------------------------------------------
+    // Candlestick resample: one aggregate, arg-extremes under the total
+    // order (ts, event_id) so ties cannot flip open/close between engines.
+    "ts_ohlc" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .groupBy($"event_type", $"bucket")
+          .agg(
+            min_by($"value", struct($"ts", $"event_id")).as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max_by($"value", struct($"ts", $"event_id")).as("close"),
+            count(lit(1)).as("n"),
+            dsum($"value").as("vsum"))
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"open", $"high", $"low", $"close", $"n", $"vsum")
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n,
+               ${Exact.sqlSum("value")} AS vsum
+        FROM b GROUP BY event_type, bucket""")),
+
+    // ------------------------------------------------------------------
+    // Maximum drawdown per user: dd_t = max_{s<=t}(cum_s) - cum_t over the
+    // exact-decimal cumulative path; report the worst dd and where the
+    // path peaked. Decimal all the way down — no float path dependence.
+    "ts_drawdown" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .withColumn("cum",
+            sum($"value".cast(DecimalType(30, 6))).over(w))
+          .withColumn("peak", max($"cum").over(w))
+          .groupBy($"user_id")
+          .agg(
+            max(($"peak" - $"cum")).cast("double").as("max_drawdown"),
+            max($"peak").cast("double").as("peak_value"),
+            count(lit(1)).as("n_events"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT user_id, ts, event_id,
+                 SUM(CAST(value AS DECIMAL(30,6))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM events),
+        path AS (
+          SELECT user_id, cum,
+                 MAX(cum) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM c)
+        SELECT user_id,
+               CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+               CAST(MAX(peak) AS DOUBLE) AS peak_value,
+               COUNT(*) AS n_events
+        FROM path GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Time-weighted average per (user, day): integer-microsecond holding
+    // intervals from a lead window, decimal-exact weighted sum, one double
+    // division at the end. Days with a single observation (no interval)
+    // drop out via the HAVING guard rather than emitting NaN.
+    "ts_twap" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+        Tables.load(s, dir, "events")
+          .withColumn("day", to_date($"ts"))
+          .withColumn("dt_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+          .filter($"dt_us".isNotNull)
+          .groupBy($"user_id", $"day")
+          .agg(
+            sum($"value".cast(DecimalType(30, 6)) * $"dt_us").as("wsum"),
+            sum($"dt_us").as("tsum"),
+            count(lit(1)).as("n_intervals"))
+          .filter($"tsum" > 0)
+          .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+            ($"wsum".cast("double") / $"tsum".cast("double")).as("twap"),
+            $"n_intervals")
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, value,
+                 epoch_us(lead(ts, 1) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+          FROM events)
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(value AS DECIMAL(30,6)) * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE) AS twap,
+               COUNT(*) AS n_intervals
+        FROM iv WHERE dt_us IS NOT NULL
+        GROUP BY user_id, day HAVING SUM(dt_us) > 0"""))
+  )
+}
