@@ -53,6 +53,45 @@ class FinanceSpec extends SparkSpec {
     assert(bad.isEmpty, "TWAP outside the day's value envelope")
   }
 
+  test("ts_ohlc expressions run unchanged under readStream + watermark") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val agg = mem.toDF().toDF("ts", "event_id", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        min_by($"value", struct($"ts", $"event_id")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", struct($"ts", $"event_id")).as("close"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 09:05:00"), 1L, "buy", 10.0),
+        (t("2024-01-01 09:20:00"), 2L, "buy", 30.0),
+        (t("2024-01-01 09:40:00"), 3L, "buy", 5.0),
+        (t("2024-01-01 09:55:00"), 4L, "buy", 20.0))
+      q.processAllAvailable()
+      // Watermark past 10:30 -> the 09:00 candle finalizes.
+      mem.addData((t("2024-01-01 11:30:00"), 5L, "buy", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ohlc_out")
+        .select(date_format($"window.start", "HH:mm").as("w"),
+          $"open", $"high", $"low", $"close", $"n")
+        .as[(String, Double, Double, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(out("09:00") === ((10.0, 30.0, 5.0, 20.0, 4L)),
+        "streaming candle disagrees with the batch OHLC semantics")
+      assert(!out.contains("11:00"), "open candle emitted before watermark")
+    } finally q.stop()
+  }
+
   test("llm_select_budget: spends within budget and prefers denser buckets") {
     val sel = run("llm_select_budget").cache()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
