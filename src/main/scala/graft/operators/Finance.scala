@@ -115,6 +115,44 @@ object Finance extends QueryModule {
         FROM path GROUP BY user_id""")),
 
     // ------------------------------------------------------------------
+    // Empirical daily VaR/CVaR at the 5% tail per (event_type, day): the
+    // k = ceil(0.05·n) smallest observations define the tail; VaR is the
+    // k-th smallest (max of the kept set — no interpolation ambiguity
+    // between engines), CVaR the exact-decimal tail mean. Partitioning by
+    // (type, day) bounds every window sort by one day's volume per type —
+    // the partition key carries the scale argument, not the sort. Ties
+    // break on event_id, so k-selection is identical everywhere.
+    "ts_var_cvar" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type", $"day")
+          .orderBy($"value", $"event_id")
+        val wn = Window.partitionBy($"event_type", $"day")
+        Tables.load(s, dir, "events")
+          .withColumn("day", to_date($"ts"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter($"rn" <= ceil(lit(0.05) * $"n"))
+          .groupBy($"event_type", $"day")
+          .agg(max($"n").as("n"), count(lit(1)).as("k"),
+            max($"value").as("var_5"), Exact.davg($"value").as("cvar_5"))
+          .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"n", $"k", $"var_5", $"cvar_5")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, value,
+                 row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+          FROM events)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               MAX(n) AS n, COUNT(*) AS k, MAX(value) AS var_5,
+               ${Exact.sqlAvg("value")} AS cvar_5
+        FROM r WHERE rn <= CEIL(0.05 * n)
+        GROUP BY event_type, day""")),
+
+    // ------------------------------------------------------------------
     // Time-weighted average per (user, day): integer-microsecond holding
     // intervals from a lead window, decimal-exact weighted sum, one double
     // division at the end. Days with a single observation (no interval)

@@ -53,6 +53,14 @@ class FinanceSpec extends SparkSpec {
     assert(bad.isEmpty, "TWAP outside the day's value envelope")
   }
 
+  test("ts_var_cvar: tail mean never exceeds the tail boundary, k = ceil(0.05 n)") {
+    val bad = run("ts_var_cvar").filter(
+      col("cvar_5") > col("var_5") + lit(1e-9) ||
+        col("k") =!= ceil(lit(0.05) * col("n")) ||
+        col("k") < 1 || col("k") > col("n"))
+    assert(bad.isEmpty, "VaR/CVaR tail structure violated")
+  }
+
   test("ts_ohlc expressions run unchanged under readStream + watermark") {
     val s = spark
     import s.implicits._
