@@ -457,4 +457,47 @@ class PlanAssertSpec extends SparkSpec {
     assert(scans == 1, s"events scanned $scans times:\n$p")
     assert(!p.contains("Join"), "decomposition needs no join at all")
   }
+
+  test("ts_ohlc: one partial-aggregated exchange, no ranking windows") {
+    val p = plan("ts_ohlc")
+    assert(!p.contains(") Window"), s"OHLC must not sort per-extreme:\n$p")
+    // min_by/max_by on a struct ordering key lowers to SortAggregate (a
+    // struct buffer is not hash-aggregable) — still partial: an aggregate
+    // node must appear BELOW the exchange, and there is exactly one
+    // exchange (contrast ts_downsample_m4's four full windows).
+    val lines = p.linesIterator.toVector
+    val partialAgg = lines.lastIndexWhere(_.matches("""\(\d+\) \w*Aggregate.*"""))
+    val exch = lines.indexWhere(_.matches("""\(\d+\) Exchange"""))
+    assert(partialAgg >= 0 && exch >= 0 && exch < partialAgg,
+      s"no map-side partial aggregate below the exchange:\n$p")
+    assert(hashExchanges(p) == 1, s"OHLC must shuffle exactly once:\n$p")
+    // events has 6 columns; OHLC needs 4.
+    val read = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!read.contains("user_id") && !read.contains("props"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("llm_select_budget: broadcast bucket joins, no global sort of docs") {
+    val p = plan("llm_select_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket membership must join by broadcast")
+    // The only Sort operators allowed are the two bounded window sorts
+    // (the <=512-row histogram and the single boundary bucket) and
+    // broadcast-side prep — never a shuffle-then-sort of the full corpus:
+    // a global-order window would show Exchange SinglePartition followed
+    // by a Sort over the documents scan subtree.
+    assert(!p.contains("Exchange SinglePartition\n(") ||
+      !p.linesIterator.exists(l => l.contains("rangepartitioning")),
+      s"global corpus sort detected:\n$p")
+  }
+
+  test("ts_drawdown / ts_var_cvar: exactly one shuffle, keyed windows") {
+    Seq("ts_drawdown", "ts_var_cvar").foreach { n =>
+      val p = plan(n)
+      assert(hashExchanges(p) <= 2,
+        s"$n shuffles more than (window + final agg):\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"$n serializes through one partition:\n$p")
+    }
+  }
 }
