@@ -115,6 +115,63 @@ object Finance extends QueryModule {
         FROM path GROUP BY user_id""")),
 
     // ------------------------------------------------------------------
+    // Rolling beta of each event type against the "market" (all types
+    // combined): the regression slope β = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    // over a 24-observed-hour window, from INTEGER moments (the
+    // ts_rolling_corr contract) so every engine-side sum is exact and the
+    // single closing division is the only double. The market series is
+    // the hourly grid re-aggregated (hours are bounded by calendar time,
+    // not data volume — broadcastable at any scale) and joined back; the
+    // rolling window runs per type over the ~types×hours grid, never over
+    // raw events.
+    "ts_rolling_beta" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val grid = Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+          .agg(count(lit(1)).as("y"))
+        val market = grid.groupBy($"bucket").agg(sum($"y").as("x"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+          .rowsBetween(-23, 0)
+        val (n, sx, sy, sxy, sxx) = (
+          count(lit(1)).over(w), sum($"x").over(w), sum($"y").over(w),
+          sum($"x" * $"y").over(w), sum($"x" * $"x").over(w))
+        grid.join(broadcast(market), "bucket")
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"y", $"x", n.as("n"), sx.as("sx"), sy.as("sy"),
+            sxy.as("sxy"), sxx.as("sxx"))
+          .select($"event_type", $"bucket", $"y", $"x",
+            when(($"n" * $"sxx" - $"sx" * $"sx") > 0,
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+              .as("beta"))
+      },
+      oracle = Some("""
+        WITH grid AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+        market AS (
+          SELECT bucket, SUM(y) AS x FROM grid GROUP BY bucket),
+        m AS (
+          SELECT event_type, bucket, y, x,
+                 COUNT(*)   OVER wr AS n,
+                 SUM(x)     OVER wr AS sx,
+                 SUM(y)     OVER wr AS sy,
+                 SUM(x * y) OVER wr AS sxy,
+                 SUM(x * x) OVER wr AS sxx
+          FROM grid JOIN market USING (bucket)
+          WINDOW wr AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                    END AS beta
+        FROM m""")),
+
+    // ------------------------------------------------------------------
     // Empirical daily VaR/CVaR at the 5% tail per (event_type, day): the
     // k = ceil(0.05·n) smallest observations define the tail; VaR is the
     // k-th smallest (max of the kept set — no interpolation ambiguity
