@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.api.{QueryModule, QuerySpec}
+import graft.api.{Exact, QueryModule, QuerySpec}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,68 @@ object Embeddings extends QueryModule {
   }
 
   def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    // Matryoshka truncation diagnostic: how much cosine similarity is
+    // lost when vectors are cut to their first d dims (the MRL question —
+    // can cheap prefix embeddings serve recall while full vectors
+    // re-rank?). Over the deterministic consecutive-id pair sample, the
+    // |cos_d − cos_64| error aggregates per prefix length; d=64 is the
+    // built-in zero anchor. One equi-join on vec_id (shuffle-bounded),
+    // four slice-cosines per pair in one codegen'd pass (stack), exact
+    // decimal mean — no sampling randomness, no driver state.
+    "llm_embed_matryoshka" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .select(col("vec_id"), col("ve"))
+        val pairs = e.join(
+          e.select((col("vec_id") - 1).as("vec_id"), col("ve").as("vb")),
+          "vec_id")
+          .select(col("ve").as("va"), col("vb"))
+          .withColumn("cfull", VectorOps.cosine("va", "vb"))
+        val dims = Seq(8, 16, 32, 64)
+        val stackArgs = dims.map(d =>
+          s"$d, abs(vec_cosine(slice(va, 1, $d), slice(vb, 1, $d)) - cfull)")
+          .mkString(", ")
+        pairs
+          .select(expr(s"stack(${dims.size}, $stackArgs) AS (d, err)"))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_pairs"),
+            Exact.davg(col("err")).as("mean_abs_err"),
+            max(col("err")).as("max_abs_err"))
+          .select(col("d").cast("int").as("d"), col("n_pairs"),
+            col("mean_abs_err"), col("max_abs_err"))
+      },
+      oracle = {
+        def cosD(d: Int, a: String, b: String): String = {
+          def norm2(v: String) =
+            s"""list_reduce(list_transform(generate_series(1, $d),
+                 i -> $v[i] * $v[i]), (x, y) -> x + y)"""
+          s"""CASE WHEN ${norm2(a)} = 0 OR ${norm2(b)} = 0 THEN 0.0
+              ELSE list_reduce(list_transform(generate_series(1, $d),
+                     i -> $a[i] * $b[i]), (x, y) -> x + y)
+                   / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})) END"""
+        }
+        val arms = Seq(8, 16, 32, 64).map(d =>
+          s"SELECT $d AS d, abs(${cosD(d, "va", "vb")} - cfull) AS err FROM p")
+          .mkString(" UNION ALL ")
+        Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)]
+                   AS ve
+          FROM embeddings),
+        p AS (
+          SELECT a.ve AS va, b.ve AS vb, ${cosD(64, "a.ve", "b.ve")} AS cfull
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        x AS ($arms)
+        SELECT CAST(d AS INT) AS d, COUNT(*) AS n_pairs,
+               ${Exact.sqlAvg("err")} AS mean_abs_err,
+               MAX(err) AS max_abs_err
+        FROM x GROUP BY d""")
+      }),
+
     // ------------------------------------------------------------------
     // Johnson–Lindenstrauss random projection (Achlioptas ±1 signs):
     // 64 dims → 16 by a hash-derived sign matrix — the CHEAP
