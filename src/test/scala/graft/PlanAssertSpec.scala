@@ -491,6 +491,19 @@ class PlanAssertSpec extends SparkSpec {
       s"global corpus sort detected:\n$p")
   }
 
+  test("rank<=k filters lower to WindowGroupLimit (partial top-k before the sort)") {
+    // Spark 4's InferWindowGroupLimit turns `filter(row_number()<=k)` into
+    // a WindowGroupLimit that keeps k rows per key on the MAP side before
+    // the window shuffle-sort — the difference between sorting k rows and
+    // sorting the partition at 100 TB. Guard that the engine's rank-filter
+    // queries actually hit it.
+    // (ts_downsample_m4 deliberately cannot: its filter is a DISJUNCTION
+    // over four windows — each extreme needs the other three's rows.)
+    val p = plan("pipe_gold")
+    assert(p.contains("WindowGroupLimit"),
+      s"pipe_gold rank filter did not lower to WindowGroupLimit:\n$p")
+  }
+
   test("ts_drawdown / ts_var_cvar: exactly one shuffle, keyed windows") {
     Seq("ts_drawdown", "ts_var_cvar").foreach { n =>
       val p = plan(n)
