@@ -110,6 +110,22 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "et"),
     "zh" -> Seq("的", "是", "了"))
 
+  /** Stopword-marker language scores + argmax prediction (ties → smallest
+    * lang code, via min over (−count, lang)). Shared by `llm_text_lang`
+    * (per-doc prediction) and `llm_langid_eval` (confusion vs the fixture
+    * label) so both run the IDENTICAL classifier. */
+  private def langScored(d: DataFrame): DataFrame = {
+    val scored = stopwords.foldLeft(
+      d.withColumn("toks", split(lower(col("text")), "\\s+"))) {
+      case (df, (lang, words)) =>
+        val cond = words.map(w => s"t = '$w'").mkString(" or ")
+        df.withColumn(s"c_$lang", expr(s"size(filter(toks, t -> $cond))"))
+    }
+    val arr = stopwords.map { case (lang, _) =>
+      s"named_struct('c', -c_$lang, 'l', '$lang')" }.mkString(", ")
+    scored.withColumn("predicted_lang", expr(s"array_sort(array($arr))[0].l"))
+  }
+
   /** Oracle-side character-fold polynomial hash `h = (h*31 + code) mod
     * 1e9+7` — the SQL definition the codegen PolyFingerprint expression
     * must match. */
@@ -538,18 +554,10 @@ object TextAnalysis extends QueryModule {
     // Stopword-marker language ID: argmax score, ties → smallest lang code.
     "llm_text_lang" -> QuerySpec(
       fn = (s, dir) => {
-        val scored = stopwords.foldLeft(
-          docs(s, dir).withColumn("toks", split(lower(col("text")), "\\s+"))) {
-          case (df, (lang, words)) =>
-            val cond = words.map(w => s"t = '$w'").mkString(" or ")
-            df.withColumn(s"c_$lang", expr(s"size(filter(toks, t -> $cond))"))
-        }
-        // min over (−count, lang) = argmax count with lexicographic tiebreak.
-        val arr = stopwords.map { case (lang, _) =>
-          s"named_struct('c', -c_$lang, 'l', '$lang')" }.mkString(", ")
+        val scored = langScored(docs(s, dir))
         scored.select(
           col("doc_id"),
-          expr(s"array_sort(array($arr))[0].l").as("predicted_lang"),
+          col("predicted_lang"),
           col("c_en").as("score_en"),
           col("c_de").as("score_de"))
       },
@@ -570,6 +578,49 @@ object TextAnalysis extends QueryModule {
         SELECT doc_id, list_sort([$arr])[1].l AS predicted_lang,
                CAST(c_en AS INT) AS score_en, CAST(c_de AS INT) AS score_de
         FROM m"""
+      }),
+
+    // ------------------------------------------------------------------
+    // Language-ID evaluation: the confusion matrix of the stopword-marker
+    // classifier against the corpus's labeled `lang` column — the
+    // detector-vs-ground-truth discipline of llm_dedup_eval applied to
+    // langid (shared predictor via langScored, so the eval grades EXACTLY
+    // the classifier llm_text_lang ships). |langs|² rows; one aggregate
+    // over the corpus plus a window over the tiny matrix.
+    "llm_langid_eval" -> QuerySpec(
+      fn = (s, dir) => {
+        val cm = langScored(docs(s, dir))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        cm.select(col("lang"), col("predicted_lang"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+            .as("share"),
+          (col("lang") === col("predicted_lang")).as("correct"))
+      },
+      oracle = Some {
+        val counts = stopwords.map { case (lang, words) =>
+          val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+          s"len(list_filter(toks, x -> $cond)) AS c_$lang" }.mkString(",\n               ")
+        val arr = stopwords.map { case (lang, _) =>
+          s"{'c': -c_$lang, 'l': '$lang'}" }.mkString(", ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+               $counts
+          FROM t),
+        p AS (
+          SELECT lang, list_sort([$arr])[1].l AS predicted_lang FROM m),
+        cm AS (
+          SELECT lang, predicted_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        SELECT lang, predicted_lang, n,
+               CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+               lang = predicted_lang AS correct
+        FROM cm"""
       }),
 
     // ------------------------------------------------------------------
