@@ -391,8 +391,10 @@ object CurationOps extends QueryModule {
     // (a per-bucket window over ~N/512 rows) to spend the remainder.
     // Density = chars/token, a double division of two integers —
     // bit-identical across engines; ties inside the boundary bucket break
-    // on doc_id. At 100 TB: two scans, one small aggregate, zero global
-    // sorts.
+    // on doc_id. At 100 TB: three map-only column-pruned corpus scans
+    // (histogram build, full-bucket membership join, boundary-bucket
+    // join — none of which shuffles the corpus; the budget reuses the
+    // histogram's exchange), one small aggregate, zero global sorts.
     "llm_select_budget" -> QuerySpec(
       fn = (s, dir) => {
         val base = docs(s, dir).select(
@@ -405,7 +407,9 @@ object CurationOps extends QueryModule {
           .agg(sum(col("n_tokens")).as("tok"))
         val wd = Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val bud = base.agg(expr("sum(n_tokens) div 4").as("budget"))
+        // Total token mass is derivable from the <=512-row histogram — a
+        // corpus-wide re-aggregation here would be a third full scan.
+        val bud = hist.agg(expr("sum(tok) div 4").as("budget"))
         val cum = hist.withColumn("cum_incl", sum(col("tok")).over(wd))
           .crossJoin(broadcast(bud))
         val fullB = cum.filter(col("cum_incl") <= col("budget"))

@@ -133,9 +133,15 @@ object Finance extends QueryModule {
         val market = grid.groupBy($"bucket").agg(sum($"y").as("x"))
         val w = Window.partitionBy($"event_type").orderBy($"bucket")
           .rowsBetween(-23, 0)
+        // Moments accumulate in DECIMAL(38,0), not LongType: the market
+        // count x is corpus-wide per hour, so at extreme scale x·y and
+        // n·Σxy would clear 2⁶³ while the DuckDB oracle keeps computing in
+        // 128-bit HUGEINT — decimal keeps both sides exact (headroom 10³⁸,
+        // comparable to HUGEINT) instead of diverging at the ceiling.
+        val (xd, yd) = ($"x".cast(DecimalType(38, 0)), $"y".cast(DecimalType(38, 0)))
         val (n, sx, sy, sxy, sxx) = (
-          count(lit(1)).over(w), sum($"x").over(w), sum($"y").over(w),
-          sum($"x" * $"y").over(w), sum($"x" * $"x").over(w))
+          count(lit(1)).over(w), sum(xd).over(w), sum(yd).over(w),
+          sum(xd * yd).over(w), sum(xd * xd).over(w))
         grid.join(broadcast(market), "bucket")
           .select($"event_type", date_format($"bucket", fmt).as("bucket"),
             $"y", $"x", n.as("n"), sx.as("sx"), sy.as("sy"),

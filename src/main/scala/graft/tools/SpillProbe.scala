@@ -68,20 +68,33 @@ object SpillProbe {
       }
     })
     val results = queries.map { name =>
-      memSpilled.set(0L); diskSpilled.set(0L)
+      // Per-query metrics are deltas against a pre-query baseline (never a
+      // reset: listener events from the PREVIOUS query that straggle in
+      // past its drain window land before this baseline is taken, instead
+      // of being credited to this query).
+      val (mem0, disk0) = (memSpilled.get, diskSpilled.get)
       val t0 = System.nanoTime()
       val attempt =
         try Right(resultHash(spark, name, sfDir))
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Listener events trail task completion; let the bus drain before
-      // reading the counters.
-      Thread.sleep(2000)
+      // Listener events trail task completion; wait until the counters are
+      // stable for two consecutive polls (up to 20 s) rather than trusting
+      // one fixed sleep under a deliberately-starved cluster.
+      var (pm, pd) = (-1L, -1L)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 20000) {
+        Thread.sleep(500); waited += 500
+        val (m, dd) = (memSpilled.get, diskSpilled.get)
+        if (m == pm && dd == pd) stable += 1 else { stable = 0; pm = m; pd = dd }
+      }
+      val (mem, disk) = (memSpilled.get - mem0, diskSpilled.get - disk0)
       val line = attempt match {
         case Right((hash, rows)) =>
           f"""{"query":"$name","ok":true,"rows":$rows,"hash":"$hash","sec":$sec%.2f,""" +
-            s""""memory_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},""" +
-            s""""spilled":${diskSpilled.get > 0 || memSpilled.get > 0}}"""
+            s""""memory_spilled_bytes":$mem,"disk_spilled_bytes":$disk,""" +
+            s""""spilled":${disk > 0 || mem > 0}}"""
         case Left(err) =>
           s"""{"query":"$name","ok":false,"error":${jsonStr(err)}}"""
       }

@@ -111,12 +111,16 @@ class FinanceSpec extends SparkSpec {
     // Greedy threshold structure: every fully-selected bucket is denser
     // than (or equal to) the boundary bucket, which is denser than any
     // wholly-unselected bucket.
-    val minFull = sel.filter(col("in_full")).agg(min(col("bucket")))
-      .head().getLong(0)
+    val minFullRow = sel.filter(col("in_full")).agg(min(col("bucket"))).head()
     val boundary = sel.filter(!col("in_full")).select(col("bucket"))
       .distinct().collect().map(_.getLong(0))
     assert(boundary.length <= 1, "at most one boundary bucket")
-    boundary.foreach(b => assert(b < minFull))
+    // With no fully-selected bucket (densest bucket alone exceeds the
+    // budget) the ordering property is vacuous — but say so rather than
+    // NPE on the null min.
+    if (minFullRow.isNullAt(0))
+      assert(boundary.length <= 1, "no full bucket: only the boundary may select")
+    else boundary.foreach(b => assert(b < minFullRow.getLong(0)))
     sel.unpersist()
   }
 }

@@ -465,10 +465,13 @@ class PlanAssertSpec extends SparkSpec {
     // struct buffer is not hash-aggregable) — still partial: an aggregate
     // node must appear BELOW the exchange, and there is exactly one
     // exchange (contrast ts_downsample_m4's four full windows).
+    // FormattedMode detail sections print in ascending operator number =
+    // leaf-first, so the MAP-SIDE partial aggregate must be the FIRST
+    // aggregate section and appear before the exchange section.
     val lines = p.linesIterator.toVector
-    val partialAgg = lines.lastIndexWhere(_.matches("""\(\d+\) \w*Aggregate.*"""))
+    val partialAgg = lines.indexWhere(_.matches("""\(\d+\) \w*Aggregate.*"""))
     val exch = lines.indexWhere(_.matches("""\(\d+\) Exchange"""))
-    assert(partialAgg >= 0 && exch >= 0 && exch < partialAgg,
+    assert(partialAgg >= 0 && exch >= 0 && partialAgg < exch,
       s"no map-side partial aggregate below the exchange:\n$p")
     assert(hashExchanges(p) == 1, s"OHLC must shuffle exactly once:\n$p")
     // events has 6 columns; OHLC needs 4.
@@ -481,14 +484,25 @@ class PlanAssertSpec extends SparkSpec {
     val p = plan("llm_select_budget")
     assert(p.contains("BroadcastHashJoin"),
       "bucket membership must join by broadcast")
-    // The only Sort operators allowed are the two bounded window sorts
-    // (the <=512-row histogram and the single boundary bucket) and
-    // broadcast-side prep — never a shuffle-then-sort of the full corpus:
-    // a global-order window would show Exchange SinglePartition followed
-    // by a Sort over the documents scan subtree.
-    assert(!p.contains("Exchange SinglePartition\n(") ||
-      !p.linesIterator.exists(l => l.contains("rangepartitioning")),
-      s"global corpus sort detected:\n$p")
+    // No global sort of the corpus: a rangepartitioning exchange is the
+    // signature of a corpus-wide ORDER BY / global-order window. The only
+    // single-partition funnels allowed are over the bounded histogram
+    // side (<=512 rows: its cumsum window and the boundary limit-1) —
+    // never more.
+    assert(!p.contains("rangepartitioning"), s"global corpus sort:\n$p")
+    // Single-partition funnels are allowed ONLY over histogram-scale
+    // inputs (bucket/tok pairs or the 1-row budget sum — the static plan
+    // prints those subtrees twice; ReusedExchange dedupes at runtime).
+    // A funnel whose Input carries corpus columns (doc_id/text/ratio)
+    // would mean the corpus serializes through one task.
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Arguments: SinglePartition"))
+      .foreach { case (_, i) =>
+        val input = lines(i - 1)
+        assert(input.contains("bucket#") || input.contains("tok#") ||
+          input.contains("sum#"),
+          s"single-partition funnel over non-histogram input: $input\n$p")
+      }
   }
 
   test("rank<=k filters lower to WindowGroupLimit (partial top-k before the sort)") {
