@@ -94,9 +94,11 @@ object QuotaStream {
   /** Start the streaming admission over a landing directory of parquet
     * document files. */
   def start(spark: SparkSession, landingDir: String, stateDir: String,
-      checkpoint: String, capPerSource: Long): StreamingQuery = {
+      checkpoint: String, capPerSource: Long,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING, source STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
