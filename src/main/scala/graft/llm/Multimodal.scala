@@ -286,6 +286,42 @@ object Multimodal {
 /** Oracle-checked binary plumbing: the payload column behaves like a first-
   * class value (length, digest, magic bytes) on both engines. */
 object MultimodalQueries extends QueryModule {
+
+  /** 64-bit average-hash over a REAL `javax.imageio` decode of the PNG
+    * assets (8×8 brightness grid vs its mean) — shared by `llm_mm_phash`
+    * (the hashes) and `llm_mm_dedup` (hamming near-dup pairs) so both
+    * grade the identical decode→resample→threshold path. */
+  private def phashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Multimodal.assets(s, dir)
+      .filter(_.meta.kind == "image")
+      .mapPartitions { it =>
+        it.map { a =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.media))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g3 = new Array[Long](64)
+          var i = 0
+          while (i < 64) {
+            val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+            g3(i) = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            i += 1
+          }
+          val sum = g3.sum
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (g3(i) * 64 > sum) {
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          (a.asset_id, hi, lo)
+        }
+      }
+      .toDF("asset_id", "phash_hi", "phash_lo")
+  }
+
   def queries: Map[String, QuerySpec] = Map(
     "llm_mm_meta" -> QuerySpec(
       fn = (s, dir) => Tables.load(s, dir, "documents").select(
@@ -400,36 +436,7 @@ object MultimodalQueries extends QueryModule {
     // → pixel decode → resampling arithmetic breaks the hash match. Pure
     // per-asset map work (partition-batched decode), no shuffle.
     "llm_mm_phash" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        Multimodal.assets(s, dir)
-          .filter(_.meta.kind == "image")
-          .mapPartitions { it =>
-            it.map { a =>
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(a.media))
-              val (w, h) = (img.getWidth, img.getHeight)
-              val g3 = new Array[Long](64)
-              var i = 0
-              while (i < 64) {
-                val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
-                g3(i) = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
-                i += 1
-              }
-              val sum = g3.sum
-              var hi = 0L; var lo = 0L
-              i = 0
-              while (i < 64) {
-                if (g3(i) * 64 > sum) {
-                  if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
-                }
-                i += 1
-              }
-              (a.asset_id, hi, lo)
-            }
-          }
-          .toDF("asset_id", "phash_hi", "phash_lo")
-      },
+      fn = (s, dir) => phashDf(s, dir),
       oracle = Some("""
         WITH img AS (
           SELECT doc_id AS asset_id,
@@ -455,5 +462,70 @@ object MultimodalQueries extends QueryModule {
                         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
                  AS BIGINT) AS phash_lo
         FROM g JOIN m USING (asset_id)
-        GROUP BY g.asset_id""")))
+        GROUP BY g.asset_id""")),
+
+    // ------------------------------------------------------------------
+    // Image near-duplicate detection — the dedup discipline applied to the
+    // MULTIMODAL column: candidate pairs must share one of eight 8-bit
+    // chunks of the 64-bit perceptual hash (pigeonhole: hamming ≤ 7 ⇒
+    // some chunk is clean, so the candidate set is EXACTLY complete for
+    // the τ=6 verify — same argument as the SimHash text path), then
+    // exact hamming ≤ 6 verification over hi/lo bit_counts. The chunk
+    // join is |images|-scale per bucket, never all-pairs; the oracle
+    // recomputes hashes analytically and runs the naive cross-pair
+    // definition.
+    "llm_mm_dedup" -> QuerySpec(
+      fn = (s, dir) => {
+        val ph = phashDf(s, dir)
+        val chunks = ph.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
+          explode(expr("sequence(0, 7)")).as("ci"))
+          .withColumn("cv", expr(
+            "CASE WHEN ci < 4 THEN (phash_lo >> (ci * 8)) & 255 " +
+              "ELSE (phash_hi >> ((ci - 4) * 8)) & 255 END"))
+        val cand = chunks.as("a").join(chunks.as("b"),
+            col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+              col("a.asset_id") < col("b.asset_id"))
+          .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
+            col("a.phash_hi").as("h1"), col("a.phash_lo").as("l1"),
+            col("b.phash_hi").as("h2"), col("b.phash_lo").as("l2"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)"))
+          .filter(col("hamming") <= 6)
+          .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+      },
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id AS asset_id,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT asset_id, yy.i * 8 + xx.i AS i,
+                 (((xx.i * w) // 8) * 31 + ((yy.i * h) // 8) * 17 + asset_id)
+                   & 16777215 AS p
+          FROM img,
+               (SELECT i FROM generate_series(0, 7) t(i)) xx,
+               (SELECT i FROM generate_series(0, 7) t(i)) yy),
+        g AS (
+          SELECT asset_id, i,
+                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g3
+          FROM px),
+        m AS (SELECT asset_id, SUM(g3) AS s FROM g GROUP BY asset_id),
+        ph AS (
+          SELECT g.asset_id,
+                 CAST(SUM(CASE WHEN i >= 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                   AS BIGINT) AS phash_hi,
+                 CAST(SUM(CASE WHEN i < 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                   AS BIGINT) AS phash_lo
+          FROM g JOIN m USING (asset_id)
+          GROUP BY g.asset_id)
+        SELECT a.asset_id AS id1, b.asset_id AS id2,
+               CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                    + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6""")))
 }
