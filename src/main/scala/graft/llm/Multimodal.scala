@@ -466,23 +466,29 @@ object MultimodalQueries extends QueryModule {
 
     // ------------------------------------------------------------------
     // Image near-duplicate detection — the dedup discipline applied to the
-    // MULTIMODAL column: candidate pairs must share one of eight 8-bit
-    // chunks of the 64-bit perceptual hash (pigeonhole: hamming ≤ 7 ⇒
-    // some chunk is clean, so the candidate set is EXACTLY complete for
-    // the τ=6 verify — same argument as the SimHash text path), then
-    // exact hamming ≤ 6 verification over hi/lo bit_counts. The chunk
-    // join is |images|-scale per bucket, never all-pairs; the oracle
-    // recomputes hashes analytically and runs the naive cross-pair
-    // definition.
+    // MULTIMODAL column, with EXACTLY the text-SimHash candidate contract
+    // (`llm_dedup_simhash`): four 16-bit chunks of the 64-bit perceptual
+    // hash index the candidates (65536 buckets per index — an 8-bit
+    // chunking would funnel all images through 256 buckets and go
+    // quadratic at scale, measured e≈1.0 sf1→sf10 before this fix), a
+    // per-bucket cap of 64 bounds candidates at 4·cap·N, and exact
+    // hamming ≤ 6 verifies. Candidate-complete for hamming ≤ 3 by
+    // pigeonhole; 4–6 found when some chunk is clean — the cap and the
+    // recall boundary are PART OF THE CHECKED SEMANTICS: the oracle
+    // reconstructs the same chunk join (QUALIFY cap included), not a
+    // naive cross-pair scan.
     "llm_mm_dedup" -> QuerySpec(
       fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val ph = phashDf(s, dir)
         val chunks = ph.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
-          explode(expr("sequence(0, 7)")).as("ci"))
+          explode(expr("sequence(0, 3)")).as("ci"))
           .withColumn("cv", expr(
-            "CASE WHEN ci < 4 THEN (phash_lo >> (ci * 8)) & 255 " +
-              "ELSE (phash_hi >> ((ci - 4) * 8)) & 255 END"))
-        val cand = chunks.as("a").join(chunks.as("b"),
+            "CASE WHEN ci < 2 THEN (phash_lo >> (ci * 16)) & 65535 " +
+              "ELSE (phash_hi >> ((ci - 2) * 16)) & 65535 END"))
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ci", "cv")))
+          .filter(col("bsz") <= 64)
+        val cand = chunks.as("a").hint("merge").join(chunks.as("b"),
             col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
               col("a.asset_id") < col("b.asset_id"))
           .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
@@ -521,11 +527,24 @@ object MultimodalQueries extends QueryModule {
                           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
                    AS BIGINT) AS phash_lo
           FROM g JOIN m USING (asset_id)
-          GROUP BY g.asset_id)
-        SELECT a.asset_id AS id1, b.asset_id AS id2,
-               CAST(bit_count(xor(a.phash_hi, b.phash_hi))
-                    + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
-        FROM ph a JOIN ph b ON a.asset_id < b.asset_id
-        WHERE bit_count(xor(a.phash_hi, b.phash_hi))
-              + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6""")))
+          GROUP BY g.asset_id),
+        chunks AS (
+          SELECT asset_id, phash_hi, phash_lo, ci.i AS ci,
+                 CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                      ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END AS cv
+          FROM ph, (SELECT i FROM generate_series(0, 3) t(i)) ci
+          QUALIFY COUNT(*) OVER (PARTITION BY ci.i,
+            CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                 ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END) <= 64),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2,
+                 a.phash_hi AS h1, a.phash_lo AS l1,
+                 b.phash_hi AS h2, b.phash_lo AS l2
+          FROM chunks a JOIN chunks b
+            ON a.ci = b.ci AND a.cv = b.cv AND a.asset_id < b.asset_id)
+        SELECT id1, id2,
+               CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT)
+                 AS hamming
+        FROM cand
+        WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""")))
 }
