@@ -98,4 +98,29 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.asset_id -> r.media.toSeq).toMap
     out.foreach(r => assert(again(r.asset_id) === r.media.toSeq))
   }
+
+  test("llm_mm_dedup: sound (hamming <= 6) and pigeonhole-complete for hamming <= 3") {
+    import org.apache.spark.sql.functions.col
+    val hashes = SparkEntry.specs("llm_mm_phash").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1) << 32) | (r.getLong(2) & 0xffffffffL))).toMap
+    val pairs = SparkEntry.specs("llm_mm_dedup").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // Soundness: every reported pair's hamming is recomputed <= 6.
+    pairs.foreach { case ((a, b), h) =>
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(d === h && d <= 6, s"pair ($a,$b) claims hamming $h, actual $d")
+    }
+    // Completeness: brute force over all image pairs — any pair at
+    // hamming <= 3 MUST appear (four 16-bit chunks, pigeonhole; the
+    // bucket cap cannot hide them at this corpus size).
+    val ids = hashes.keys.toSeq.sorted
+    for (i <- ids.indices; j <- i + 1 until ids.size) {
+      val (a, b) = (ids(i), ids(j))
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if (d <= 3)
+        assert(pairs.contains((a, b)),
+          s"hamming-$d pair ($a,$b) missing — pigeonhole completeness broken")
+    }
+  }
 }
