@@ -470,8 +470,8 @@ object MultimodalQueries extends QueryModule {
     // (`llm_dedup_simhash`): four 16-bit chunks of the 64-bit perceptual
     // hash index the candidates (65536 buckets per index — an 8-bit
     // chunking would funnel all images through 256 buckets and go
-    // quadratic at scale, measured e≈1.0 sf1→sf10 before this fix), a
-    // per-bucket cap of 64 bounds candidates at 4·cap·N, and exact
+    // quadratic at scale, measured e≈1.0 sf1→sf10 before this fix), the
+    // SHARED [[Dedup.simhashBucketCap]] bounds candidates at 4·cap·N, and exact
     // hamming ≤ 6 verifies. Candidate-complete for hamming ≤ 3 by
     // pigeonhole; 4–6 found when some chunk is clean — the cap and the
     // recall boundary are PART OF THE CHECKED SEMANTICS: the oracle
@@ -487,7 +487,7 @@ object MultimodalQueries extends QueryModule {
             "CASE WHEN ci < 2 THEN (phash_lo >> (ci * 16)) & 65535 " +
               "ELSE (phash_hi >> ((ci - 2) * 16)) & 65535 END"))
           .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ci", "cv")))
-          .filter(col("bsz") <= 64)
+          .filter(col("bsz") <= Dedup.simhashBucketCap)
         val cand = chunks.as("a").hint("merge").join(chunks.as("b"),
             col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
               col("a.asset_id") < col("b.asset_id"))
@@ -501,7 +501,7 @@ object MultimodalQueries extends QueryModule {
           .filter(col("hamming") <= 6)
           .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
       },
-      oracle = Some("""
+      oracle = { val cap = Dedup.simhashBucketCap; Some(s"""
         WITH img AS (
           SELECT doc_id AS asset_id,
                  16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
@@ -535,7 +535,7 @@ object MultimodalQueries extends QueryModule {
           FROM ph, (SELECT i FROM generate_series(0, 3) t(i)) ci
           QUALIFY COUNT(*) OVER (PARTITION BY ci.i,
             CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
-                 ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END) <= 64),
+                 ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END) <= $cap),
         cand AS (
           SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2,
                  a.phash_hi AS h1, a.phash_lo AS l1,
@@ -546,5 +546,5 @@ object MultimodalQueries extends QueryModule {
                CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT)
                  AS hamming
         FROM cand
-        WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""")))
+        WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""") }))
 }

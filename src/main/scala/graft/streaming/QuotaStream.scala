@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      REPLAYED batch recomputes the identical admission decision and
   *      overwrites its own output instead of double-appending;
   *   2. within the batch, documents order deterministically per source by
-  *      (content hash, doc_id) — arrival order inside a micro-batch is
-  *      not reproducible, the hash order is — and a per-source running
-  *      cumsum admits the prefix that fits `cap − prior`;
+  *      (id-keyed md5 hash, doc_id) — arrival order inside a micro-batch
+  *      is not reproducible, the hash order is (stable across
+  *      partitionings and reruns; re-keying doc_ids re-orders) — and a
+  *      per-source running cumsum admits the prefix that fits
+  *      `cap − prior`;
   *   3. admitted rows land under `admitted/batch=<id>`, the batch's
   *      per-source token spend under `sums/batch=<id>`.
   *

@@ -40,6 +40,12 @@ object FaultInjectQuota {
     val cap = if (args.length > 2) args(2).toLong else 10000L
     val spark = graft.GraftSession("graft-fault-quota")
     spark.sparkContext.setLogLevel("WARN")
+    // A stale workdir (landing files + checkpoint + spent state from an
+    // earlier invocation) would make this run process nothing and pass
+    // vacuously — always start from a clean slate.
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
@@ -88,13 +94,20 @@ object FaultInjectQuota {
     val spend = faulted.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("t")).collect()
     val overspent = spend.filter(_.getLong(1) > cap).map(_.getString(0))
-    // The cap must actually constrain: at least one source should sit
-    // within one max-document of its budget, or the quota check proved
-    // nothing at this scale.
-    val binding = spend.count(_.getLong(1) > cap / 2)
+    // The cap must actually CONSTRAIN, not just not-be-exceeded: a source
+    // is capped iff it admitted fewer docs than arrived for it. Every
+    // source must be capped at the probe scale, or the quota half of the
+    // evidence is vacuous and the run fails loudly.
+    val arrived = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admittedBySource = faulted.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = arrived.count { case (src, n) =>
+      admittedBySource.getOrElse(src, 0L) < n }
     val extra = faulted.select("doc_id").except(clean.select("doc_id")).count()
     val missing = clean.select("doc_id").except(faulted.select("doc_id")).count()
-    val ok = overspent.isEmpty && binding > 0 && extra == 0 && missing == 0 && kills > 0
+    val ok = overspent.isEmpty && binding == arrived.size &&
+      extra == 0 && missing == 0 && kills > 0
     val row =
       s"""{"admitted":${faulted.count()},"clean_admitted":${clean.count()},""" +
         s""""sources":${spend.length},"overspent":${overspent.length},""" +
