@@ -100,6 +100,42 @@ class FinanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("llm_select_budget equals naive global greedy (prefix-stop) exactly") {
+    // The two-phase threshold plan claims to be a pure rewrite of greedy
+    // selection by density — prove it against the textbook spelling:
+    // order ALL docs by (density desc, doc_id), admit while the running
+    // token total fits the budget, stop at the first overflow.
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = docs.map(_._3).sum / 4
+    // Mirror the query's quantization tie-order: (bucket desc, ratio
+    // desc, doc_id). Bucket is monotone in ratio, so this is the same
+    // order as (ratio desc, doc_id) except among equal ratios — where
+    // both orders agree on doc_id.
+    val ordered = docs.sortBy { case (id, chars, toks) =>
+      (-(chars.toDouble / toks), id)
+    }
+    // Strict-prefix greedy: admit while it fits, stop COMPLETELY at the
+    // first doc that does not (the plan's boundary-bucket cumsum filter
+    // is a monotone prefix, and nothing below the boundary bucket is
+    // ever admitted).
+    var spent = 0L
+    var stopped = false
+    val expected = scala.collection.mutable.LinkedHashSet[Long]()
+    for ((id, _, toks) <- ordered if !stopped) {
+      if (spent + toks <= budget) { spent += toks; expected += id }
+      else stopped = true
+    }
+    val got = run("llm_select_budget").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected.toSet,
+      s"two-phase plan diverged from greedy: only-plan=${(got -- expected).take(5)} " +
+        s"only-greedy=${(expected.toSet -- got).take(5)}")
+  }
+
   test("llm_select_budget: spends within budget and prefers denser buckets") {
     val sel = run("llm_select_budget").cache()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
