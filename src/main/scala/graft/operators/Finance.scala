@@ -39,6 +39,24 @@ object Finance extends QueryModule {
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** The per-(type, hour) candlestick grid — ONE partial-aggregable hash
+    * aggregate with open/close as `min_by`/`max_by` under the (ts,
+    * event_id) total order. Shared by `ts_ohlc` (the candles) and
+    * `ts_ohlc_gaps` (the gap signal over them). */
+  private def ohlcGrid(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .withColumn("bucket", date_trunc("hour", $"ts"))
+      .groupBy($"event_type", $"bucket")
+      .agg(
+        min_by($"value", struct($"ts", $"event_id")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", struct($"ts", $"event_id")).as("close"),
+        count(lit(1)).as("n"),
+        dsum($"value").as("vsum"))
+  }
+
   def queries: Map[String, QuerySpec] = Map(
 
     // ------------------------------------------------------------------
@@ -47,16 +65,7 @@ object Finance extends QueryModule {
     "ts_ohlc" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        Tables.load(s, dir, "events")
-          .withColumn("bucket", date_trunc("hour", $"ts"))
-          .groupBy($"event_type", $"bucket")
-          .agg(
-            min_by($"value", struct($"ts", $"event_id")).as("open"),
-            max($"value").as("high"),
-            min($"value").as("low"),
-            max_by($"value", struct($"ts", $"event_id")).as("close"),
-            count(lit(1)).as("n"),
-            dsum($"value").as("vsum"))
+        ohlcGrid(s, dir)
           .select($"event_type", date_format($"bucket", fmt).as("bucket"),
             $"open", $"high", $"low", $"close", $"n", $"vsum")
       },
@@ -113,6 +122,57 @@ object Finance extends QueryModule {
                CAST(MAX(peak) AS DOUBLE) AS peak_value,
                COUNT(*) AS n_events
         FROM path GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // Candlestick gap analysis over the OHLC grid (shared ohlcGrid — the
+    // open-vs-previous-close discontinuity that signals regime breaks
+    // between bars): one lag window over the ~types×hours grid, never
+    // raw events; gap arithmetic is plain double subtraction of two
+    // already-exact candle fields, and the relative gap guards a zero
+    // previous close instead of emitting Inf.
+    "ts_ohlc_gaps" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        ohlcGrid(s, dir)
+          .withColumn("prev_close", lag($"close", 1).over(w))
+          .filter($"prev_close".isNotNull)
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"open", $"prev_close",
+            ($"open" - $"prev_close").as("gap"),
+            when($"prev_close" =!= 0.0,
+              ($"open" - $"prev_close") / $"prev_close").as("gap_pct"),
+            when($"open" > $"prev_close", lit("up"))
+              .when($"open" < $"prev_close", lit("down"))
+              .otherwise(lit("flat")).as("direction"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events),
+        c AS (
+          SELECT event_type, bucket,
+                 MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                 MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+          FROM b GROUP BY event_type, bucket),
+        g AS (
+          SELECT event_type, bucket, open,
+                 lag(close, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS prev_close
+          FROM c)
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               open, prev_close,
+               open - prev_close AS gap,
+               CASE WHEN prev_close <> 0
+                    THEN (open - prev_close) / prev_close END AS gap_pct,
+               CASE WHEN open > prev_close THEN 'up'
+                    WHEN open < prev_close THEN 'down'
+                    ELSE 'flat' END AS direction
+        FROM g WHERE prev_close IS NOT NULL""")),
 
     // ------------------------------------------------------------------
     // Rolling beta of each event type against the "market" (all types
