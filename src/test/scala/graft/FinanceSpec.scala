@@ -53,6 +53,32 @@ class FinanceSpec extends SparkSpec {
     assert(bad.isEmpty, "TWAP outside the day's value envelope")
   }
 
+  test("ts_ohlc_gaps is consistent with the candles it derives from") {
+    val candles = run("ts_ohlc")
+      .select(col("event_type"), col("bucket"), col("open"), col("close"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val byType = candles.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> ks.map(_._2).toSeq.sorted
+    }
+    val gaps = run("ts_ohlc_gaps").collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach { r =>
+      val (t, b) = (r.getString(0), r.getString(1))
+      val buckets = byType(t)
+      val prevBucket = buckets(buckets.indexOf(b) - 1)
+      val expectedPrevClose = candles((t, prevBucket))._2
+      assert(r.getDouble(3) === expectedPrevClose,
+        s"($t,$b) prev_close mismatch vs the preceding candle")
+      assert(r.getDouble(4) === r.getDouble(2) - r.getDouble(3), "gap arithmetic")
+      val dir = r.getString(6)
+      val gap = r.getDouble(4)
+      assert((gap > 0 && dir == "up") || (gap < 0 && dir == "down") ||
+        (gap == 0 && dir == "flat"), s"direction $dir for gap $gap")
+    }
+  }
+
   test("ts_var_cvar: tail mean never exceeds the tail boundary, k = ceil(0.05 n)") {
     val bad = run("ts_var_cvar").filter(
       col("cvar_5") > col("var_5") + lit(1e-9) ||
