@@ -175,6 +175,70 @@ object Finance extends QueryModule {
         FROM g WHERE prev_close IS NOT NULL""")),
 
     // ------------------------------------------------------------------
+    // Candlestick pattern flags over the shared grid — the standard
+    // shape taxonomy (doji: body ≲ range; hammer: long lower shadow,
+    // short upper; engulfing: current body swallows the previous bar's
+    // opposite-signed body). All flags are pure double comparisons of
+    // already-exact candle fields (no division — the doji test is spelled
+    // body·10 ≤ range so a zero range needs no guard), plus one lag
+    // window over the bounded grid for the engulfing pair.
+    "ts_candle_patterns" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        ohlcGrid(s, dir)
+          .withColumn("body", abs($"close" - $"open"))
+          .withColumn("range", $"high" - $"low")
+          .withColumn("upper", $"high" - greatest($"open", $"close"))
+          .withColumn("lower", least($"open", $"close") - $"low")
+          .withColumn("prev_open", lag($"open", 1).over(w))
+          .withColumn("prev_close", lag($"close", 1).over(w))
+          .select($"event_type", date_format($"bucket", fmt).as("bucket"),
+            $"body", $"range",
+            ($"body" * 10.0 <= $"range").as("doji"),
+            ($"lower" >= $"body" * 2.0 && $"upper" <= $"body").as("hammer"),
+            coalesce($"prev_close" < $"prev_open" && $"close" > $"open" &&
+              $"open" <= $"prev_close" && $"close" >= $"prev_open",
+              lit(false)).as("bull_engulf"),
+            coalesce($"prev_close" > $"prev_open" && $"close" < $"open" &&
+              $"open" >= $"prev_close" && $"close" <= $"prev_open",
+              lit(false)).as("bear_engulf"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events),
+        c AS (
+          SELECT event_type, bucket,
+                 MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                 MAX(value) AS high, MIN(value) AS low,
+                 MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+          FROM b GROUP BY event_type, bucket),
+        f AS (
+          SELECT event_type, bucket, open, high, low, close,
+                 abs(close - open) AS body, high - low AS range,
+                 high - greatest(open, close) AS upper,
+                 least(open, close) - low AS lower,
+                 lag(open, 1) OVER w AS prev_open,
+                 lag(close, 1) OVER w AS prev_close
+          FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+               body, range,
+               body * 10.0 <= range AS doji,
+               lower >= body * 2.0 AND upper <= body AS hammer,
+               COALESCE(prev_close < prev_open AND close > open
+                        AND open <= prev_close AND close >= prev_open,
+                        FALSE) AS bull_engulf,
+               COALESCE(prev_close > prev_open AND close < open
+                        AND open >= prev_close AND close <= prev_open,
+                        FALSE) AS bear_engulf
+        FROM f""")),
+
+    // ------------------------------------------------------------------
     // Rolling beta of each event type against the "market" (all types
     // combined): the regression slope β = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
     // over a 24-observed-hour window, from INTEGER moments (the
