@@ -177,8 +177,10 @@ object Finance extends QueryModule {
     // ------------------------------------------------------------------
     // Candlestick pattern flags over the shared grid — the standard
     // shape taxonomy (doji: body ≲ range; hammer: long lower shadow,
-    // short upper; engulfing: current body swallows the previous bar's
-    // opposite-signed body). All flags are pure double comparisons of
+    // short upper — a positive lower shadow is required, so flat
+    // degenerate bars (open = high = low = close) cannot flag; engulfing:
+    // current body swallows the previous bar's opposite-signed body).
+    // All flags are pure double comparisons of
     // already-exact candle fields (no division — the doji test is spelled
     // body·10 ≤ range so a zero range needs no guard), plus one lag
     // window over the bounded grid for the engulfing pair.
@@ -196,7 +198,8 @@ object Finance extends QueryModule {
           .select($"event_type", date_format($"bucket", fmt).as("bucket"),
             $"body", $"range",
             ($"body" * 10.0 <= $"range").as("doji"),
-            ($"lower" >= $"body" * 2.0 && $"upper" <= $"body").as("hammer"),
+            ($"lower" > 0.0 && $"lower" >= $"body" * 2.0 &&
+              $"upper" <= $"body").as("hammer"),
             coalesce($"prev_close" < $"prev_open" && $"close" > $"open" &&
               $"open" <= $"prev_close" && $"close" >= $"prev_open",
               lit(false)).as("bull_engulf"),
@@ -229,7 +232,7 @@ object Finance extends QueryModule {
         SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
                body, range,
                body * 10.0 <= range AS doji,
-               lower >= body * 2.0 AND upper <= body AS hammer,
+               lower > 0.0 AND lower >= body * 2.0 AND upper <= body AS hammer,
                COALESCE(prev_close < prev_open AND close > open
                         AND open <= prev_close AND close >= prev_open,
                         FALSE) AS bull_engulf,
