@@ -65,52 +65,36 @@ object Knn extends QueryModule {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-flat ANN: the corpus is partitioned into inverted lists by nearest
-    * centroid; a query probes the `nprobe` nearest lists and rescores
-    * exactly within them. Centroids are a deterministic uniform sample of
-    * the corpus (`vec_id % sampleMod == 0`) — the standard bootstrap before
-    * Lloyd refinement, and reproducible cross-engine.
+  /** IVF-flat ANN: the corpus is partitioned into inverted lists by
+    * two-level quantizer cell ([[Quantizer]]); a query walks the same
+    * quantizer and probes the `nprobe` nearest lists inside its coarse
+    * cell, rescoring exactly within them. Fine centroids are a
+    * deterministic uniform sample of the corpus (`vec_id % sampleMod ==
+    * 0`) — the standard bootstrap before Lloyd refinement, reproducible
+    * cross-engine.
     *
     * Scale shape (the part that matters at 100 TB):
-    *   - assignment is ONE shuffle-free map pass: the centroid set rides in
-    *     as a broadcast single-row array and each vector folds over it
-    *     (`aggregate` HOF + [[graft.functions.VecCosine]]) to pick its
-    *     cell — no corpus×centroids shuffle, which a join+argmin plan
-    *     would pay;
+    *   - assignment is ONE shuffle-free map pass against the broadcast
+    *     quantizer row, √nlist + ~√nlist cosines per vector — O(N) total
+    *     for the fixed nlist cap (the round-8 flat fold was N·nlist =
+    *     N^1.5 with √N sizing: 122 s at sf30, e ≈ 1.2–1.5 per decade;
+    *     this shape re-measures sublinear);
     *   - the probe join shuffles only (cell id) — each query reads nprobe
     *     inverted lists, never the whole corpus;
-    *   - ties (equal cosine) resolve to the smallest centroid id in both
-    *     the fold (array sorted by id, strict `>`) and the oracle's window
-    *     (`ORDER BY sim DESC, cent_id`). */
+    *   - ties (equal cosine) resolve to the smallest centroid id at every
+    *     level, in both the fold (id-sorted array, strict `>`) and the
+    *     oracle's window (`ORDER BY sim DESC, cent_id`). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       sampleMod: Long): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = corpus.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
-    // Single-row array of (cent_id, vc), sorted by cent_id so the fold's
-    // first-strict-max tie-break is deterministic.
-    val centArr = cents.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
-    // Score each centroid ONCE (higher-order lambdas are not CSE'd — a
-    // cosine in both the CASE condition and branch would double the cost
-    // of this, the dominant pass), then fold for the strict max.
-    val assigned = corpus.crossJoin(broadcast(centArr))
-      .withColumn("best", expr("""
-        aggregate(
-          transform(cents, c -> named_struct('cid', c.cent_id,
-                                             'sim', vec_cosine(ve, c.vc))),
-          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)"""))
-      .select(col("best.cid").as("cent_id"), col("vec_id"), col("ve"))
-    // Query side is small by contract: broadcast-join + window picks the
-    // nprobe nearest centroids per query.
-    val wProbe = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
-    val probes = queries.select(col("vec_id").as("query_id"), col("ve").as("vq"))
-      .join(broadcast(cents))
-      .withColumn("sim", VectorOps.cosine("vq", "vc"))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("vq"), col("cent_id"))
+    val quant = Quantizer.quantizer(cents)
+    val assigned = Quantizer.assign(corpus, quant)
+      .select(col("cent_id"), col("vec_id"), col("ve"))
+    val probes = Quantizer.probes(
+      queries.select(col("vec_id").as("query_id"), col("ve").as("vq")),
+      quant, nprobe)
     val wRank = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     // Explicit broadcast: probes is |queries|·nprobe rows (small by the
     // documented contract) but sits behind a window over a join, so its
@@ -354,43 +338,30 @@ object Knn extends QueryModule {
         FROM ranked WHERE rank <= 10""")),
 
     // IVF-flat ANN (nprobe=4) — deterministic end to end, so the oracle
-    // rebuilds the same cells, probes, and ranking. The centroid count
-    // follows the canonical IVF sizing nlist ≈ √N (centroids are every
-    // (N div nlist)-th vec_id): a FIXED sampling modulus would grow the
-    // centroid set linearly with the corpus and make the assignment pass
-    // N·(N/mod) cosines — measured 203 s at the sf10 scale point (50k
-    // base vectors → 1000 centroids) before round 7 changed it; √N
-    // sizing makes assignment N^1.5 work and keeps each inverted list at
-    // ~√N vectors, the classical balance point. Both engines derive the
-    // modulus from the same count, so the gate still hash-matches.
+    // rebuilds the same cells, probes, and ranking. Sizing and assignment
+    // live in [[Quantizer]]: nlist = min(⌈√N⌉, 64) fine centroids (the cap
+    // is the deployment constant that bounds per-vector assignment work —
+    // the uncapped ⌈√N⌉ fold was N^1.5 by construction, 122 s at sf30),
+    // assigned through a coarse/fine two-level walk mirrored CTE-for-CTE
+    // by the oracle. Both engines derive every modulus from the same
+    // count, so the gate still hash-matches.
     // ------------------------------------------------------------------
     // Embedding-space outlier detection: the 20 vectors LEAST similar to
-    // their own nearest centroid — the density-based noise signal curation
+    // their own assigned centroid — the density-based noise signal curation
     // runs beside SemDeDup (too close to a neighbor → duplicate; too far
-    // from every cluster → noise/outlier, prune or audit). Same √N
-    // centroid sizing and the same shuffle-free broadcast-fold assignment
-    // as llm_knn_ivf (one corpus pass, N·√N cosine work), then ONE
-    // TakeOrderedAndProject ascending — no shuffle beyond the scan.
+    // from every cluster → noise/outlier, prune or audit). Same [[Quantizer]]
+    // sizing and shuffle-free broadcast two-level assignment as
+    // llm_knn_ivf (one O(N) corpus pass), then ONE TakeOrderedAndProject
+    // ascending — no shuffle beyond the scan.
     "llm_embed_outliers" -> QuerySpec(
       fn = (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val base = emb(s, dir)
         val n = base.count()
-        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-        val mod = math.max(1L, n / nlist)
-        val cents = base.filter(col("vec_id") % mod === 0)
+        val cents = base.filter(col("vec_id") % Quantizer.centroidModFor(n) === 0)
           .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
-        val centArr = cents.agg(
-          sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
-        base.crossJoin(broadcast(centArr))
-          .withColumn("best", expr("""
-            aggregate(
-              transform(cents, c -> named_struct('cid', c.cent_id,
-                                                 'sim', vec_cosine(ve, c.vc))),
-              named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-              (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)"""))
-          .select(col("vec_id"), col("best.cid").as("cent_id"),
-            col("best.sim").as("cent_cosine"))
+        Quantizer.assign(base, Quantizer.quantizer(cents))
+          .select(col("vec_id"), col("cent_id"), col("cent_cosine"))
           .orderBy(col("cent_cosine").asc, col("vec_id"))
           .limit(20)
       },
@@ -399,64 +370,31 @@ object Knn extends QueryModule {
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
-        smod AS (
-          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-                   AS m
-          FROM base),
-        cents AS (
-          SELECT vec_id AS cent_id, ve AS vc
-          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
-        assigned AS (
-          SELECT vec_id, cent_id, sim AS cent_cosine FROM (
-            SELECT b.vec_id, c.cent_id, ${cosSql("b.ve", "c.vc")} AS sim,
-                   row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM base b, cents c)
-          WHERE r = 1)
+        ${Quantizer.quantizerSql(cosSql)},
+        ${Quantizer.cellsSql(cosSql)}
         SELECT vec_id, cent_id, cent_cosine
-        FROM assigned ORDER BY cent_cosine ASC, vec_id LIMIT 20""")),
+        FROM cells ORDER BY cent_cosine ASC, vec_id LIMIT 20""")),
 
     "llm_knn_ivf" -> QuerySpec(
       fn = (s, dir) => {
         val base = emb(s, dir)
         val n = base.count()
-        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
         ivfTopK(base, base.filter(col("vec_id") < 20), k = 10, nprobe = 4,
-          sampleMod = math.max(1L, n / nlist))
+          sampleMod = Quantizer.centroidModFor(n))
       },
       oracle = Some(s"""
         WITH base AS (
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
-        smod AS (
-          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-                   AS m
-          FROM base),
-        cents AS (
-          SELECT vec_id AS cent_id, ve AS vc
-          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
-        lists AS (
-          SELECT cent_id, vec_id, ve FROM (
-            SELECT b.vec_id, b.ve, c.cent_id,
-                   row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM base b, cents c)
-          WHERE r = 1),
-        probes AS (
-          SELECT query_id, vq, cent_id FROM (
-            SELECT q.vec_id AS query_id, q.ve AS vq, c.cent_id,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY ${cosSql("q.ve", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM base q, cents c WHERE q.vec_id < 20)
-          WHERE r <= 4),
+        ${Quantizer.quantizerSql(cosSql)},
+        ${Quantizer.cellsSql(cosSql)},
+        q AS (SELECT vec_id AS query_id, ve AS vq FROM base WHERE vec_id < 20),
+        ${Quantizer.probesSql(cosSql, nprobe = 4)},
         scored AS (
           SELECT p.query_id, l.vec_id AS neighbor_id,
                  ${cosSql("p.vq", "l.ve")} AS cosine
-          FROM probes p JOIN lists l ON p.cent_id = l.cent_id
+          FROM probes p JOIN cells l ON p.cent_id = l.cent_id
           WHERE p.query_id <> l.vec_id),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY query_id
@@ -526,8 +464,9 @@ object Knn extends QueryModule {
     // IVF-PQ through the PERSISTED index ([[VectorIndex]]): build writes
     // centroids/codebook/codes to disk, query probes 4 cells and ADC-ranks
     // the probed CODES — the raw vectors are not read at query time. The
-    // oracle rebuilds the identical index state in SQL (same √N centroid
-    // sizing, same 16-codeword bootstrap, same tie rules), so the full
+    // oracle rebuilds the identical index state in SQL (same [[Quantizer]]
+    // sizing + two-level cells, same 16-codeword bootstrap, same tie
+    // rules), so the full
     // build→persist→probe→rank lifecycle is hash-checked bit-for-bit.
     "llm_knn_ivfpq" -> QuerySpec(
       fn = (s, dir) => {
@@ -541,26 +480,13 @@ object Knn extends QueryModule {
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
-        smod AS (
-          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-                   AS m
-          FROM base),
-        cents AS (
-          SELECT vec_id AS cent_id, ve AS vc
-          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
+        ${Quantizer.quantizerSql(cosSql)},
+        ${Quantizer.cellsSql(cosSql)},
         cmod AS (SELECT greatest(1, count(*) // 16) AS m FROM base),
         cb AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS vc
           FROM base WHERE vec_id % (SELECT m FROM cmod) = 0
           QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-        cells AS (
-          SELECT vec_id, cent_id AS cell FROM (
-            SELECT b.vec_id, c.cent_id,
-                   row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM base b, cents c)
-          WHERE r = 1),
         sub AS (
           SELECT b.vec_id, s.s, cb.c,
                  list_reduce(list_transform(generate_series(1, 8),
@@ -577,14 +503,7 @@ object Knn extends QueryModule {
                                       ORDER BY d ASC, c) AS r
             FROM sub) WHERE r = 1 GROUP BY vec_id),
         q AS (SELECT vec_id AS query_id, ve AS vq FROM base WHERE vec_id < 20),
-        probes AS (
-          SELECT query_id, vq, cent_id AS cell FROM (
-            SELECT q.query_id, q.vq, c.cent_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                                      ORDER BY ${cosSql("q.vq", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM q, cents c)
-          WHERE r <= 4),
+        ${Quantizer.probesSql(cosSql, nprobe = 4)},
         parts AS (
           SELECT p.query_id, cl.vec_id AS neighbor_id, s.s,
                  list_reduce(list_transform(generate_series(1, 8),
@@ -592,7 +511,7 @@ object Knn extends QueryModule {
                       * (p.vq[s.s * 8 + j] - cb.vc[s.s * 8 + j])),
                    (x, y) -> x + y) AS d
           FROM probes p
-          JOIN cells cl ON cl.cell = p.cell
+          JOIN cells cl ON cl.cent_id = p.cent_id
           JOIN codes cd ON cd.vec_id = cl.vec_id
           CROSS JOIN generate_series(0, 7) s(s)
           JOIN cb ON cb.c = cd.code[s.s + 1]
@@ -616,8 +535,7 @@ object Knn extends QueryModule {
       fn = (s, dir) => {
         val base = emb(s, dir)
         val n = base.count()
-        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-        val cmod = math.max(1L, n / nlist)
+        val cmod = Quantizer.centroidModFor(n)
         val cbmod = math.max(1L, n / 16)
         val cents = base.filter(col("vec_id") % cmod === 0)
           .select(col("vec_id").as("cent_id"), col("ve").as("vc"))
@@ -633,26 +551,13 @@ object Knn extends QueryModule {
           SELECT vec_id,
                  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
           FROM embeddings),
-        smod AS (
-          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-                   AS m
-          FROM base),
-        cents AS (
-          SELECT vec_id AS cent_id, ve AS vc
-          FROM base WHERE vec_id % (SELECT m FROM smod) = 0),
+        ${Quantizer.quantizerSql(cosSql)},
+        ${Quantizer.cellsSql(cosSql)},
         cmod AS (SELECT greatest(1, count(*) // 16) AS m FROM base),
         cb AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, ve AS vc
           FROM base WHERE vec_id % (SELECT m FROM cmod) = 0
           QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-        cells AS (
-          SELECT vec_id, cent_id AS cell FROM (
-            SELECT b.vec_id, c.cent_id,
-                   row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY ${cosSql("b.ve", "c.vc")} DESC,
-                                               c.cent_id) AS r
-            FROM base b, cents c)
-          WHERE r = 1),
         sub AS (
           SELECT b.vec_id, s.s, cb.c,
                  list_reduce(list_transform(generate_series(1, 8),
@@ -669,7 +574,7 @@ object Knn extends QueryModule {
                                       ORDER BY d ASC, c) AS r
             FROM sub) WHERE r = 1 GROUP BY vec_id),
         parts AS (
-          SELECT cl.cell, b.vec_id, s.s,
+          SELECT cl.cent_id AS cell, b.vec_id, s.s,
                  list_reduce(list_transform(generate_series(1, 8),
                    j -> (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])
                       * (b.ve[s.s * 8 + j] - cb.vc[s.s * 8 + j])),

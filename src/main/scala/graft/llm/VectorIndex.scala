@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * band-index discipline from incremental dedup ([[Dedup.incrementPairs]])
   * applied to vectors:
   *
-  *   - '''build''' derives the IVF centroids (nlist ≈ √N uniform sample,
-  *     the `llm_knn_ivf` sizing) and the PQ codebook (16 codewords × 8
+  *   - '''build''' derives the IVF centroids (capped [[Quantizer]] sizing,
+  *     the `llm_knn_ivf` discipline) and the PQ codebook (16 codewords × 8
   *     subspaces, the `llm_knn_pq` bootstrap) from the build corpus, then
   *     persists three tables under the index dir: `centroids`, `codebook`,
   *     and `codes` (vec_id, cell, 8-nibble code).
@@ -46,12 +46,9 @@ object VectorIndex {
     * oracle from the same count). */
   final case class Params(centroidMod: Long, codebookMod: Long)
 
-  def paramsFor(n: Long): Params = {
-    val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    Params(
-      centroidMod = math.max(1L, n / nlist),
-      codebookMod = math.max(1L, n / 16))
-  }
+  def paramsFor(n: Long): Params = Params(
+    centroidMod = Quantizer.centroidModFor(n),
+    codebookMod = math.max(1L, n / 16))
 
   private def centroidsOf(corpus: DataFrame, p: Params): DataFrame =
     corpus.filter(col("vec_id") % p.centroidMod === 0)
@@ -71,17 +68,14 @@ object VectorIndex {
   def assignCodes(
       vecs: DataFrame, centroids: DataFrame, codebook: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val centArr = centroids.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
     val cbArr = codebook.agg(
       sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
-    vecs.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
-      .withColumn("cell", expr("""
-        aggregate(
-          transform(cents, c -> named_struct('cid', c.cent_id,
-                                             'sim', vec_cosine(ve, c.vc))),
-          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
+    // Cell via the shared two-level walk (the Quantizer structure is
+    // derived from the frozen centroid table alone, so appends reproduce
+    // build's assignment exactly); code via the strict-min codeword fold.
+    Quantizer.assign(vecs, Quantizer.quantizer(centroids))
+      .withColumnRenamed("cent_id", "cell")
+      .crossJoin(broadcast(cbArr))
       .withColumn("code", expr(s"""
         transform(sequence(0, 7), s ->
           aggregate(
@@ -120,16 +114,8 @@ object VectorIndex {
       // One assignment, two projections (codes + IVF-flat lists); the
       // increment is micro-batch-bounded, so materializing it once is
       // cheaper than re-running the broadcast fold per write.
-      val centArr = cents.agg(
-        sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
-      val assigned = vecs.crossJoin(broadcast(centArr))
-        .withColumn("cell", expr("""
-          aggregate(
-            transform(cents, c -> named_struct('cid', c.cent_id,
-                                               'sim', vec_cosine(ve, c.vc))),
-            named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-            (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
-        .select(col("vec_id"), col("cell"), col("ve"))
+      val assigned = Quantizer.assign(vecs, Quantizer.quantizer(cents))
+        .select(col("vec_id"), col("cent_id").as("cell"), col("ve"))
         .persist()
       try {
         graft.functions.GraftFunctions.register(spark)
@@ -202,19 +188,13 @@ object VectorIndex {
     * partitioning-independent. */
   def health(vecs: DataFrame, centroids: DataFrame, codebook: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val centArr = centroids.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("vc")))).as("cents"))
     val cbArr = codebook.agg(
       sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
     // One map pass: cell + code + reconstruction error together (the
     // assignment program with `ve` kept in flight — no re-join shuffle).
-    vecs.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbArr))
-      .withColumn("cell", expr("""
-        aggregate(
-          transform(cents, c -> named_struct('cid', c.cent_id,
-                                             'sim', vec_cosine(ve, c.vc))),
-          named_struct('cid', CAST(-1 AS BIGINT), 'sim', CAST(-2.0 AS DOUBLE)),
-          (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END).cid"""))
+    Quantizer.assign(vecs, Quantizer.quantizer(centroids))
+      .withColumnRenamed("cent_id", "cell")
+      .crossJoin(broadcast(cbArr))
       .withColumn("code", expr(s"""
         transform(sequence(0, 7), s ->
           aggregate(
@@ -245,15 +225,11 @@ object VectorIndex {
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val cbArr = cb.agg(sort_array(collect_list(struct(col("c"), col("vc")))).as("cb"))
     val q = queries.select(col("vec_id").as("query_id"), col("ve").as("vq"))
-    // Probe: queries are small by contract → broadcast against the
-    // centroid table, window top-nprobe per query.
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("cent_id"))
-    val probes = q.join(broadcast(cents))
-      .withColumn("sim", VectorOps.cosine("vq", "vc"))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nprobe)
-      .select(col("query_id"), col("vq"), col("cent_id").as("cell"))
+    // Probe: queries are small by contract → walk the same two-level
+    // quantizer as assignment (a co-located vector's cell is always
+    // probeable), top-nprobe fine cells within the query's coarse cell.
+    val probes = Quantizer.probes(q, Quantizer.quantizer(cents), nprobe)
+      .withColumnRenamed("cent_id", "cell")
     // Probe side is |queries|·nprobe rows behind a window — explicit
     // broadcast (the llm_knn_ivf estimate lesson) so the codes table
     // streams map-only. ADC scores via per-query distance tables
