@@ -672,76 +672,36 @@ object Dedup extends QueryModule {
   }
 
   def queries: Map[String, QuerySpec] = Map(
-    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embeddings
-    // first, then compare cosines ONLY within a cluster — the candidate set
-    // is Σ_c C(|c|, 2) instead of C(N, 2), which is what makes
-    // embedding-level dedup feasible on a web-scale corpus. Assignment is
-    // the llm_embed_kmeans pass (one corpus scan against BROADCAST seed
-    // centroids, k·N distance rows never shuffle); the within-cluster pair
-    // scan is a self-equi-join on cluster_id. A vector is dropped when a
-    // smaller-id vector in the SAME cluster has cosine ≥ 0.95 (the keep-min
-    // rule every dedup here uses); survivors come back via one anti-join.
-    //
-    // Scale shape: k follows the llm_knn_ivf sizing — nlist ≈ √N centroids
-    // (every (N div nlist)-th vec_id), derived from the corpus count by
-    // BOTH engines so the gate still hash-matches. That makes assignment
-    // N·√N cosine work and the within-cluster pair scan Σ_c C(|c|,2) ≈
-    // N^1.5/2 — the balanced point; a fixed k would send the pair scan
-    // quadratic exactly the way the pre-round-7 IVF assignment went.
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): drop every vector with
+    // a smaller-id ≥ 0.95-cosine partner; survivors via one anti-join.
+    // Candidate generation is the hyperplane-LSH bucket join
+    // ([[embNearDupPairs]], shared with llm_dedup_embed) — NOT the paper's
+    // k-means partition. Round 8 measured the clustered variant N^1.5 by
+    // construction (√N clusters ⇒ N·√N assignment + N^1.5/2 within-cluster
+    // pairs), and the alternative — a fixed cluster count — sends the
+    // within-cluster scan quadratic as cluster sizes grow with N. The LSH
+    // reformulation is the shape that survives 100 TB: per-vector bucketing
+    // work is CONSTANT (4 tables × 16 hyperplane dot products), candidates
+    // are bucket-bounded, and ≥ τ pairs the clusters would have separated
+    // (near-dups straddling a Voronoi boundary) are found rather than
+    // missed. The ≥ 0.95 cut and keep-smaller-id rule are unchanged.
     // Cosines fold left-to-right from zero (vec_cosine ≡ the oracle's
-    // list_reduce), so the ≥ 0.95 cut is bit-stable across engines.
+    // list_reduce), so the cut is bit-stable across engines; the oracle
+    // scores ALL pairs, so the gate also proves LSH recall at the ≥ 0.95
+    // band (the llm_dedup_embed precedent).
     "llm_dedup_semantic" -> QuerySpec(
       fn = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         graft.functions.GraftFunctions.register(s)
         val corpus = embCorpus(s, dir)
-        val n = corpus.count()
-        val nlist = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-        val smod = math.max(1L, n / nlist)
-        val cents = corpus.filter(col("vec_id") % smod === 0)
-          .select(col("vec_id").as("cid"), col("ve").as("cv"))
-        val assigned = corpus.crossJoin(broadcast(cents))
-          .withColumn("d2", expr("""
-            aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
-              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("ve"))
-        val drops = assigned
-          .select(col("cid"), col("vec_id").as("vec_a"), col("ve").as("va"))
-          .join(assigned
-            .select(col("cid"), col("vec_id").as("vec_b"), col("ve").as("vb")),
-            Seq("cid"))
-          .filter(col("vec_a") < col("vec_b"))
-          .filter(VectorOps.cosine("va", "vb") >= 0.95)
+        val drops = embNearDupPairs(corpus)
           .select(col("vec_b").as("vec_id")).distinct()
-        assigned.join(drops, Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("cid").as("cluster_id"))
+        corpus.join(drops, Seq("vec_id"), "left_anti").select(col("vec_id"))
       },
       oracle = Some(s"""
         WITH $embCorpusSql,
-        smod AS (
-          SELECT greatest(1, count(*) // greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)))
-            AS m
-          FROM corpus),
-        c AS (SELECT vec_id AS cid, ve AS cv FROM corpus
-              WHERE vec_id % (SELECT m FROM smod) = 0),
-        dd AS (
-          SELECT vec_id, cid, ve,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   [(ve[i] - cv[i]) * (ve[i] - cv[i])
-                    for i in generate_series(1, 64)]),
-                   (a, b) -> a + b) AS d2
-          FROM corpus, c),
-        asg AS (
-          SELECT vec_id, cid, ve FROM (
-            SELECT vec_id, cid, ve,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-            FROM dd) WHERE rn = 1),
         drops AS (
           SELECT DISTINCT y.vec_id
-          FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
           WHERE (CASE WHEN list_reduce(list_transform(generate_series(1, 64),
                         i -> x.ve[i] * x.ve[i]), (p, q) -> p + q) = 0
                        OR list_reduce(list_transform(generate_series(1, 64),
@@ -752,7 +712,7 @@ object Dedup extends QueryModule {
                         i -> x.ve[i] * x.ve[i]), (p, q) -> p + q))
                     * sqrt(list_reduce(list_transform(generate_series(1, 64),
                         i -> y.ve[i] * y.ve[i]), (p, q) -> p + q))) END) >= 0.95)
-        SELECT vec_id, cid AS cluster_id FROM asg
+        SELECT vec_id FROM corpus
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)""")),
 
     // Exact dedup: group by content digest, keep the smallest id.
