@@ -96,6 +96,12 @@ object PipelineQueries extends QueryModule {
 
   private def freshDir(name: String): String = graft.api.Scratch.dir(name)
 
+  /** Fixed base for the stream-e2e run: the oracle reads the generated raw
+    * CSVs AFTER the engine JVM exits, so this one query cannot live in a
+    * per-call [[graft.api.Scratch]] dir. Wiped and regenerated (seeded →
+    * byte-identical) at the start of every run. */
+  private val streamE2eBase = s"${System.getProperty("java.io.tmpdir")}/graft_stream_e2e"
+
   /** Oracle outputs carry TIMESTAMP_NTZ: Spark's UTC-adjusted parquet
     * timestamps read back tz-aware in DuckDB while the oracle side is
     * naive; session TZ is pinned UTC so the cast is value-identity. The
@@ -162,17 +168,75 @@ object PipelineQueries extends QueryModule {
       oracle = Some(s"""WITH $enrichSql SELECT * FROM enriched""")),
 
     // The streaming pipeline end-to-end, as a driver-visible query: seeded
-    // CSV in a temp dir → bronze/silver/gold with Trigger.AvailableNow →
-    // returns the gold table. No SQL oracle (the generator is engine-side);
-    // MedallionSpec pins the invariants — this entry proves the streaming
-    // path runs in the driver's environment.
+    // CSV → bronze/silver/gold with Trigger.AvailableNow → returns the gold
+    // table, now DIFFERENTIALLY CHECKED: the run lives under a fixed path
+    // (wiped and regenerated per run — the seeded generator re-emits
+    // byte-identical CSVs) so the DuckDB oracle can read the very same raw
+    // files and recompute gold through the declared batch semantics
+    // (parse → gate → keep-min dedup → enrichment → gold aggregate). The
+    // streamed end-state equals that recomputation because the drain is
+    // single-batch per layer (2 raw files ≤ the bronze cap; bronze emits
+    // ≤ tasks × ~70 event-date files ≪ the 1000-file tail cap), batch-0
+    // watermark drops nothing, and DeterministicDedup's within-batch
+    // keep-min rule coincides with the batch dedup's global one on a
+    // single batch. MedallionSpec still pins the streaming invariants
+    // (checkpoint replay, quarantine, triggers); this entry proves the
+    // path runs in the driver's environment AND lands the right rows.
+    // Fixed path caveat: two concurrent runs of THIS query in separate
+    // JVMs would race on the dir (the Scratch scaladoc trade-off, accepted
+    // here because the oracle must find the files after the JVM exits).
     "pipe_stream_e2e" -> QuerySpec(
       fn = (s, _) => {
-        val dirs = graft.streaming.Medallion.Dirs(freshDir("stream_e2e"))
+        val base = streamE2eBase
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(new java.io.File(base))
+        val dirs = graft.streaming.Medallion.Dirs(base)
         graft.streaming.ActivityGenerator.generate(dirs.raw, numFiles = 2, rowsPerFile = 1000)
         graft.streaming.Medallion.runAvailableNow(s, dirs)
         s.read.schema(graft.pipeline.ActivityPipeline.GoldSchema).parquet(dirs.gold)
-      }),
+      },
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT log_id, user_id, "timestamp" AS timestamp_raw, ip_address,
+                 "watch_time(min)" AS watch_time_raw
+          FROM read_csv('$streamE2eBase/raw/*.csv', header = true,
+            columns = {'log_id': 'VARCHAR', 'user_id': 'VARCHAR',
+                       'timestamp': 'VARCHAR', 'ip_address': 'VARCHAR',
+                       'watch_time(min)': 'BIGINT'})),
+        parsed AS (
+          SELECT *,
+                 try_cast(timestamp_raw AS TIMESTAMP) AS timestamp_parsed,
+                 CAST(watch_time_raw AS DOUBLE) AS watch_time_parsed
+          FROM raw),
+        valid AS (
+          SELECT log_id, user_id, timestamp_parsed AS "timestamp",
+                 ip_address, watch_time_parsed AS watch_time
+          FROM parsed WHERE $validWhere),
+        dedup AS (
+          SELECT log_id, user_id, "timestamp", ip_address, watch_time FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY log_id
+              ORDER BY "timestamp", user_id, ip_address, watch_time) AS rn
+            FROM valid) WHERE rn = 1),
+        dim AS (${IpRegionDim.oracleSql}),
+        enriched AS (
+          SELECT d.log_id, d.user_id, d."timestamp", d.ip_address, d.watch_time,
+                 COALESCE(dim.geo_region, 'Unknown') AS geo_region
+          FROM dedup d LEFT JOIN dim ON d.ip_address = dim.ip),
+        byregion AS (
+          SELECT user_id, geo_region,
+                 SUM(CAST(watch_time AS DECIMAL(30, 6))) AS wt
+          FROM enriched GROUP BY user_id, geo_region),
+        ranked AS (
+          SELECT user_id, geo_region, wt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY wt DESC, geo_region ASC) AS rn,
+                 SUM(wt) OVER (PARTITION BY user_id) AS total_dec
+          FROM byregion)
+        SELECT user_id, CAST(total_dec AS DOUBLE) AS total_watch_time, geo_region
+        FROM ranked WHERE rn = 1""")),
 
     // Gold aggregation, declared semantics (A1+A2+W1, bugs #1/#2 resolved).
     "pipe_gold" -> QuerySpec(

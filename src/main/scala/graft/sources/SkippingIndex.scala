@@ -55,7 +55,7 @@ object SkippingIndex {
       .collect().map(_.getString(0))
     if (newFiles.isEmpty) kept
     else kept.unionByName(
-      spark.read.parquet(newFiles.toIndexedSeq: _*)
+      spark.read.option("basePath", tableDir).parquet(newFiles.toIndexedSeq: _*)
         .select(col("_metadata.file_path").as("file"), fp(col(keyCol)).as("fp"))
         .groupBy("file")
         .agg(sort_array(collect_set(col("fp"))).as("fps"),
@@ -78,7 +78,11 @@ object SkippingIndex {
       // with the table's schema, zero files read.
       spark.read.parquet(tableDir).filter(lit(false))
     else
-      spark.read.parquet(files.toIndexedSeq: _*)
+      // basePath keeps Hive-style partition columns in the schema when
+      // reading an explicit file list — without it a partitioned table's
+      // partition columns silently vanish and the lookup's schema diverges
+      // from the full-table read (or a lookup ON a partition column fails).
+      spark.read.option("basePath", tableDir).parquet(files.toIndexedSeq: _*)
         .filter(col(keyCol) === value)
   }
 }

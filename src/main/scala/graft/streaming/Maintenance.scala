@@ -264,9 +264,27 @@ object Maintenance {
     *
     * The audit report is the compliance deliverable: which files were
     * rewritten and how many rows were erased, without retaining the erased
-    * content anywhere (the manifest names files, not rows). */
-  def deleteWhere(spark: SparkSession, tableDir: String, predicate: String): DeleteReport = {
-    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    * content anywhere (the manifest names files, not rows).
+    *
+    * Driver-memory posture (the 100 TB question): the per-file match
+    * manifest stays a DataFrame — only the aggregate totals and the
+    * DISTINCT AFFECTED DIRECTORY list are collected, and each directory's
+    * affected file list is pulled inside its own rewrite step. A broad
+    * predicate over a million-file table therefore holds O(affected dirs)
+    * + O(files in one dir) on the driver, not O(matched files); the audit
+    * listing streams (counts, never a materialized FileStatus seq).
+    *
+    * `orphanRetentionMs` is the same safety contract as [[vacuum]]'s
+    * retention: an uncommitted file younger than the window may belong to
+    * a micro-batch that is mid-commit (written, not yet logged), so
+    * rather than garbage-collect it and retire the log — breaking the
+    * in-flight batch — the delete REFUSES to run, because a young orphan
+    * is direct evidence the documented closed-table contract is violated
+    * (something is still writing). Older orphans are swept as before. */
+  def deleteWhere(spark: SparkSession, tableDir: String, predicate: String,
+      orphanRetentionMs: Long = 10L * 60 * 1000,
+      nowMs: Long = System.currentTimeMillis): DeleteReport = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, regexp_replace, sum}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
@@ -285,76 +303,106 @@ object Maintenance {
       }
     }
 
-    // Phase 1: one scan — matching rows grouped by source file. Files with
-    // zero matches never appear and are never rewritten.
+    // Phase 1: one scan — matching rows grouped by source file, kept as a
+    // DISTRIBUTED manifest (fp, parent dir, n). Files with zero matches
+    // never appear and are never rewritten. The scan is metadata-aware
+    // when a sink log exists, so uncommitted orphans never enter it.
     val table = spark.read.parquet(tableDir)
-    val perFile = table
+    val manifest = table
       .filter(expr(predicate))
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => norm(new Path(r.getString(0))) -> r.getLong(1))
-      .toMap
-    val rowsDeleted = perFile.values.sum
-    // Total data-file count (audit denominator): recursive listing.
-    def listDataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toIndexedSeq.filter(s => isDataFile(s.getPath.getName)).flatMap { s =>
-        if (s.isDirectory) listDataFiles(s.getPath) else Seq(s)
+      .withColumn("dir", regexp_replace(col("fp"), "/[^/]+$", ""))
+      .persist()
+    try {
+      val totals = manifest
+        .agg(coalesce(sum(col("n")), lit(0L)).as("rows"), count(lit(1)).as("files"))
+        .head()
+      val rowsDeleted = totals.getLong(0)
+      // Audit denominator + orphan sweep in ONE STREAMED walk: count data
+      // files and (for logged tables) act on uncommitted ones — nothing is
+      // materialized beyond the recursion stack and the orphan being
+      // visited.
+      val committedSnap = committedFiles(spark, tableDir)
+      val cutoff = nowMs - orphanRetentionMs
+      var filesTotal = 0
+      var youngOrphan: Option[Path] = None
+      def walk(p: Path)(onOrphan: org.apache.hadoop.fs.FileStatus => Unit): Unit =
+        fs.listStatus(p).foreach { s =>
+          if (isDataFile(s.getPath.getName)) {
+            if (s.isDirectory) walk(s.getPath)(onOrphan)
+            else {
+              filesTotal += 1
+              if (committedSnap.exists(c => !c.contains(norm(s.getPath))))
+                onOrphan(s)
+            }
+          }
+        }
+      // Guard pass first: a young uncommitted file means something may
+      // still be mid-commit on this "closed" table — refuse to delete
+      // anything (vacuum's retention contract) rather than break it.
+      walk(root) { s =>
+        if (s.getModificationTime >= cutoff && youngOrphan.isEmpty)
+          youngOrphan = Some(s.getPath)
       }
-    val allFiles = listDataFiles(root)
-    if (perFile.isEmpty) return DeleteReport(allFiles.size, 0, 0L)
+      require(youngOrphan.isEmpty,
+        s"deleteWhere: uncommitted file ${youngOrphan.get} is younger than " +
+        s"the ${orphanRetentionMs} ms orphan-retention window — the table " +
+        "may have an active writer; close the stream (or raise nowMs) and retry")
+      if (rowsDeleted == 0L) return DeleteReport(filesTotal, 0, 0L)
 
-    // A streaming-sink commit log names the ORIGINAL files — paths the
-    // rewrite below deletes — so, exactly like compactTable, a rewriting
-    // delete RETIRES the log and the table becomes a plain listed parquet
-    // table. (Leaving the stale log would break metadata-aware reads AND
-    // make a later vacuum treat the rewritten survivors as uncommitted
-    // orphans — data loss.) Before retiring, uncommitted orphans are
-    // garbage-collected: the phase-1 scan above was metadata-aware and
-    // never read them, and once the log is gone their rows would become
-    // visible to listed reads.
-    val committedSnap = committedFiles(spark, tableDir)
-    committedSnap.foreach { committed =>
-      allFiles.filterNot(s => committed.contains(norm(s.getPath)))
-        .foreach(s => fs.delete(s.getPath, false))
-      fs.delete(new Path(root, "_spark_metadata"), true)
-    }
-    val liveFiles = committedSnap match {
-      case Some(c) => allFiles.filter(s => c.contains(norm(s.getPath)))
-      case None => allFiles
-    }
+      // A streaming-sink commit log names the ORIGINAL files — paths the
+      // rewrite below deletes — so, exactly like compactTable, a rewriting
+      // delete RETIRES the log and the table becomes a plain listed parquet
+      // table. (Leaving the stale log would break metadata-aware reads AND
+      // make a later vacuum treat the rewritten survivors as uncommitted
+      // orphans — data loss.) Before retiring, uncommitted orphans — all
+      // beyond the retention window per the guard above — are garbage-
+      // collected: once the log is gone their rows would become visible to
+      // listed reads.
+      committedSnap.foreach { _ =>
+        filesTotal = 0
+        walk(root)(s => fs.delete(s.getPath, false))
+        fs.delete(new Path(root, "_spark_metadata"), true)
+      }
 
-    val affected = liveFiles.filter(s => perFile.contains(norm(s.getPath)))
-    // Phase 2: per affected partition dir, rewrite ONLY that dir's affected
-    // files minus matching rows. Partition columns live in the dir name,
-    // not the files: the rewrite read derives them via basePath (so the
-    // predicate can reference them) and drops them again before writing
-    // back into the dir.
-    val byDir = affected.groupBy(_.getPath.getParent)
-    var rewritten = 0
-    byDir.foreach { case (dirPath, files) =>
-      val partName = norm(dirPath).stripPrefix(norm(root)).stripPrefix("/")
-      val tmp = new Path(root, s".delete_tmp_${encodeTmpName(partName)}")
-      fs.delete(tmp, true)
-      val partCols = partName.split("/").toSeq
-        .filter(_.contains("=")).map(_.split("=", 2)(0))
-      val kept = spark.read
-        .option("basePath", tableDir)
-        .parquet(files.map(_.getPath.toString): _*)
-        .filter(!expr(s"coalesce(($predicate), false)"))
-        .drop(partCols: _*)
-      kept.coalesce(math.max(1, files.size)).write.mode("overwrite").parquet(tmp.toString)
-      // Commit point: manifest of exactly the files this rewrite replaces.
-      val manifest = files.map(_.getPath.toString).mkString("\n")
-      val staged = new Path(tmp, "_originals.staging")
-      val out = fs.create(staged, true)
-      try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      require(fs.rename(staged, new Path(tmp, "_originals")),
-        s"could not commit delete manifest in $tmp")
-      applySwap(fs, tmp, dirPath, "deleted-")
-      rewritten += files.size
-    }
-    DeleteReport(allFiles.size, rewritten, rowsDeleted)
+      // Phase 2: per affected partition dir, rewrite ONLY that dir's
+      // affected files minus matching rows. Partition columns live in the
+      // dir name, not the files: the rewrite read derives them via basePath
+      // (so the predicate can reference them) and drops them again before
+      // writing back into the dir. Only the dir list is collected up
+      // front; each dir's file list is pulled from the manifest when its
+      // turn comes.
+      val affectedDirs = manifest.select(col("dir")).distinct()
+        .collect().map(_.getString(0)).sorted
+      var rewritten = 0
+      affectedDirs.foreach { dirStr =>
+        val files = manifest.filter(col("dir") === dirStr)
+          .select(col("fp")).collect().map(_.getString(0)).sorted
+        val dirPath = new Path(dirStr)
+        val partName = norm(dirPath).stripPrefix(norm(root)).stripPrefix("/")
+        val tmp = new Path(root, s".delete_tmp_${encodeTmpName(partName)}")
+        fs.delete(tmp, true)
+        val partCols = partName.split("/").toSeq
+          .filter(_.contains("=")).map(_.split("=", 2)(0))
+        val kept = spark.read
+          .option("basePath", tableDir)
+          .parquet(files.toIndexedSeq: _*)
+          .filter(!expr(s"coalesce(($predicate), false)"))
+          .drop(partCols: _*)
+        kept.coalesce(math.max(1, files.length)).write.mode("overwrite").parquet(tmp.toString)
+        // Commit point: manifest of exactly the files this rewrite replaces.
+        val originals = files.mkString("\n")
+        val staged = new Path(tmp, "_originals.staging")
+        val out = fs.create(staged, true)
+        try out.write(originals.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        require(fs.rename(staged, new Path(tmp, "_originals")),
+          s"could not commit delete manifest in $tmp")
+        applySwap(fs, tmp, dirPath, "deleted-")
+        rewritten += files.length
+      }
+      DeleteReport(filesTotal, rewritten, rowsDeleted)
+    } finally manifest.unpersist()
   }
 
   /** Audit record of a [[vacuum]] run. */

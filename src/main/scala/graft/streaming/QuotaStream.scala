@@ -83,7 +83,9 @@ object QuotaStream {
       .parquet(s"$stateDir/sums/batch=$batchId")
   }
 
-  /** All admitted documents so far. */
+  /** All admitted documents so far. Both branches return the same
+    * 4-column schema: the populated read drops the `batch` partition
+    * column so callers never see a schema that depends on runtime state. */
   def admitted(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val dir = s"$stateDir/admitted"
@@ -91,6 +93,7 @@ object QuotaStream {
       Seq.empty[(Long, String, Long, Long)]
         .toDF("doc_id", "source", "n_tokens", "cum")
     else spark.read.option("basePath", dir).parquet(dir)
+      .select("doc_id", "source", "n_tokens", "cum")
   }
 
   /** Start the streaming admission over a landing directory of parquet

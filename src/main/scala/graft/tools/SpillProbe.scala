@@ -45,7 +45,14 @@ object SpillProbe {
   private def resultHash(spark: SparkSession, name: String, sfDir: String): (String, Long) = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     val cols = df.columns.sorted
-    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+    // Cells are canonicalized to their SQL string form BEFORE collecting:
+    // a JVM Array cell's String.valueOf is an identity hash, which would
+    // make the digest nondeterministic and mask (or fake) the
+    // tight-vs-roomy divergence this probe exists to detect. Rows join
+    // under the \u0001 unit separator so ("ab","c") and ("a","bc") stay
+    // distinct.
+    val rows = df.select(cols.map(c =>
+      org.apache.spark.sql.functions.col(c).cast("string")): _*).collect()
     val lines = rows.map(_.toSeq.map(v => String.valueOf(v)).mkString("")).sorted
     val d = MessageDigest.getInstance("SHA-256")
     lines.foreach(l => d.update((l + "\n").getBytes("UTF-8")))

@@ -294,6 +294,19 @@ class MaintenanceSpec extends SparkSpec {
     java.nio.file.Files.copy(src2.toPath,
       new java.io.File(part, "part-88888-orphan.parquet").toPath)
 
+    // A FRESH uncommitted file is evidence of an active writer (a
+    // mid-commit micro-batch): the delete must REFUSE — GC'ing it and
+    // retiring the log would break the in-flight batch's commit.
+    val refused = intercept[IllegalArgumentException] {
+      Maintenance.deleteWhere(spark, dir, "id <= 10")
+    }
+    assert(refused.getMessage.contains("orphan-retention"))
+    assert(new java.io.File(s"$dir/_spark_metadata").exists(),
+      "refused delete must leave the commit log in place")
+    // Aged beyond the retention window it is a dead task's leftover and
+    // the sweep proceeds.
+    assert(new java.io.File(part, "part-88888-orphan.parquet")
+      .setLastModified(System.currentTimeMillis - 60 * 60 * 1000L))
     val rep = Maintenance.deleteWhere(spark, dir, "id <= 10")
     assert(rep.rowsDeleted === 10L)
     // The stale sink log named the pre-rewrite files — it must be gone,
