@@ -52,6 +52,24 @@ object Bench {
     val spark: SparkSession =
       GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle/aggregation spill attribution (the SpillProbe
+    // counters, in-suite): a scale point whose wall clock moves with
+    // partition count but whose plan is unchanged is memory-bound, not
+    // plan-bound — the spill column is how the two are told apart.
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    val spillMb = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val names =
       if (args.nonEmpty) args.toSeq // targeted profiling
       else if (sys.env.get("SPARK_GRAFT_BENCH_HEADLINE").contains("1"))
@@ -141,12 +159,17 @@ object Bench {
         // a per-query full GC would break comparability with BENCH_PREV.
         if (!twoPass) System.gc()
         val g0 = gcSeconds()
+        val s0 = memSpill.get + diskSpill.get
         val t0 = System.nanoTime()
         try {
           run(name)
           val t = (System.nanoTime() - t0) / 1e9
           val g = gcSeconds() - g0
           checkClean(name)
+          // Listener delivery is async; checkClean's own actions give the
+          // bus slack — attribution is approximate but MB-scale faithful.
+          val s = (memSpill.get + diskSpill.get - s0) / 1e6
+          spillMb.merge(name, s, (a, b) => math.max(a, b))
           name -> (t, None: Option[String], g)
         } catch {
           case e: Throwable =>
@@ -289,10 +312,15 @@ object Bench {
     // full diagnostics payload (~20 KB of pass1/pass2/gc/solo maps) is what
     // truncated BENCH_r06.json mid-line. The on-disk copy keeps everything.
     val pr = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
+    val sp = {
+      import scala.jdk.CollectionConverters._
+      obj(spillMb.asScala.toSeq.filter(_._2 >= 1.0).sortBy(_._1)
+        .map { case (k, v) => k -> f"$v%.1f" })
+    }
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs,"contended":$contended,"probe":$pr,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs,"contended":$contended,"probe":$pr,"spill_mb":$sp,"sf":"${esc(sfDir)}"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"spill_mb":$sp,"sf":"${esc(sfDir)}"}"""
     // Always leave a machine-readable copy on disk: sbt prefixes forked
     // stdout with "[info] ", which broke JSON-line scraping in the past.
     // EXCEPT for targeted profiling runs (explicit query args) without an

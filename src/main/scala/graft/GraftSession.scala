@@ -34,7 +34,13 @@ object GraftSession {
       }
     }
     b
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // Default: one shuffle partition per core (AQE coalesces down). At a
+      // memory-tight scale point the per-task reduce footprint is inversely
+      // proportional to this count, so spill-controlled re-measures raise
+      // it independently of parallelism (the SPILL_PRESSURE.json recipe:
+      // passage dedup OOMs at 1g×32 partitions, completes at ×256).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

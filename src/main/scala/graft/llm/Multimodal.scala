@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * [[decodeAudio]] reads them with the JDK's `javax.sound.sampled`
   * (PCM/WAV needs no external codec) — sample rate, channel count, and
   * frame count are decoder-reported, and the DSP features (energy, zero
-  * crossings) are computed from the decoded samples. Only COMPRESSED
-  * audio (mp3/ogg) and video container decode remain STUBS — this
-  * environment ships no such codecs — each stub point marked below.
+  * crossings) are computed from the decoded samples. The VIDEO path
+  * carries real MP4/WebM containers and parses their box/EBML metadata
+  * pure-JVM ([[VideoContainers]]) — duration, track count, resolution are
+  * parser-reported. Only the codec layer below the containers remains a
+  * STUB (compressed mp3/ogg audio and coded video frames — this
+  * environment ships no such codecs), each stub point marked below.
   *
   * Scale notes: per-asset work is shuffle-free map work; payloads never
   * pass through a shuffle unless the caller aggregates them; feature
@@ -46,21 +49,39 @@ object Multimodal {
 
   /** Synthesize a deterministic asset table from `documents`: image assets
     * carry a REAL PNG payload ([[pngPayload]]); audio assets a REAL 16-bit
-    * PCM WAV payload ([[wavPayload]]); video carries the UTF-8 text bytes
-    * as an opaque stand-in (no video container codec in this env). */
+    * PCM WAV payload ([[wavPayload]]); video assets a REAL container —
+    * minimal valid MP4 or WebM ([[VideoContainers]], even/odd ids) whose
+    * box/EBML metadata parses with any compliant reader. Only the coded
+    * sample data inside remains filler (no codecs in this env). */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
+      .map { case (id, _) =>
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
         val media =
           if (kind == "image") pngPayload(id)
           else if (kind == "audio") wavPayload(id)
-          else bytes
+          else videoPayload(id)
         MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
       }
+  }
+
+  /** Deterministic video-container parameters, the closed form the
+    * `llm_mm_video_meta` oracle recomputes: (width, height, durationMs,
+    * nTracks). */
+  def videoParams(id: Long): (Int, Int, Long, Int) =
+    (160 + (id % 8).toInt * 16,
+      96 + (id % 5).toInt * 24,
+      1000L + (id % 11) * 500L,
+      1 + (id % 2).toInt)
+
+  /** A real container per video asset: MP4 for even ids, WebM for odd. */
+  def videoPayload(id: Long): Array[Byte] = {
+    val (w, h, dur, tracks) = videoParams(id)
+    if (id % 2 == 0) VideoContainers.mp4Payload(id, w, h, dur, tracks)
+    else VideoContainers.webmPayload(id, w, h, dur, tracks)
   }
 
   /** Expected dimensions of [[pngPayload]] (shared with tests). */
@@ -175,9 +196,9 @@ object Multimodal {
   /** Decode: images go through the REAL `javax.imageio` codec (PNG/BMP/GIF/
     * JPEG — whatever the JDK registry handles) and report true pixel
     * dimensions; audio goes through the REAL `javax.sound.sampled` WAV
-    * parser and reports the codec's sample rate; video dimensions are a
-    * STUB (no video container codecs in this environment) derived
-    * deterministically from the first payload bytes.
+    * parser and reports the codec's sample rate; video dimensions come
+    * from the REAL container parse ([[VideoContainers]] — MP4 tkhd /
+    * Matroska Video element, pure JVM, no codec needed).
     * Runs per partition so codec init/reuse amortizes across the batch,
     * exactly like a `mapInPandas` batch. */
   /** Shared image-decode attempt: None for non-image kinds, undecodable
@@ -209,12 +230,15 @@ object Multimodal {
               } catch { case scala.util.control.NonFatal(_) => 0 }
             a.meta.copy(width = 0, height = 0, sampleRate = sr)
           case None =>
-            val b0 = if (a.media.nonEmpty) a.media(0) & 0xff else 0
-            val b1 = if (a.media.length > 1) a.media(1) & 0xff else 0
-            a.meta.copy(
-              width = 16 + (b0 % 64) * 16,     // STUB: decoder-reported width
-              height = 16 + (b1 % 64) * 16,    // STUB: decoder-reported height
-              sampleRate = 0)
+            // REAL container parse: presentation size from the MP4 tkhd /
+            // Matroska Video element ([[VideoContainers]]); unparseable
+            // payloads report zero dims rather than invented ones.
+            VideoContainers.parse(a.media) match {
+              case Some(vm) =>
+                a.meta.copy(width = vm.width, height = vm.height, sampleRate = 0)
+              case None =>
+                a.meta.copy(width = 0, height = 0, sampleRate = 0)
+            }
         }
         DecodedAsset(a.asset_id, a.media, meta,
           features = byteHistogram(a.media),
@@ -335,6 +359,39 @@ object MultimodalQueries extends QueryModule {
                md5(text) AS digest,
                hex(encode(substring(text, 1, 4))) AS magic
         FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // REAL video-container metadata, differentially checked: the Spark
+    // side builds a genuine minimal MP4 (even ids) or WebM (odd ids) per
+    // video asset and parses it back through [[VideoContainers]] — a box
+    // walk / EBML descent over the actual byte layout, no codec involved.
+    // The oracle never sees the bytes: it recomputes container, duration,
+    // track count, and resolution from the generator's closed form, so a
+    // flipped bit anywhere in the write → sniff → parse roundtrip (fixed-
+    // point tkhd dims, VINT sizes, float Duration, timescale arithmetic)
+    // breaks the hash. This is the first pass of a 100 TB video-curation
+    // pipeline: pure per-asset map work, payloads never shuffle, output is
+    // one narrow row per asset.
+    "llm_mm_video_meta" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Multimodal.assets(s, dir)
+          .filter(_.meta.kind == "video")
+          .mapPartitions(_.map { a =>
+            val vm = VideoContainers.parse(a.media)
+              .getOrElse(VideoContainers.VideoMeta("unknown", -1L, 0, 0, 0))
+            (a.asset_id, vm.container, vm.durationMs, vm.nTracks, vm.width, vm.height)
+          })
+          .toDF("asset_id", "container", "duration_ms", "n_tracks", "width", "height")
+      },
+      oracle = Some("""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+               CAST(1000 + (doc_id % 11) * 500 AS BIGINT) AS duration_ms,
+               CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+               CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+               CAST(96 + (doc_id % 5) * 24 AS INT) AS height
+        FROM documents WHERE doc_id % 3 = 2""")),
 
     // ------------------------------------------------------------------
     // Frame sampling over opaque video payloads: every OTHER 32-byte frame

@@ -77,6 +77,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length.toLong === audioIn)
   }
 
+  test("video containers: MP4/WebM write → sniff → parse roundtrip; defensive on junk") {
+    import graft.llm.VideoContainers
+    (0L until 40L).foreach { i =>
+      val id = i * 3 + 2 // the video-kind id lattice
+      val (w, h, dur, tracks) = Multimodal.videoParams(id)
+      val bytes = Multimodal.videoPayload(id)
+      val vm = VideoContainers.parse(bytes).getOrElse(
+        fail(s"container for id $id did not parse"))
+      assert(vm.container === (if (id % 2 == 0) "mp4" else "webm"))
+      assert(vm.durationMs === dur, s"duration for id $id")
+      assert(vm.nTracks === tracks, s"tracks for id $id")
+      assert(vm.width === w && vm.height === h, s"dims for id $id")
+    }
+    // Defensive: junk, truncation, and lying sizes must return None, not
+    // throw — a 100 TB landing zone contains all three.
+    assert(VideoContainers.parse(Array.emptyByteArray).isEmpty)
+    assert(VideoContainers.parse("not a container at all".getBytes).isEmpty)
+    val good = Multimodal.videoPayload(2L)
+    (1 until good.length by 7).foreach { cut =>
+      VideoContainers.parse(good.take(cut)) // must not throw
+    }
+    val lying = good.clone()
+    lying(0) = 0x7f.toByte // corrupt the first box size
+    VideoContainers.parse(lying) // must not throw
+    val goodWebm = Multimodal.videoPayload(5L)
+    (1 until goodWebm.length by 7).foreach { cut =>
+      VideoContainers.parse(goodWebm.take(cut)) // must not throw
+    }
+  }
+
   test("resize re-encodes images at target dimensions, passes others through") {
     val in = Multimodal.assets(spark, sfDir)
     val out = Multimodal.resize(in, 32, 24).collect()
