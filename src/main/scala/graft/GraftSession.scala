@@ -33,6 +33,12 @@ object GraftSession {
         case None => b.master(s"local[$cores]")
       }
     }
+    // Durable catalog opt-in: SPARK_GRAFT_CATALOG=hive backs
+    // Tables.registerAllPersistent with the Derby metastore (hive jars
+    // ship in /opt/spark/jars), so registered tables survive the JVM. The
+    // default stays in-memory — no metastore_db side effects for the
+    // oracle/bench mains.
+    if (sys.env.get("SPARK_GRAFT_CATALOG").contains("hive")) b.enableHiveSupport()
     b
       // Default: one shuffle partition per core (AQE coalesces down). At a
       // memory-tight scale point the per-task reduce footprint is inversely

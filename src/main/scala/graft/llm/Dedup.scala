@@ -347,7 +347,20 @@ object Dedup extends QueryModule {
     * ≤ 1 + min(remaining suffixes), needed ⌈9·szA/10⌉ — integer div, no FP
     * at exact multiples) prunes late-position matches before the distinct;
     * survivors are verified with the exact rare-profile intersection.
-    * Result set is EXACTLY the naive full-join oracle's. */
+    * Result set is EXACTLY the naive full-join oracle's.
+    *
+    * Measured cost profile (round-9 diagnosis of the r8 nonmonotonic
+    * 21.9→16.6→100.2 s curve): on the fixture's CLOSED 31-word vocabulary
+    * the df distribution saturates — at sf1 the prefix filter barely
+    * prunes (47.2M raw → 46.5M distinct candidates, each verification row
+    * carrying two ~52-entry hash arrays ⇒ ~40 GB through the verify
+    * shuffle, sort-spill-bound at 32 partitions: 85–153 s solo; 46 s at
+    * 256 — scale shuffle partitions with candidate volume), while at
+    * sf10+ the relative rarity cut empties the rare set entirely (every
+    * shingle df > max(500, N/2000)) and the cost collapses to the linear
+    * shingle scan + df aggregate (~17 s at sf10). The curve is
+    * nonmonotonic BY SEMANTICS on this fixture, not by plan defect; an
+    * open-vocabulary corpus keeps a proportionate rare tail at any size. */
   def containmentPairs(corpus: DataFrame): DataFrame = {
     val sh = shingles(corpus)
       .select(col("doc_id"), expr("md5_long(shingle)").as("shingle"))
@@ -366,7 +379,14 @@ object Dedup extends QueryModule {
       .crossJoin(broadcast(thr))
       .filter(col("df") <= col("thr"))
       .select(col("shingle"), col("df"))
-    val prof = sh.join(rare, "shingle")
+    // Pin the df-aggregated (vocab-bounded) side as the broadcast build:
+    // `sh` sits behind an explode, its size estimate is garbage, and at
+    // sf10 the planner picked IT as the build side — a 52M-row broadcast
+    // that OOM'd the 8 GB driver ("Not enough memory to build and
+    // broadcast", reproduced solo). On a corpus whose kept-vocab outgrows
+    // a broadcast, flip this to rare.hint("shuffle_hash") — same
+    // no-driver-state shape, one extra shuffle of sh.
+    val prof = sh.join(broadcast(rare), "shingle")
       .groupBy(col("doc_id"))
       .agg(expr(
         "transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")

@@ -122,19 +122,46 @@ object SourceFormats extends QueryModule {
         SELECT event_id, user_id, event_type, value
         FROM events WHERE user_id = 42""")),
 
+    // Catalog-backed registration: tables live in `spark.catalog` as
+    // EXTERNAL parquet entries (plus the encoding-adaptive `events` VIEW)
+    // instead of per-session temp views — the metastore discipline that
+    // lets every session address tables by name. This entry reads ONLY
+    // through catalog names (`graft.events` is the view over
+    // `graft.events_raw`), so a broken registration, a stale location, or
+    // a wrong view branch hash-fails; CatalogSpec additionally asserts the
+    // catalog read keeps parquet pushdown and survives session forks.
+    // Durable-across-JVMs variant: SPARK_GRAFT_CATALOG=hive (Derby
+    // metastore; see GraftSession).
+    "src_catalog_tables" -> QuerySpec(
+      fn = (s, dir) => {
+        Tables.registerAllPersistent(s, dir)
+        s.sql("""
+          SELECT event_type, COUNT(*) AS n,
+                 COUNT(DISTINCT user_id) AS n_users,
+                 CAST(MIN(ts) AS TIMESTAMP_NTZ) AS first_ts,
+                 CAST(MAX(ts) AS TIMESTAMP_NTZ) AS last_ts
+          FROM graft.events GROUP BY event_type""")
+      },
+      oracle = Some("""
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM events GROUP BY event_type""")),
+
     // The `binaryFile` source — how raw multimodal assets ENTER the engine
     // from an object store (one file per image/audio clip/video): stage the
     // deterministic Multimodal asset payloads as real files, ingest them
     // back through `spark.read.format("binaryFile")`, and prove the
     // ingested BYTES are the originals. Audio (RIFF/WAVE, closed-form
-    // integer sawtooth) and video (UTF-8 text stand-in) rows emit their
-    // FULL content as hex, which the oracle re-derives byte-for-byte in
-    // SQL — the WAV header and every little-endian PCM sample are
-    // reconstructed by integer arithmetic on both engines; images (JDK PNG
-    // encoder output, not SQL-reconstructable) are instead decoded through
-    // the real `javax.imageio` codec and checked by their closed-form
-    // pixel dimensions — a corrupted payload cannot decode to the right
-    // size. Per-file work is map-only (the binaryFile scan lists and
+    // integer sawtooth) rows emit their FULL content as hex, which the
+    // oracle re-derives byte-for-byte in SQL — the WAV header and every
+    // little-endian PCM sample are reconstructed by integer arithmetic on
+    // both engines; images (JDK PNG encoder output, not
+    // SQL-reconstructable) are instead decoded through the real
+    // `javax.imageio` codec and checked by their closed-form pixel
+    // dimensions — a corrupted payload cannot decode to the right size;
+    // video (real MP4/WebM containers) likewise parses through the real
+    // [[graft.llm.VideoContainers]] box/EBML reader and is checked by its
+    // closed-form presentation size. Per-file work is map-only (the binaryFile scan lists and
     // streams files; content is pruned when unselected); at 100 TB the
     // same read takes `pathGlobFilter`/partitioned prefixes and each file
     // stays a single task's unit of work.
@@ -146,7 +173,9 @@ object SourceFormats extends QueryModule {
           (it: Iterator[graft.llm.Multimodal.MediaAsset]) =>
             it.foreach { a =>
               val ext = a.meta.kind match {
-                case "image" => "png"; case "audio" => "wav"; case _ => "bin"
+                case "image" => "png"
+                case "audio" => "wav"
+                case _ => if (a.asset_id % 2 == 0) "mp4" else "webm"
               }
               java.nio.file.Files.write(
                 java.nio.file.Paths.get(stage, s"asset_${a.asset_id}.$ext"),
@@ -167,6 +196,13 @@ object SourceFormats extends QueryModule {
                 new java.io.ByteArrayInputStream(content))
               (id, kind, None: Option[Long], Some(img.getWidth),
                 Some(img.getHeight), None: Option[String])
+            } else if (kind == "video") {
+              // Real container parse: dimensions come from the ingested
+              // MP4 tkhd / Matroska Video element.
+              val vm = graft.llm.VideoContainers.parse(content)
+                .getOrElse(graft.llm.VideoContainers.VideoMeta("unknown", -1L, 0, 0, 0))
+              (id, kind, None: Option[Long], Some(vm.width),
+                Some(vm.height), None: Option[String])
             } else
               (id, kind, Some(content.length.toLong), None: Option[Int],
                 None: Option[Int],
@@ -209,15 +245,15 @@ object SourceFormats extends QueryModule {
                  || s.shex AS content_hex
           FROM aud a JOIN samp s USING (asset_id))
         SELECT b.asset_id, b.kind,
-               CASE b.kind WHEN 'audio' THEN w.n_bytes
-                           WHEN 'video' THEN CAST(octet_length(CAST(b.text AS BLOB)) AS BIGINT)
-                           END AS n_bytes,
-               CASE WHEN b.kind = 'image'
-                    THEN CAST(16 + b.asset_id % 48 AS INT) END AS px_w,
-               CASE WHEN b.kind = 'image'
-                    THEN CAST(16 + b.asset_id % 31 AS INT) END AS px_h,
-               CASE b.kind WHEN 'audio' THEN w.content_hex
-                           WHEN 'video' THEN lower(hex(CAST(b.text AS BLOB)))
-                           END AS content_hex
+               CASE b.kind WHEN 'audio' THEN w.n_bytes END AS n_bytes,
+               CASE b.kind
+                    WHEN 'image' THEN CAST(16 + b.asset_id % 48 AS INT)
+                    WHEN 'video' THEN CAST(160 + (b.asset_id % 8) * 16 AS INT)
+                    END AS px_w,
+               CASE b.kind
+                    WHEN 'image' THEN CAST(16 + b.asset_id % 31 AS INT)
+                    WHEN 'video' THEN CAST(96 + (b.asset_id % 5) * 24 AS INT)
+                    END AS px_h,
+               CASE b.kind WHEN 'audio' THEN w.content_hex END AS content_hex
         FROM base b LEFT JOIN wav w USING (asset_id)""")))
 }
