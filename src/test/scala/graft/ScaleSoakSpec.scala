@@ -316,9 +316,12 @@ class ScaleSoakSpec extends SparkSpec {
     // Disjoint user keyspaces per replica: output must grow EXACTLY
     // linearly and per-replica matches must equal the solo run (the merge
     // is per-key; a replica cannot see another's state rows).
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tables.load normalizes whatever ts encoding the fixture generation
+    // used (legacy nanos-long vs TIMESTAMP_NTZ — a raw `(ts / 1000)` read
+    // breaks at analysis on the regenerated NTZ fixtures).
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
-        (col("ts") / 1000).cast("long").as("tsl"), col("value"))
+        unix_micros(col("ts")).as("tsl"), col("value"))
     def sides(k: Int) = {
       val r = (0 until k).map(i => ev.select(
         (col("event_id") + i * 100000000L).as("event_id"),
