@@ -54,7 +54,7 @@ object Dedup extends QueryModule {
       SELECT doc_id + 1000000, text FROM documents)"""
 
   /** documents ∪ near-duplicate variants (first word dropped, lowercased). */
-  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.select(col("doc_id"), lower(col("text")).as("text"))
       .unionAll(d.select(

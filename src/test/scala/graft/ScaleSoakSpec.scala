@@ -461,6 +461,34 @@ class ScaleSoakSpec extends SparkSpec {
       f"4x corpus took ${t4 / t1}%.1fx the time — candidate join degenerating")
   }
 
+  test("sf1 two-algorithm jaccard parity: banded LSH == exact PPJoin, pair for pair") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // The DuckDB naive-join oracle is infeasible at sf1 (the Σ df² pair
+    // join materializes ~100 GB in one process — observed before this
+    // check replaced it), so full-scale dedup correctness is pinned by
+    // TWO INDEPENDENT ALGORITHMS instead: the declared banded-LSH plan
+    // (candidates from signature agreement) against the prefix-filtered
+    // exact PPJoin audit API (candidates from df-ordered prefixes). They
+    // share only the shingle definition; identical (doc_a, doc_b,
+    // jaccard) multisets mean candidate generation, verification, and
+    // threshold arithmetic all agree at 100× the oracle gate's scale.
+    val dir = sys.env.getOrElse("GRAFT_SOAK_SF_DIR", "/root/testdata/sf0.1")
+    val corpus = graft.llm.Dedup.nearCorpus(spark, dir)
+    val cols = Seq("doc_a", "doc_b", "jaccard")
+    val lsh = graft.llm.Dedup.lshJaccardPairs(corpus, tau = 0.8, r = 4, b = 64)
+      .selectExpr(cols: _*)
+    val exact = graft.llm.Dedup.exactJaccardPairs(corpus, tau = 0.8)
+      .selectExpr(cols: _*)
+    val nLsh = lsh.count()
+    val extra = lsh.exceptAll(exact).count()
+    val missing = exact.exceptAll(lsh).count()
+    info(s"pairs: $nLsh (LSH);  LSH-only: $extra;  exact-only: $missing")
+    assert(nLsh > 0, "vacuous parity — no pairs at all")
+    assert(extra === 0L, s"$extra pairs found by LSH but not the exact join")
+    assert(missing === 0L, s"$missing pairs missed by LSH")
+  }
+
   test("minhash dedup scales linearly in corpus replication") {
     assume(sys.env.get("GRAFT_SOAK").contains("1"),
       "soak disabled (set GRAFT_SOAK=1)")
