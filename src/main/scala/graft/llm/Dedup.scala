@@ -580,6 +580,17 @@ object Dedup extends QueryModule {
               for i in generate_series(1, 64)]
       FROM embeddings)"""
 
+  /** Hyperplane-LSH candidate pairs + exact-cosine ≥ 0.95 verification
+    * (shared by `llm_dedup_embed` and `llm_dedup_semantic`). Candidate
+    * volume is Σ_buckets C(size, 2) over 4 × 65 536 code buckets — linear
+    * while buckets stay small (random/spread embeddings), and deliberately
+    * UNCAPPED: a ≥ τ pair dropped by a bucket cap is a missed duplicate,
+    * the one error a dedup must not make (the all-pairs oracle would also
+    * catch it). The 100 TB posture for mass-duplicate corpora — where one
+    * bucket holds a million identical vectors — is compositional: run
+    * `llm_dedup_exact` first (identical payloads collapse to one
+    * representative), then this pass over the uniques; the residual
+    * near-dup buckets are bounded by genuine near-miss diversity. */
   private def embNearDupPairs(corpus: DataFrame): DataFrame = {
     val coded = VectorOps.lshCoded(corpus.select(col("vec_id"), col("ve")))
     val cand = coded.select(col("vec_id").as("vec_a"), col("ve").as("va"), col("t"), col("code"))
