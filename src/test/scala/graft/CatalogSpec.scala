@@ -10,7 +10,12 @@ class CatalogSpec extends SparkSpec {
 
   test("registerAllPersistent: external tables + events view, pushdown intact") {
     Tables.registerAllPersistent(spark, sfDir)
-    val names = spark.catalog.listTables("graft").collect().map(_.name).toSet
+    // listTables(db) also returns session TEMP views (which other suites
+    // register under the same table names) — scope every assertion to the
+    // db's own entries.
+    def dbTables() = spark.catalog.listTables("graft").collect()
+      .filter(_.database == "graft")
+    val names = dbTables().map(_.name).toSet
     Tables.all.filterNot(_ == "events").foreach(t =>
       assert(names.contains(t), s"missing catalog table $t"))
     assert(names.contains("events_raw") && names.contains("events"))
@@ -42,7 +47,7 @@ class CatalogSpec extends SparkSpec {
 
     // Registration is idempotent (re-points locations, no duplicates).
     Tables.registerAllPersistent(spark, sfDir)
-    val again = spark.catalog.listTables("graft").collect().map(_.name)
+    val again = dbTables().map(_.name)
     assert(again.length === again.distinct.length)
   }
 }
