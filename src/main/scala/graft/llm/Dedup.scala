@@ -117,7 +117,11 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), expr("md5_long(shingle)").as("shingle"))
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // Per-doc shingle array in global rarest-first order, with set size.
-    val ordered = sh.join(df, "shingle")
+    // Pin the df-aggregated (vocab-bounded) side as the build: `sh` sits
+    // behind an explode with a garbage size estimate — the planner picked
+    // the corpus-scale exploded side as a BROADCAST build in the
+    // structurally identical containment join (8 GB driver OOM at sf10).
+    val ordered = sh.join(broadcast(df), "shingle")
       .groupBy("doc_id")
       .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
         .as("sorted_sh"))
