@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *     The ⌈√N⌉ floor applies only to corpora smaller than nlist² so tiny
   *     fixtures don't get more centroids than vectors.
   *   - '''assignment is two-level''' (the coarse-quantizer discipline of
-  *     IMI/IVF indexes): the ⌈√nlist⌉ coarse centroids are every
+  *     hierarchical IVF indexes — Babenko & Lempitsky's inverted
+  *     multi-index shape, simplified to one residual-free refinement):
+  *     the ⌈√nlist⌉ coarse centroids are every
   *     ⌈√nlist⌉-th fine centroid in cent_id order; a vector picks its
   *     nearest coarse cell, then refines over only that cell's fine
   *     centroids. Per-vector work is √nlist + ~√nlist cosines — CONSTANT

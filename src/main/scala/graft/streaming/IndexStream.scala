@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   * stays queryable throughout.
   *
   * Per micro-batch (checkpointed foreachBatch):
-  *   - batch 0 bootstraps: centroids (√N of the batch) + PQ codebook are
+  *   - batch 0 bootstraps: centroids (capped [[graft.llm.Quantizer]]
+  *     sizing) + PQ codebook are
   *     derived from the first batch and FROZEN — the build corpus defines
   *     the geometry, exactly like training any ANN index; periodic
   *     re-builds re-balance (a re-build is just a new index dir);
