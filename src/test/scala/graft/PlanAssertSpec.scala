@@ -228,6 +228,24 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("llm_dedup_containment: the vocab-bounded rare table is the broadcast build") {
+    // The exploded postings side has a garbage size estimate; left to the
+    // planner it became the BROADCAST build at sf10 (8 GB driver OOM,
+    // round 9). The explicit broadcast(rare) pin must survive in the
+    // plan: exactly the rare-side joins broadcast, the corpus-side
+    // posting/profile joins never nest-loop or go cartesian.
+    val p = plan("llm_dedup_containment")
+    assert(p.contains("BroadcastExchange"), "rare table not broadcast")
+    assert(!p.contains("CartesianProduct"), "containment has a cartesian product")
+    // The only nested-loop joins allowed are the single-row threshold
+    // ride-ins (crossJoin(broadcast(thr))): the plan re-derives the
+    // profile subtree 4× (aPrefix, bFull, two verification sides) and
+    // FormattedMode lists each node in tree AND details — 8 mentions.
+    // Corpus-scale sides must never nest-loop; any increase trips this.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 8, s"$bnlj nested-loop join mentions in containment (expected ≤ 8)")
+  }
+
   test("llm_knn_ivf: centroid assignment is a broadcast, never a shuffle") {
     // The corpus-side fold joins a SINGLE-ROW centroid array: the plan must
     // ship it broadcast (nested-loop on one row = a map-side append), and
