@@ -27,6 +27,7 @@ object SparkEntry {
     graft.llm.Retrieval,
     graft.llm.Embeddings,
     graft.llm.TextAnalysis,
+    graft.llm.WebCuration,
     graft.llm.Training,
     graft.llm.MultimodalQueries,
     graft.sources.SourceFormats)

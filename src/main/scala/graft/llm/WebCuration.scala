@@ -1,0 +1,415 @@
+package graft.llm
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: the document-rewriting and policy-gate
+  * passes a crawl-to-training-set pipeline runs between raw ingest and
+  * tokenization (reference analog: the bronze→silver quality gating of
+  * `02_silver_layer_transformation.py`; these are its web-scale cousins).
+  *
+  *   - `llm_line_dedup`      — C4-style cross-document exact LINE dedup:
+  *                             a line occurring in ≥3 distinct documents is
+  *                             boilerplate (nav bars, footers, cookie
+  *                             banners) and is removed from every document,
+  *                             which is then reassembled in original line
+  *                             order. Unlike `llm_dedup_*` (whole-doc /
+  *                             chunk PAIR detection) this REWRITES the
+  *                             surviving documents.
+  *   - `llm_pii_audit`       — per-source PII exposure report: emails,
+  *                             NANP phone numbers, IPv4 addresses and
+  *                             16-digit card numbers, cards validated with
+  *                             the real Luhn checksum (planted check digits
+  *                             are computed, half correct, half off by 3 —
+  *                             so validity is measured, not assumed).
+  *   - `llm_domain_filter`   — URL normalization (case, query/fragment,
+  *                             trailing slash), registrable-domain
+  *                             extraction with a public-suffix rule for
+  *                             multi-label TLDs (co.uk/com.au), blocklist
+  *                             anti-join, per-domain corpus share.
+  *   - `llm_gopher_gate`     — the Gopher/MassiveText word-level quality
+  *                             rule battery (Rae et al. 2021, §A1.1):
+  *                             word-count bounds, mean-word-length bounds,
+  *                             symbol-to-word ratio, alphabetic-word
+  *                             fraction, stopword presence; per-rule flags
+  *                             plus the conjunctive keep decision.
+  *
+  * Scale posture (100 TB): line dedup is two shuffles keyed on line text
+  * (partial-agg'd count-distinct, then an anti-join Spark broadcasts only
+  * when the banned set is small); everything else is a single embarrassing
+  * scan with per-row HOF work and an O(sources|domains) final aggregate.
+  * All derived ratios are int/int rational arithmetic so Spark and DuckDB
+  * hash bit-identically (see [[graft.api.Exact]]).
+  */
+object WebCuration extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ------------------------------------------------------------------
+  // llm_line_dedup: plants two high-frequency boilerplate footers (every
+  // 3rd / every 4th doc) and one rare footer on exactly two docs — below
+  // the ≥3-docs ban threshold, proving the threshold edge both ways.
+  private val FooterA = "copyright footer terms apply all rights reserved"
+  private val FooterB = "subscribe to our newsletter for more updates"
+  private val FooterRare = "rare footer only two documents share this"
+
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("aug", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("\n" + FooterA)).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("\n" + FooterB)).otherwise(lit("")),
+      when(col("doc_id").isin(1, 2), lit("\n" + FooterRare)).otherwise(lit(""))))
+
+  /** C4-style line dedup over any (doc_id, aug) frame: returns one row per
+    * document with the line count, kept-line count, and the document
+    * reassembled from surviving lines in original order. */
+  def lineDedup(lined: DataFrame, minDocs: Int): DataFrame = {
+    val lines = lined.select(col("doc_id"),
+      posexplode(split(col("aug"), "\n")).as(Seq("pos", "line")))
+    // Boilerplate = a line seen in >= minDocs DISTINCT documents. Partial
+    // aggregation bounds the shuffle at O(distinct lines); the ban list is
+    // usually tiny relative to the corpus, so AQE broadcasts the anti-join.
+    val banned = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(banned, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        expr("concat_ws(chr(10), transform(array_sort(collect_list(struct(pos, line))), x -> x.line))")
+          .as("cleaned"))
+    lined.select(col("doc_id"), size(split(col("aug"), "\n")).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  // ------------------------------------------------------------------
+  // llm_pii_audit: the Luhn checksum, written once as a dialect-neutral
+  // CASE over a 1-based position `i` (doubling every second digit from the
+  // right; payload length 15 + check digit keeps the same parity, so one
+  // fragment serves both the planting and the detection pass).
+  private def luhnDigit(s: String): String =
+    s"""CASE WHEN i % 2 = 1
+          THEN (CASE WHEN CAST(substring($s, i, 1) AS INT) * 2 > 9
+                     THEN CAST(substring($s, i, 1) AS INT) * 2 - 9
+                     ELSE CAST(substring($s, i, 1) AS INT) * 2 END)
+          ELSE CAST(substring($s, i, 1) AS INT) END"""
+
+  private def sparkLuhn(s: String, len: Int): String =
+    s"aggregate(sequence(1, $len), 0, (acc, i) -> acc + (${luhnDigit(s)}))"
+
+  private def duckLuhn(s: String, len: Int): String =
+    s"CAST(list_sum([${luhnDigit(s)} for i in generate_series(1, $len)]) AS INT)"
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val CardRe = "\\b\\d{16}\\b"
+
+  /** Per-document PII detail (exposed for the spec's reference-Luhn check):
+    * planted email/phone/IPv4/card occurrences, regex counts, and the Luhn
+    * verdict on the extracted card. */
+  def piiDetail(d: DataFrame): DataFrame =
+    d.withColumn("pay", lpad(col("doc_id").cast("string"), 15, "0"))
+      .withColumn("s15", expr(sparkLuhn("pay", 15)))
+      .withColumn("c0", pmod(lit(10) - pmod(col("s15"), lit(10)), lit(10)))
+      .withColumn("chk",
+        when(pmod(col("doc_id"), lit(2)) === 0, col("c0"))
+          .otherwise(pmod(col("c0") + 3, lit(10))))
+      .withColumn("card", concat(col("pay"), col("chk").cast("string")))
+      .withColumn("aug", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" contact alice@example.com")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" call 415-555-0137")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".2.3"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" card "), col("card"))).otherwise(lit(""))))
+      .withColumn("n_emails", size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))))
+      .withColumn("n_ipv4", size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0))))
+      .withColumn("n_cards", size(regexp_extract_all(col("aug"), lit(CardRe), lit(0))))
+      // Fallback card is Luhn-INVALID (sum 24) so the flag can never leak
+      // true through a doc with no card; both dialects evaluate the Luhn
+      // fold on a safe fixed-width string (no empty-substring cast).
+      .withColumn("cardx",
+        when(col("n_cards") > 0, regexp_extract(col("aug"), "(\\d{16})", 1))
+          .otherwise(lit("1111111111111111")))
+      .withColumn("card_valid",
+        when(col("n_cards") > 0 && pmod(expr(sparkLuhn("cardx", 16)), lit(10)) === 0,
+          lit(1)).otherwise(lit(0)))
+
+  // ------------------------------------------------------------------
+  // llm_domain_filter: 16-slot host table (repeats give the realistic
+  // skew), two blocklisted registrable domains, multi-label TLD hosts to
+  // exercise the public-suffix rule, uppercase/query/fragment/trailing-
+  // slash variants to exercise normalization.
+  private val Hosts = Seq(
+    "www.corpus.com", "news.corpus.com", "blog.openweb.org", "www.openweb.org",
+    "docs.tools.io", "tracker.biz", "ads.tracker.biz", "spamfarm.net",
+    "www.spamfarm.net", "news.example.co.uk", "shop.example.co.uk", "mirror.corpus.com",
+    "www.corpus.com", "cdn.corpus.com", "forum.openweb.org", "wiki.tools.io")
+  private val Blocked = Seq("tracker.biz", "spamfarm.net")
+  private val MultiLabelSuffixes = Seq("co.uk", "com.au")
+
+  /** Normalize a raw URL column and extract host + registrable domain. */
+  def registrableDomains(d: DataFrame): DataFrame =
+    d.withColumn("norm",
+      regexp_replace(regexp_replace(lower(col("raw_url")), "[?#].*$", ""), "/$", ""))
+      .withColumn("host", regexp_extract(col("norm"), "^https?://([^/]+)", 1))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("suffix2",
+        concat_ws(".", element_at(col("labels"), -2), element_at(col("labels"), -1)))
+      .withColumn("domain",
+        when(col("suffix2").isin(MultiLabelSuffixes: _*),
+          concat_ws(".", element_at(col("labels"), -3), col("suffix2")))
+          .otherwise(col("suffix2")))
+
+  def domainFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrl = docs(s, dir)
+      .withColumn("host0",
+        element_at(array(Hosts.map(lit): _*), (pmod(col("doc_id"), lit(16)) + 1).cast("int")))
+      .withColumn("url0", concat(lit("https://"), col("host0"), lit("/p/"),
+        col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm=x#frag")).otherwise(lit("/"))))
+      .withColumn("raw_url",
+        when(pmod(col("doc_id"), lit(9)) === 0, upper(col("url0"))).otherwise(col("url0")))
+    val blocklist = Blocked.toDF("domain")
+    registrableDomains(withUrl)
+      .join(broadcast(blocklist), Seq("domain"), "left_anti")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("host").as("n_hosts"),
+        sum("n_chars").as("total_chars"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / sum("n_docs").over(Window.partitionBy()))
+      .orderBy(col("n_docs").desc, col("domain"))
+  }
+
+  // ------------------------------------------------------------------
+  // llm_gopher_gate: planted degeneracies — every 13th doc truncated to 5
+  // tokens (fails the word-count floor), every 6th doc gets 8 pure-symbol
+  // tokens (fails symbol-ratio / alpha-fraction when the doc is short
+  // enough for 8 symbols to matter — measured, not assumed).
+  private val SymbolToks = Seq("###", "$$$", "%%%", "@@@", "!!!", "^^^", "&&&", "***")
+  private val Stopwords = Seq("the", "a", "and", "to", "of", "in", "is", "that")
+
+  def gopherGate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks0", split(lower(col("text")), "\\s+"))
+      .withColumn("toks1",
+        when(pmod(col("doc_id"), lit(13)) === 0, slice(col("toks0"), 1, 5))
+          .otherwise(col("toks0")))
+      .withColumn("toks",
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("toks1"), array(SymbolToks.map(lit): _*)))
+          .otherwise(col("toks1")))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("sum_len", expr("aggregate(toks, 0, (acc, t) -> acc + length(t))"))
+      .withColumn("n_sym", size(expr("filter(toks, t -> t rlike '^[^a-z0-9]+$')")))
+      .withColumn("n_alpha", size(expr("filter(toks, t -> t rlike '[a-z]')")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")), array(Stopwords.map(lit): _*))))
+      .withColumn("mean_word_len", col("sum_len").cast("double") / col("n_words"))
+      .withColumn("symbol_frac", col("n_sym").cast("double") / col("n_words"))
+      .withColumn("alpha_frac", col("n_alpha").cast("double") / col("n_words"))
+      .withColumn("f_words", col("n_words").between(10, 5000))
+      .withColumn("f_mwl", col("mean_word_len").between(2.0, 10.0))
+      .withColumn("f_symbol", col("symbol_frac") <= 0.1)
+      .withColumn("f_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("f_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("f_words") && col("f_mwl") && col("f_symbol") && col("f_alpha") && col("f_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_frac", "alpha_frac",
+        "n_stop", "f_words", "f_mwl", "f_symbol", "f_alpha", "f_stop", "keep")
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    "llm_line_dedup" -> QuerySpec(
+      fn = (s, dir) => lineDedup(linedDocs(s, dir), minDocs = 3),
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$FooterA' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$FooterB' ELSE '' END
+                 || CASE WHEN doc_id IN (1, 2) THEN chr(10) || '$FooterRare' ELSE '' END
+                   AS aug
+          FROM documents),
+        lines AS (
+          SELECT doc_id, i AS pos, ls[i] AS line
+          FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+                FROM (SELECT doc_id, string_split(aug, chr(10)) AS ls FROM aug))),
+        banned AS (
+          SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+        kept AS (
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY pos) AS cleaned
+          FROM lines WHERE line NOT IN (SELECT line FROM banned)
+          GROUP BY doc_id)
+        SELECT a.doc_id,
+               CAST(len(string_split(a.aug, chr(10))) AS INT) AS n_lines,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(k.cleaned, '') AS cleaned
+        FROM aug a LEFT JOIN kept k USING (doc_id)"""),
+      doc = "C4-style cross-document exact line dedup (ban lines in >=3 docs)"),
+
+    "llm_pii_audit" -> QuerySpec(
+      fn = (s, dir) => piiDetail(docs(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") > 0, 1).otherwise(0)).as("docs_email"),
+          sum("n_phones").as("n_phones"),
+          sum("n_ipv4").as("n_ipv4"),
+          sum("n_cards").as("n_cards"),
+          sum("card_valid").as("n_cards_valid"),
+          (sum(when(col("n_emails") + col("n_phones") + col("n_ipv4") + col("n_cards") > 0,
+            1).otherwise(0)).cast("double") / count(lit(1))).as("pii_doc_frac"))
+        .orderBy("source"),
+      oracle = Some(s"""
+        WITH pay AS (
+          SELECT doc_id, source, text,
+                 lpad(CAST(doc_id AS VARCHAR), 15, '0') AS pay
+          FROM documents),
+        chk AS (
+          SELECT doc_id, source, text, pay, ${duckLuhn("pay", 15)} AS s15
+          FROM pay),
+        card AS (
+          SELECT doc_id, source, text,
+                 pay || CAST(CASE WHEN doc_id % 2 = 0
+                                  THEN (10 - s15 % 10) % 10
+                                  ELSE ((10 - s15 % 10) % 10 + 3) % 10 END AS VARCHAR)
+                   AS card
+          FROM chk),
+        aug AS (
+          SELECT doc_id, source,
+                 text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' contact alice@example.com' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-0137' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.2.3'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN ' card ' || card ELSE '' END AS aug
+          FROM card),
+        det AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones,
+                 CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+                 CAST(len(regexp_extract_all(aug, '\\b\\d{16}\\b')) AS INT) AS n_cards,
+                 aug
+          FROM aug),
+        safe AS (
+          SELECT *, CASE WHEN n_cards > 0 THEN regexp_extract(aug, '(\\d{16})', 1)
+                         ELSE '1111111111111111' END AS cardx
+          FROM det),
+        v AS (
+          SELECT *, CASE WHEN n_cards > 0 AND (${duckLuhn("cardx", 16)}) % 10 = 0
+                         THEN 1 ELSE 0 END AS card_valid
+          FROM safe)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+               CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+               CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(SUM(n_cards) AS BIGINT) AS n_cards,
+               CAST(SUM(card_valid) AS BIGINT) AS n_cards_valid,
+               CAST(SUM(CASE WHEN n_emails + n_phones + n_ipv4 + n_cards > 0
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pii_doc_frac
+        FROM v GROUP BY source ORDER BY source"""),
+      doc = "per-source PII exposure audit with real Luhn card validation"),
+
+    "llm_domain_filter" -> QuerySpec(
+      fn = (s, dir) => domainFilter(s, dir),
+      oracle = Some(s"""
+        WITH u AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % 9 = 0 THEN upper(url) ELSE url END AS raw_url
+          FROM (SELECT doc_id, n_chars,
+                  'https://' || ([${Hosts.map(h => s"'$h'").mkString(", ")}])[CAST(doc_id % 16 AS INT) + 1]
+                  || '/p/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 2 = 0 THEN '?utm=x#frag' ELSE '/' END AS url
+                FROM documents)),
+        n AS (
+          SELECT doc_id, n_chars,
+                 regexp_replace(regexp_replace(lower(raw_url), '[?#].*$$', ''), '/$$', '')
+                   AS norm
+          FROM u),
+        h AS (
+          SELECT doc_id, n_chars,
+                 regexp_extract(norm, '^https?://([^/]+)', 1) AS host,
+                 string_split(regexp_extract(norm, '^https?://([^/]+)', 1), '.') AS labels
+          FROM n),
+        r AS (
+          SELECT doc_id, n_chars, host,
+                 CASE WHEN labels[-2] || '.' || labels[-1]
+                        IN (${MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")})
+                      THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                      ELSE labels[-2] || '.' || labels[-1] END AS domain
+          FROM h),
+        k AS (SELECT * FROM r
+              WHERE domain NOT IN (${Blocked.map(x => s"'$x'").mkString(", ")}))
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS doc_share
+        FROM k GROUP BY domain ORDER BY n_docs DESC, domain"""),
+      doc = "URL normalization + registrable-domain blocklist filter"),
+
+    "llm_gopher_gate" -> QuerySpec(
+      fn = (s, dir) => gopherGate(s, dir),
+      oracle = Some(s"""
+        WITH t0 AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks0
+          FROM documents),
+        t1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN toks0[1:5] ELSE toks0 END AS toks1
+          FROM t0),
+        t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0
+                      THEN list_concat(toks1,
+                        [${SymbolToks.map(x => s"'$x'").mkString(", ")}])
+                      ELSE toks1 END AS toks
+          FROM t1),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(list_sum([length(x) for x in toks]) AS INT) AS sum_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$$')))
+                   AS INT) AS n_sym,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS INT) AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(toks),
+                   [${Stopwords.map(x => s"'$x'").mkString(", ")}])) AS INT) AS n_stop
+          FROM t)
+        SELECT doc_id, n_words,
+               CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+               CAST(n_sym AS DOUBLE) / n_words AS symbol_frac,
+               CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+               n_stop,
+               n_words BETWEEN 10 AND 5000 AS f_words,
+               CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0 AND 10.0 AS f_mwl,
+               CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS f_symbol,
+               CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS f_alpha,
+               n_stop >= 2 AS f_stop,
+               (n_words BETWEEN 10 AND 5000)
+                 AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0 AND 10.0)
+                 AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+                 AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+                 AND (n_stop >= 2) AS keep
+        FROM m"""),
+      doc = "Gopher/MassiveText word-level quality rule battery"))
+}
