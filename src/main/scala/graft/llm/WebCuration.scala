@@ -234,8 +234,121 @@ object WebCuration extends QueryModule {
         "n_stop", "f_words", "f_mwl", "f_symbol", "f_alpha", "f_stop", "keep")
 
   // ------------------------------------------------------------------
+  // llm_html_extract: half the corpus is wrapped in a realistic HTML
+  // shell (title, style, script, comment, entity-encoded nav div) and the
+  // extractor must recover the readable text: drop script/style bodies,
+  // drop comments, strip tags, THEN decode entities (the order matters —
+  // an entity-encoded '<nav>' must survive as text, not be re-stripped),
+  // collapse whitespace. RE2 (DuckDB) has no backreferences, so script
+  // and style are two separate non-greedy replaces — the fragment is
+  // dialect-neutral and shared verbatim with the oracle.
+  private def htmlWrap(idExpr: String, textExpr: String): String =
+    s"""'<html><head><title>Doc ' || CAST($idExpr AS STRING) || '</title>'
+       || '<style>p{color:red}</style><script>var x=1;</script></head>'
+       || '<body><h1>Doc ' || CAST($idExpr AS STRING) || '</h1><p>'
+       || $textExpr || '</p><!-- tracking pixel -->'
+       || '<div class="nav">&amp; &lt;nav&gt; links &copy; here</div>'
+       || '</body></html>'"""
+
+  /** Dialect-shared extraction chain. `g` is the global-replace suffix:
+    * empty for Spark (always global), ", 'g'" for DuckDB (first-match by
+    * default). The whitespace collapse is written `' +'` (the constructed
+    * text has only plain spaces) because a `\s` class cannot be spelled
+    * identically in both dialects: Spark string literals process the
+    * backslash escape, DuckDB's do not. */
+  private def htmlExtractSql(c: String, g: String): String =
+    s"""trim(regexp_replace(
+          replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace($c, '<script[^>]*>.*?</script>', ' '$g),
+                  '<style[^>]*>.*?</style>', ' '$g),
+                '<!--.*?-->', ' '$g),
+              '<[^>]+>', ' '$g),
+            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&copy;', '©'),
+            '&nbsp;', ' '),
+          ' +', ' '$g))"""
+
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("aug",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          expr(htmlWrap("doc_id", "text"))).otherwise(col("text")))
+      .withColumn("is_html", col("aug").startsWith("<html"))
+      .withColumn("extracted", expr(htmlExtractSql("aug", "")))
+      .select(col("doc_id"), col("is_html"), col("extracted"),
+        length(col("extracted")).as("n_chars_extracted"))
+
+  // ------------------------------------------------------------------
+  // llm_license_filter: per-(source, license) exposure report. Planted
+  // license sentences (MIT / CC-BY / all-rights-reserved) on 3 of every 5
+  // docs; classification is first-match-wins, keep = anything not
+  // proprietary. The report is what a corpus counsel review reads before
+  // a training run.
+  private val LicMit = "released under the mit license"
+  private val LicCc = "licensed under creative commons attribution 4.0"
+  private val LicProp = "all rights reserved unauthorized reproduction prohibited"
+
+  def licenseFilter(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("aug", concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 1, lit(" " + LicMit))
+          .otherwise(when(pmod(col("doc_id"), lit(5)) === 2, lit(" " + LicCc))
+            .otherwise(when(pmod(col("doc_id"), lit(5)) === 3, lit(" " + LicProp))
+              .otherwise(lit(""))))))
+      .withColumn("license",
+        when(col("aug").contains("mit license"), "mit")
+          .otherwise(when(col("aug").contains("creative commons"), "cc-by")
+            .otherwise(when(col("aug").contains("all rights reserved"), "proprietary")
+              .otherwise("unknown"))))
+      .withColumn("keep", col("license") =!= "proprietary")
+      .groupBy("source", "license")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+      .orderBy("source", "license")
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, QuerySpec] = Map(
+
+    "llm_html_extract" -> QuerySpec(
+      fn = (s, dir) => htmlExtract(s, dir),
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN ${htmlWrap("doc_id", "text")}
+                      ELSE text END AS aug
+          FROM documents)
+        SELECT doc_id,
+               aug LIKE '<html%' AS is_html,
+               ${htmlExtractSql("aug", ", 'g'")} AS extracted,
+               CAST(length(${htmlExtractSql("aug", ", 'g'")}) AS INT) AS n_chars_extracted
+        FROM aug"""),
+      doc = "HTML-to-text extraction: strip script/style/comments/tags, decode entities"),
+
+    "llm_license_filter" -> QuerySpec(
+      fn = (s, dir) => licenseFilter(s, dir),
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 text || CASE WHEN doc_id % 5 = 1 THEN ' $LicMit'
+                              WHEN doc_id % 5 = 2 THEN ' $LicCc'
+                              WHEN doc_id % 5 = 3 THEN ' $LicProp'
+                              ELSE '' END AS aug
+          FROM documents),
+        lic AS (
+          SELECT source,
+                 CASE WHEN contains(aug, 'mit license') THEN 'mit'
+                      WHEN contains(aug, 'creative commons') THEN 'cc-by'
+                      WHEN contains(aug, 'all rights reserved') THEN 'proprietary'
+                      ELSE 'unknown' END AS license
+          FROM aug)
+        SELECT source, license, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN license <> 'proprietary' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept
+        FROM lic GROUP BY source, license ORDER BY source, license"""),
+      doc = "license detection and filter report per (source, license)"),
 
     "llm_line_dedup" -> QuerySpec(
       fn = (s, dir) => lineDedup(linedDocs(s, dir), minDocs = 3),

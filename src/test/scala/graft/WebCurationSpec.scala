@@ -143,6 +143,47 @@ class WebCurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // ------------------------------------------------------------------
+  test("html extract: recovers readable text, strips script/style, decodes entities last") {
+    val out = run("llm_html_extract").cache()
+    val orig = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = out.collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val extracted = r.getString(2)
+      if (id % 2 == 0) {
+        assert(r.getBoolean(1), s"doc $id should be flagged html")
+        // Title + h1 text survive, script/style bodies don't, the
+        // entity-encoded nav text decodes AFTER tag stripping so the
+        // literal '<nav>' is text, not a stripped tag.
+        assert(extracted === s"Doc $id Doc $id ${orig(id)} & <nav> links © here",
+          s"doc $id extraction mismatch")
+        assert(!extracted.contains("var x=1") && !extracted.contains("color:red")
+          && !extracted.contains("tracking pixel"))
+      } else {
+        assert(!r.getBoolean(1))
+        assert(extracted === orig(id), s"doc $id passthrough mismatch")
+      }
+    }
+    out.unpersist()
+  }
+
+  test("license filter: counts match planting density, only proprietary dropped") {
+    val out = run("llm_license_filter").cache()
+    val n = Tables.load(spark, sfDir, "documents").count()
+    val byLic = out.groupBy("license")
+      .agg(sum("n_docs").as("d"), sum("n_kept").as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def planted(m: Long) = (0L until n).count(_ % 5 == m).toLong
+    assert(byLic("mit") === ((planted(1), planted(1))))
+    assert(byLic("cc-by") === ((planted(2), planted(2))))
+    assert(byLic("proprietary") === ((planted(3), 0L)))
+    assert(byLic("unknown")._1 === n - planted(1) - planted(2) - planted(3))
+    out.unpersist()
+  }
+
   test("gopher gate: single-scan plan, no shuffle, no UDFs") {
     val plan = run("llm_gopher_gate").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"per-row gate must not shuffle:\n$plan")
