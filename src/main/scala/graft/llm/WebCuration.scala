@@ -57,7 +57,9 @@ object WebCuration extends QueryModule {
   private val FooterB = "subscribe to our newsletter for more updates"
   private val FooterRare = "rare footer only two documents share this"
 
-  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+  /** The fixture corpus with the planted footer lines (public so the
+    * streaming spec can feed the identical corpus). */
+  def linedDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("aug", concat(
       col("text"),
       when(pmod(col("doc_id"), lit(3)) === 0, lit("\n" + FooterA)).otherwise(lit("")),
@@ -67,16 +69,25 @@ object WebCuration extends QueryModule {
   /** C4-style line dedup over any (doc_id, aug) frame: returns one row per
     * document with the line count, kept-line count, and the document
     * reassembled from surviving lines in original order. */
-  def lineDedup(lined: DataFrame, minDocs: Int): DataFrame = {
-    val lines = lined.select(col("doc_id"),
+  /** (doc_id, pos, line) exploded view of a (doc_id, aug) frame. */
+  def explodedLines(lined: DataFrame): DataFrame =
+    lined.select(col("doc_id"),
       posexplode(split(col("aug"), "\n")).as(Seq("pos", "line")))
-    // Boilerplate = a line seen in >= minDocs DISTINCT documents. Partial
-    // aggregation bounds the shuffle at O(distinct lines); the ban list is
-    // usually tiny relative to the corpus, so AQE broadcasts the anti-join.
-    val banned = lines.groupBy("line")
+
+  /** Boilerplate = a line seen in >= minDocs DISTINCT documents. Partial
+    * aggregation bounds the shuffle at O(distinct lines); the ban list is
+    * usually tiny relative to the corpus, so AQE broadcasts the anti-join.
+    * Shared with [[graft.streaming.BoilerplateStream]], whose incremental
+    * ban set must equal this batch definition. */
+  def bannedLines(lines: DataFrame, minDocs: Int): DataFrame =
+    lines.groupBy("line")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)
       .select("line")
+
+  def lineDedup(lined: DataFrame, minDocs: Int): DataFrame = {
+    val lines = explodedLines(lined)
+    val banned = bannedLines(lines, minDocs)
     val kept = lines.join(banned, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_kept"),
