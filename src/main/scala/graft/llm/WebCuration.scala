@@ -208,6 +208,38 @@ object WebCuration extends QueryModule {
   }
 
   // ------------------------------------------------------------------
+  // llm_dedup_url: canonical-URL dedup — the FIRST dedup pass a crawl
+  // pipeline runs (before any text is hashed): re-crawls and mirror
+  // variants of the same page differ only in case / tracking params /
+  // trailing slash, so normalization alone collapses them. Consecutive
+  // doc pairs share a page URL; the odd member carries the decoration
+  // noise. Survivor = most content (n_chars), ties to the smallest id —
+  // the content-aware keep rule, spelled as one rank window per URL
+  // (group sizes are bounded by variant counts, never corpus size).
+  private def pagedUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("page", col("doc_id") - pmod(col("doc_id"), lit(2)))
+      .withColumn("host0",
+        element_at(array(Hosts.map(lit): _*), (pmod(col("page"), lit(16)) + 1).cast("int")))
+      .withColumn("url0", concat(lit("https://"), col("host0"), lit("/p/"),
+        col("page").cast("string")))
+      .withColumn("raw_url",
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          upper(concat(col("url0"), lit("/?utm_source=mirror#top"))))
+          .otherwise(col("url0")))
+
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("norm")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    registrableDomains(pagedUrls(s, dir))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_variants", count(lit(1)).over(Window.partitionBy("norm")))
+      .filter(col("rk") === 1)
+      .select(col("norm").as("url"), col("n_variants"),
+        col("doc_id").as("kept_doc"), col("n_chars").as("kept_chars"))
+  }
+
+  // ------------------------------------------------------------------
   // llm_gopher_gate: planted degeneracies — every 13th doc truncated to 5
   // tokens (fails the word-count floor), every 6th doc gets 8 pure-symbol
   // tokens (fails symbol-ratio / alpha-fraction when the doc is short
@@ -490,6 +522,39 @@ object WebCuration extends QueryModule {
                CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS doc_share
         FROM k GROUP BY domain ORDER BY n_docs DESC, domain"""),
       doc = "URL normalization + registrable-domain blocklist filter"),
+
+    "llm_dedup_url" -> QuerySpec(
+      fn = (s, dir) => urlDedup(s, dir),
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT doc_id, n_chars, doc_id - doc_id % 2 AS page
+          FROM documents),
+        u AS (
+          SELECT doc_id, n_chars,
+                 'https://' || ([${Hosts.map(h => s"'$h'").mkString(", ")}])[CAST(page % 16 AS INT) + 1]
+                 || '/p/' || CAST(page AS STRING) AS url0
+          FROM p),
+        r AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % 2 = 1
+                      THEN upper(url0 || '/?utm_source=mirror#top')
+                      ELSE url0 END AS raw_url
+          FROM u),
+        n AS (
+          SELECT doc_id, n_chars,
+                 regexp_replace(regexp_replace(lower(raw_url), '[?#].*$$', ''), '/$$', '')
+                   AS norm
+          FROM r),
+        ranked AS (
+          SELECT norm, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                 COUNT(*) OVER (PARTITION BY norm) AS n_variants
+          FROM n)
+        SELECT norm AS url, CAST(n_variants AS BIGINT) AS n_variants,
+               doc_id AS kept_doc, n_chars AS kept_chars
+        FROM ranked WHERE rk = 1"""),
+      doc = "canonical-URL dedup: normalize, group by URL, keep most-content variant"),
 
     "llm_gopher_gate" -> QuerySpec(
       fn = (s, dir) => gopherGate(s, dir),

@@ -144,6 +144,29 @@ class WebCurationSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  test("url dedup: variants collapse onto the canonical URL, most-content survivor kept") {
+    val out = run("llm_dedup_url").cache()
+    val n = Tables.load(spark, sfDir, "documents").count()
+    // Dense ids -> every even/odd pair shares a page: half the corpus
+    // survives and every page saw exactly 2 variants.
+    assert(out.count() === (n + 1) / 2)
+    assert(out.filter(col("n_variants") =!= 2).count() === 0)
+    // Canonical URLs are normalized: lowercase, no query/fragment/slash.
+    assert(out.filter(col("url").rlike("[?#A-Z]|/$")).count() === 0)
+    // The survivor is the pair's max-n_chars member (ties -> smaller id):
+    // recompute independently from the raw table.
+    val best = Tables.load(spark, sfDir, "documents")
+      .withColumn("page", col("doc_id") - pmod(col("doc_id"), lit(2)))
+      .groupBy("page")
+      .agg(max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("want"))
+    val joined = out.withColumn("page",
+      regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .join(best, "page")
+    assert(joined.filter(col("kept_doc") =!= col("want")).count() === 0)
+    out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
   test("html extract: recovers readable text, strips script/style, decodes entities last") {
     val out = run("llm_html_extract").cache()
     val orig = Tables.load(spark, sfDir, "documents")
