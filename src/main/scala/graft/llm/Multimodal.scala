@@ -84,6 +84,30 @@ object Multimodal {
     else VideoContainers.webmPayload(id, w, h, dur, tracks)
   }
 
+  /** Deterministic compressed-audio parameters, the closed form the
+    * `llm_mm_audio_meta` oracle recomputes: (sampleRate, channels,
+    * bitrateKbps, mp3Frames, oggSamples). Derived from DIFFERENT id
+    * divisors than the container choice (id % 2) so every combination
+    * appears under both containers. */
+  def audioParams(id: Long): (Int, Int, Int, Int, Long) = {
+    val rate = Array(44100, 48000, 32000)(((id / 3) % 3).toInt)
+    val channels = 1 + ((id / 5) % 2).toInt
+    val kbps = Array(96, 128, 160, 192)(((id / 7) % 4).toInt)
+    val mp3Frames = 20 + (id % 7).toInt * 10
+    val oggSamples = rate.toLong / 2 * (1 + (id % 5)) // exact 500ms steps
+    (rate, channels, kbps, mp3Frames, oggSamples)
+  }
+
+  /** A real compressed-audio container per asset: MP3 for even ids,
+    * OGG/Vorbis for odd (beside [[wavPayload]], which stays the DECODED
+    * path — these are the metadata-only containers, coded samples
+    * stubbed as documented). */
+  def audioContainerPayload(id: Long): Array[Byte] = {
+    val (rate, channels, kbps, mp3Frames, oggSamples) = audioParams(id)
+    if (id % 2 == 0) AudioContainers.mp3Payload(id, kbps, rate, channels, mp3Frames)
+    else AudioContainers.oggPayload(id, rate, channels, kbps, oggSamples)
+  }
+
   /** Expected dimensions of [[pngPayload]] (shared with tests). */
   def pngDims(id: Long): (Int, Int) = (16 + (id % 48).toInt, 16 + (id % 31).toInt)
 
@@ -392,6 +416,50 @@ object MultimodalQueries extends QueryModule {
                CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
                CAST(96 + (doc_id % 5) * 24 AS INT) AS height
         FROM documents WHERE doc_id % 3 = 2""")),
+
+    // ------------------------------------------------------------------
+    // REAL compressed-audio container metadata, differentially checked:
+    // the Spark side builds a genuine minimal MP3 (even ids — MPEG-1
+    // Layer III frames, real bitrate/rate tables) or OGG/Vorbis (odd ids
+    // — real page CRC-32, real identification packet) per audio asset and
+    // parses it back through [[AudioContainers]]. The oracle never sees
+    // the bytes: it recomputes container, rate, channels, duration and
+    // bitrate from the generator's closed form, so a flipped bit anywhere
+    // in the write → sniff → walk → CRC roundtrip breaks the hash. Sample
+    // decode below the containers stays stubbed (no codecs in this env) —
+    // this is the metadata pass that prices the decode fleet.
+    "llm_mm_audio_meta" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val am = AudioContainers.parse(Multimodal.audioContainerPayload(id))
+              .getOrElse(AudioContainers.AudioMeta("unknown", 0, 0, -1L, 0))
+            (id, am.container, am.sampleRate, am.channels, am.durationMs, am.bitrateKbps)
+          })
+          .toDF("asset_id", "container", "sample_rate", "channels",
+            "duration_ms", "bitrate_kbps")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END AS rate,
+                 CAST(1 + (doc_id // 5) % 2 AS INT) AS channels,
+                 CASE (doc_id // 7) % 4 WHEN 0 THEN 96 WHEN 1 THEN 128
+                      WHEN 2 THEN 160 ELSE 192 END AS kbps
+          FROM documents WHERE doc_id % 3 = 1)
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'ogg' END AS container,
+               CAST(rate AS INT) AS sample_rate,
+               channels,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (20 + (doc_id % 7) * 10) * 1152 * 1000 // rate
+                         ELSE 500 * (1 + doc_id % 5) END AS BIGINT) AS duration_ms,
+               CAST(kbps AS INT) AS bitrate_kbps
+        FROM p""")),
 
     // ------------------------------------------------------------------
     // Frame sampling over opaque video payloads: every OTHER 32-byte frame

@@ -107,6 +107,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio containers: MP3/OGG write → sniff → parse roundtrip; CRC real; defensive") {
+    import graft.llm.AudioContainers
+    (0L until 40L).foreach { i =>
+      val id = i * 3 + 1 // the audio-kind id lattice
+      val (rate, channels, kbps, mp3Frames, oggSamples) = Multimodal.audioParams(id)
+      val am = AudioContainers.parse(Multimodal.audioContainerPayload(id))
+        .getOrElse(fail(s"audio container for id $id did not parse"))
+      assert(am.container === (if (id % 2 == 0) "mp3" else "ogg"))
+      assert(am.sampleRate === rate && am.channels === channels, s"id $id")
+      assert(am.bitrateKbps === kbps, s"bitrate for id $id")
+      val wantMs =
+        if (id % 2 == 0) mp3Frames.toLong * 1152 * 1000 / rate
+        else oggSamples * 1000 / rate
+      assert(am.durationMs === wantMs, s"duration for id $id")
+    }
+    // Defensive: junk and truncation return None, never throw.
+    assert(AudioContainers.parse(Array.emptyByteArray).isEmpty)
+    assert(AudioContainers.parse("definitely not audio".getBytes).isEmpty)
+    val mp3 = Multimodal.audioContainerPayload(4L)
+    val frameLen4 = mp3.length / Multimodal.audioParams(4L)._4
+    (1 until mp3.length by 97).foreach { cut =>
+      // A cut at an exact frame boundary IS a valid shorter stream; any
+      // other prefix is damaged and must be rejected.
+      if (cut % frameLen4 != 0)
+        assert(AudioContainers.parse(mp3.take(cut)).isEmpty,
+          s"truncated mp3 at $cut must not parse")
+    }
+    val ogg = Multimodal.audioContainerPayload(7L)
+    val bosLen = 27 + 1 + 30 // a cut exactly after the BOS page is valid
+    (1 until ogg.length by 13).foreach { cut =>
+      if (cut != bosLen)
+        assert(AudioContainers.parse(ogg.take(cut)).isEmpty,
+          s"truncated ogg at $cut must not parse")
+    }
+    // The OGG CRC is genuinely checked: flip one payload bit -> None.
+    val corrupt = ogg.clone()
+    corrupt(ogg.length - 1) = (corrupt(ogg.length - 1) ^ 0x01).toByte
+    assert(AudioContainers.parse(corrupt).isEmpty, "flipped bit must fail CRC")
+    // An mp3 with a corrupted mid-stream sync is damaged -> None.
+    val badSync = mp3.clone()
+    val frameLen = mp3.length / Multimodal.audioParams(4L)._4
+    badSync(frameLen) = 0x00
+    assert(AudioContainers.parse(badSync).isEmpty)
+  }
+
   test("resize re-encodes images at target dimensions, passes others through") {
     val in = Multimodal.assets(spark, sfDir)
     val out = Multimodal.resize(in, 32, 24).collect()
