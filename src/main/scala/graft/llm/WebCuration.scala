@@ -38,11 +38,13 @@ import org.apache.spark.sql.functions._
   *                             plus the conjunctive keep decision.
   *
   * Scale posture (100 TB): line dedup is two shuffles keyed on line text
-  * (partial-agg'd count-distinct, then an anti-join Spark broadcasts only
-  * when the banned set is small); everything else is a single embarrassing
+  * (partial-agg'd count-distinct, then a join Spark broadcasts only when
+  * the banned set is small); everything else is a single embarrassing
   * scan with per-row HOF work and an O(sources|domains) final aggregate.
-  * All derived ratios are int/int rational arithmetic so Spark and DuckDB
-  * hash bit-identically (see [[graft.api.Exact]]).
+  * Numeric discipline: every reported fraction is ONE IEEE division of
+  * exact integer aggregates — never a float SUM, whose partial-aggregation
+  * order would differ between engines (see [[graft.api.Exact]] for the
+  * decimal-accumulation rule a float sum would need).
   */
 object WebCuration extends QueryModule {
 
@@ -66,9 +68,6 @@ object WebCuration extends QueryModule {
       when(pmod(col("doc_id"), lit(4)) === 0, lit("\n" + FooterB)).otherwise(lit("")),
       when(col("doc_id").isin(1, 2), lit("\n" + FooterRare)).otherwise(lit(""))))
 
-  /** C4-style line dedup over any (doc_id, aug) frame: returns one row per
-    * document with the line count, kept-line count, and the document
-    * reassembled from surviving lines in original order. */
   /** (doc_id, pos, line) exploded view of a (doc_id, aug) frame. */
   def explodedLines(lined: DataFrame): DataFrame =
     lined.select(col("doc_id"),
@@ -85,19 +84,24 @@ object WebCuration extends QueryModule {
       .filter(col("df") >= minDocs)
       .select("line")
 
+  /** C4-style line dedup over any (doc_id, aug) frame: one row per
+    * document with the line count, kept-line count, and the document
+    * reassembled from surviving lines in original order. ONE corpus scan:
+    * the exploded side left-joins the (small, AQE-broadcast) ban list and
+    * a single per-document aggregate computes total, kept, and the
+    * reassembly together (collect_list skips the nulled-out banned
+    * entries; concat_ws of an empty array is '', covering the
+    * all-lines-banned document). */
   def lineDedup(lined: DataFrame, minDocs: Int): DataFrame = {
     val lines = explodedLines(lined)
-    val banned = bannedLines(lines, minDocs)
-    val kept = lines.join(banned, Seq("line"), "left_anti")
+    val banned = bannedLines(lines, minDocs).withColumn("banned", lit(true))
+    lines.join(banned, Seq("line"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        expr("concat_ws(chr(10), transform(array_sort(collect_list(struct(pos, line))), x -> x.line))")
-          .as("cleaned"))
-    lined.select(col("doc_id"), size(split(col("aug"), "\n")).as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("banned").isNull, 1).otherwise(0)).cast("int").as("n_kept"),
+        expr("""concat_ws(chr(10), transform(array_sort(
+             collect_list(CASE WHEN banned IS NULL THEN struct(pos, line) END)),
+             x -> x.line))""").as("cleaned"))
   }
 
   // ------------------------------------------------------------------

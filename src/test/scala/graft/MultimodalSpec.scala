@@ -147,8 +147,7 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioContainers.parse(corrupt).isEmpty, "flipped bit must fail CRC")
     // An mp3 with a corrupted mid-stream sync is damaged -> None.
     val badSync = mp3.clone()
-    val frameLen = mp3.length / Multimodal.audioParams(4L)._4
-    badSync(frameLen) = 0x00
+    badSync(frameLen4) = 0x00
     assert(AudioContainers.parse(badSync).isEmpty)
   }
 
