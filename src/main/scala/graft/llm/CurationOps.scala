@@ -378,6 +378,73 @@ object CurationOps extends QueryModule {
         FROM c, d""")),
 
     // ------------------------------------------------------------------
+    // Epoch plan: the table a training run derives from the mixing rule —
+    // per source, how many tokens exist, what share of the token budget it
+    // gets (temperature-flattened, α=0.5: share ∝ √tokens), and therefore
+    // how many EPOCHS of that source the run will see (repeat_factor =
+    // the ceil a sampler-with-replacement actually uses). Budget = 4× the
+    // corpus (the typical over-train multiple for a curated subset).
+    // Numeric discipline: avail/total are exact integer sums; the √-fold
+    // runs over the SAME sorted per-source list on both sides (float sums
+    // are order-dependent); every derived number is a fixed left-to-right
+    // chain of single double ops on exact inputs. O(sources) output.
+    "llm_epoch_plan" -> QuerySpec(
+      fn = (s, dir) => {
+        val counts = docs(s, dir)
+          .select(col("source"),
+            size(split(lower(col("text")), "\\s+")).as("t"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("t").as("avail_tokens"))
+        val tot = counts.agg(
+          sort_array(collect_list(struct(col("source"), col("avail_tokens"))))
+            .as("xs"))
+          .select(
+            expr("""aggregate(xs, CAST(0.0 AS DOUBLE),
+                 (a, x) -> a + sqrt(x.avail_tokens))""").as("denom"),
+            expr("""aggregate(xs, CAST(0 AS BIGINT),
+                 (a, x) -> a + x.avail_tokens)""").as("total_tokens"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("share", sqrt(col("avail_tokens")) / col("denom"))
+          .withColumn("target_tokens",
+            floor(col("total_tokens").cast("double") * 4.0 * col("share"))
+              .cast("long"))
+          .withColumn("epochs",
+            col("target_tokens").cast("double") / col("avail_tokens"))
+          .withColumn("repeat_factor", ceil(col("epochs")).cast("int"))
+          .select(col("source"), col("n_docs"), col("avail_tokens"),
+            col("share"), col("target_tokens"), col("epochs"),
+            col("repeat_factor"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+                   AS BIGINT) AS avail_tokens
+          FROM documents GROUP BY source),
+        d AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     [sqrt(x.avail_tokens) FOR x IN
+                       list_sort(list(struct_pack(source := source,
+                                                  avail_tokens := avail_tokens)))]),
+                   (a, b) -> a + b) AS denom,
+                 CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens
+          FROM c)
+        SELECT source, n_docs, avail_tokens,
+               sqrt(avail_tokens) / denom AS share,
+               CAST(floor(CAST(total_tokens AS DOUBLE) * 4.0
+                 * (sqrt(avail_tokens) / denom)) AS BIGINT) AS target_tokens,
+               CAST(floor(CAST(total_tokens AS DOUBLE) * 4.0
+                 * (sqrt(avail_tokens) / denom)) AS BIGINT)
+                 / CAST(avail_tokens AS DOUBLE) AS epochs,
+               CAST(ceil(CAST(floor(CAST(total_tokens AS DOUBLE) * 4.0
+                 * (sqrt(avail_tokens) / denom)) AS BIGINT)
+                 / CAST(avail_tokens AS DOUBLE)) AS INT) AS repeat_factor
+        FROM c, d ORDER BY source"""),
+      doc = "per-source token budget, epochs, and repeat factors from the √n mixing rule"),
+
+    // ------------------------------------------------------------------
     // Budget-constrained greedy corpus selection (knapsack by density):
     // keep the highest value-per-token documents until a token budget
     // (25% of the corpus) is spent. The textbook spelling — one global
