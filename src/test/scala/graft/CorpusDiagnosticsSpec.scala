@@ -12,6 +12,27 @@ class CorpusDiagnosticsSpec extends SparkSpec {
 
   private def toksDoc(words: Seq[String]): String = words.mkString(" ")
 
+  test("vocab growth: monotone, types <= tokens, saturates past the corpus") {
+    val rows = graft.llm.CorpusDiagnostics.queries("llm_vocab_growth")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    rows.sliding(2).foreach { case Array((_, t1, v1, _), (_, t2, v2, _)) =>
+      assert(t2 >= t1 && v2 >= v1, "growth must be monotone in the prefix")
+    }
+    rows.foreach { case (cp, tokens, types, ttr) =>
+      assert(types <= tokens && ttr <= 1.0 && ttr > 0.0, s"checkpoint $cp")
+      assert(ttr === types.toDouble / tokens)
+    }
+    // Checkpoints past the corpus size see the whole corpus: identical.
+    val n = graft.sources.Tables.load(spark, sfDir, "documents").count()
+    val past = rows.filter(_._1 >= n)
+    assert(past.length >= 2 && past.map(r => (r._2, r._3)).distinct.length === 1)
+    // Heaps: type growth is strictly sublinear across the measured decades
+    // (TTR falls as the prefix grows) on any natural-ish corpus.
+    assert(rows.head._4 > rows.last._4)
+  }
+
   test("dupSpans merges adjacent duplicated windows into one maximal span") {
     // doc 1 and doc 2 share an exact 12-token run; everything else is
     // unique filler, so with k=8 the duplicated windows in each doc are
