@@ -74,7 +74,10 @@ object AudioContainers {
 
   /** Parse an MPEG-1 Layer III stream: decode the first frame header via
     * the real bitrate/rate tables, then walk frame-by-frame counting.
-    * Junk, truncation, or a reserved table index return None. */
+    * Junk, truncation, a reserved table index, or a parameter change
+    * mid-stream (rate/bitrate/channel mode — this reader's duration
+    * arithmetic is CBR-only, so a VBR or mixed-rate stream must be
+    * rejected rather than priced off the first frame) return None. */
   def parseMp3(bytes: Array[Byte]): Option[AudioMeta] = {
     if (bytes.length < 4) return None
     def headerAt(p: Int): Option[(Int, Int, Int, Int)] = {
@@ -94,9 +97,10 @@ object AudioContainers {
       var ok = true
       while (ok && p < bytes.length) {
         headerAt(p) match {
-          case Some((k, r, _, pad)) =>
+          case Some((k, r, c, pad)) =>
             val len = mp3FrameLen(k, r) + pad
-            if (p + len > bytes.length) ok = false // truncated frame
+            if (k != kbps || r != rate || c != channels) ok = false // VBR/mixed
+            else if (p + len > bytes.length) ok = false // truncated frame
             else { frames += 1; p += len }
           case None => ok = false
         }
@@ -229,7 +233,12 @@ object AudioContainers {
       }
       p += pageLen
     }
-    if (!sawBos || sampleRate <= 0 || channels <= 0 || granule < 0) None
+    // Range checks on attacker-controllable fields: a CRC-valid page can
+    // still carry a granule that overflows the *1000 duration arithmetic,
+    // or a negative nominal bitrate — garbage metadata must be None, not
+    // a negative duration.
+    if (!sawBos || sampleRate <= 0 || channels <= 0 || granule < 0 ||
+        granule > Long.MaxValue / 1000L || bitrateNominal < 0) None
     else Some(AudioMeta("ogg", sampleRate, channels,
       granule * 1000L / sampleRate, bitrateNominal / 1000))
   }

@@ -75,9 +75,10 @@ object WebCuration extends QueryModule {
 
   /** Boilerplate = a line seen in >= minDocs DISTINCT documents. Partial
     * aggregation bounds the shuffle at O(distinct lines); the ban list is
-    * usually tiny relative to the corpus, so AQE broadcasts the anti-join.
-    * Shared with [[graft.streaming.BoilerplateStream]], whose incremental
-    * ban set must equal this batch definition. */
+    * usually tiny relative to the corpus, so AQE broadcasts the join the
+    * consumer runs against it ([[lineDedup]]'s flagged left join). Shared
+    * with [[graft.streaming.BoilerplateStream]], whose incremental ban
+    * set must equal this batch definition. */
   def bannedLines(lines: DataFrame, minDocs: Int): DataFrame =
     lines.groupBy("line")
       .agg(countDistinct("doc_id").as("df"))

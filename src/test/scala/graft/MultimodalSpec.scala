@@ -149,6 +149,22 @@ class MultimodalSpec extends SparkSpec {
     val badSync = mp3.clone()
     badSync(frameLen4) = 0x00
     assert(AudioContainers.parse(badSync).isEmpty)
+    // A VBR/mixed stream (valid frames, different rate mid-stream) must be
+    // rejected, not priced off the first frame's parameters: id 4 is
+    // 96 kbps @ 48000 Hz stereo; append a structurally-valid 44100 Hz frame.
+    val (_, ch4, kbps4, _, _) = Multimodal.audioParams(4L)
+    val mixed = mp3 ++ AudioContainers.mp3Payload(4L, kbps4, 44100, ch4, 1)
+    assert(AudioContainers.parse(mixed).isEmpty, "mixed-rate mp3 must not parse")
+    // A CRC-valid OGG page whose granule would overflow the duration
+    // arithmetic (or a negative nominal bitrate) must be None, not a
+    // negative duration: build real streams with the hostile fields.
+    val (rate7, ch7, kbps7, _, _) = Multimodal.audioParams(7L)
+    val hugeGranule = AudioContainers.oggPayload(7L, rate7, ch7, kbps7,
+      totalSamples = Long.MaxValue / 500L)
+    assert(AudioContainers.parse(hugeGranule).isEmpty, "overflowing granule")
+    val negBitrate = AudioContainers.oggPayload(7L, rate7, ch7,
+      bitrateKbps = -128, totalSamples = rate7.toLong)
+    assert(AudioContainers.parse(negBitrate).isEmpty, "negative nominal bitrate")
   }
 
   test("resize re-encodes images at target dimensions, passes others through") {
