@@ -357,8 +357,132 @@ object WebCuration extends QueryModule {
       .orderBy("source", "license")
 
   // ------------------------------------------------------------------
+  // llm_web_e2e: the operators composed in pipeline order — the query a
+  // user of this family actually runs. HTML extraction feeds line dedup
+  // feeds the Gopher gate feeds license filtering, and the per-source
+  // funnel (docs → gate failures → license drops → kept) is checked as
+  // ONE differential oracle over the whole chain, so a regression in any
+  // stage's interaction with the next (e.g. extraction's whitespace
+  // collapse vs line splitting, line removal vs word-count floors)
+  // breaks the hash even if each stage's own oracle stays green.
+  def webE2e(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("aug0",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          expr(htmlWrap("doc_id", "text"))).otherwise(col("text")))
+      .withColumn("ext", expr(htmlExtractSql("aug0", "")))
+      .withColumn("aug", concat(
+        col("ext"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("\n" + FooterA)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("\n" + FooterB)).otherwise(lit("")),
+        when(col("doc_id").isin(1, 2), lit("\n" + FooterRare)).otherwise(lit(""))))
+    val cleaned = lineDedup(base.select(col("doc_id"), col("aug")), minDocs = 3)
+      .select(col("doc_id"), col("cleaned"))
+    base.select(col("doc_id"), col("source"))
+      .join(cleaned, Seq("doc_id"))
+      .withColumn("toks", split(lower(col("cleaned")), "\\s+"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("sum_len", expr("aggregate(toks, 0, (acc, t) -> acc + length(t))"))
+      .withColumn("n_sym", size(expr("filter(toks, t -> t rlike '^[^a-z0-9]+$')")))
+      .withColumn("n_alpha", size(expr("filter(toks, t -> t rlike '[a-z]')")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")), array(Stopwords.map(lit): _*))))
+      .withColumn("gate",
+        col("n_words").between(10, 5000) &&
+          (col("sum_len").cast("double") / col("n_words")).between(2.0, 10.0) &&
+          col("n_sym").cast("double") / col("n_words") <= 0.1 &&
+          col("n_alpha").cast("double") / col("n_words") >= 0.8 &&
+          col("n_stop") >= 2)
+      .withColumn("aug3", concat(col("cleaned"),
+        when(pmod(col("doc_id"), lit(5)) === 1, lit(" " + LicMit))
+          .otherwise(when(pmod(col("doc_id"), lit(5)) === 2, lit(" " + LicCc))
+            .otherwise(when(pmod(col("doc_id"), lit(5)) === 3, lit(" " + LicProp))
+              .otherwise(lit(""))))))
+      .withColumn("proprietary", col("aug3").contains("all rights reserved"))
+      .withColumn("kept", col("gate") && !col("proprietary"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("gate"), 1).otherwise(0)).as("n_gate_fail"),
+        sum(when(col("gate") && col("proprietary"), 1).otherwise(0)).as("n_license_drop"),
+        sum(when(col("kept"), 1).otherwise(0)).as("n_kept"),
+        sum(when(col("kept"), col("n_words")).otherwise(0)).as("kept_tokens"),
+        (sum(when(col("kept"), 1).otherwise(0)).cast("double") / count(lit(1)))
+          .as("kept_frac"))
+      .orderBy("source")
+  }
 
   val queries: Map[String, QuerySpec] = Map(
+
+    "llm_web_e2e" -> QuerySpec(
+      fn = (s, dir) => webE2e(s, dir),
+      oracle = Some(s"""
+        WITH aug0 AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 2 = 0 THEN ${htmlWrap("doc_id", "text")}
+                      ELSE text END AS aug0
+          FROM documents),
+        lined AS (
+          SELECT doc_id, source,
+                 ${htmlExtractSql("aug0", ", 'g'")}
+                 || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$FooterA' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$FooterB' ELSE '' END
+                 || CASE WHEN doc_id IN (1, 2) THEN chr(10) || '$FooterRare' ELSE '' END
+                   AS aug
+          FROM aug0),
+        lines AS (
+          SELECT doc_id, i AS pos, ls[i] AS line
+          FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+                FROM (SELECT doc_id, string_split(aug, chr(10)) AS ls FROM lined))),
+        banned AS (
+          SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+        cleaned AS (
+          SELECT l.doc_id, l.source,
+                 COALESCE(k.cleaned, '') AS cleaned
+          FROM lined l LEFT JOIN (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+            FROM lines WHERE line NOT IN (SELECT line FROM banned)
+            GROUP BY doc_id) k USING (doc_id)),
+        gated AS (
+          SELECT doc_id, source, cleaned,
+                 (n_words BETWEEN 10 AND 5000)
+                   AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0 AND 10.0)
+                   AND (CAST(n_sym AS DOUBLE) / n_words <= 0.1)
+                   AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+                   AND (n_stop >= 2) AS gate,
+                 n_words
+          FROM (
+            SELECT doc_id, source, cleaned,
+                   CAST(len(toks) AS INT) AS n_words,
+                   CAST(list_sum([length(x) for x in toks]) AS INT) AS sum_len,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$$')))
+                     AS INT) AS n_sym,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                     AS INT) AS n_alpha,
+                   CAST(len(list_intersect(list_distinct(toks),
+                     [${Stopwords.map(x => s"'$x'").mkString(", ")}])) AS INT) AS n_stop
+            FROM (SELECT doc_id, source, cleaned,
+                         string_split_regex(lower(cleaned), '\\s+') AS toks
+                  FROM cleaned))),
+        lic AS (
+          SELECT doc_id, source, gate, n_words,
+                 contains(cleaned
+                   || CASE WHEN doc_id % 5 = 1 THEN ' $LicMit'
+                           WHEN doc_id % 5 = 2 THEN ' $LicCc'
+                           WHEN doc_id % 5 = 3 THEN ' $LicProp'
+                           ELSE '' END, 'all rights reserved') AS proprietary
+          FROM gated)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT gate THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_fail,
+               CAST(SUM(CASE WHEN gate AND proprietary THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_license_drop,
+               CAST(SUM(CASE WHEN gate AND NOT proprietary THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN gate AND NOT proprietary THEN n_words ELSE 0 END)
+                 AS BIGINT) AS kept_tokens,
+               CAST(SUM(CASE WHEN gate AND NOT proprietary THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*) AS kept_frac
+        FROM lic GROUP BY source ORDER BY source"""),
+      doc = "end-to-end web curation: extract -> line dedup -> Gopher gate -> license filter"),
 
     "llm_html_extract" -> QuerySpec(
       fn = (s, dir) => htmlExtract(s, dir),

@@ -207,6 +207,23 @@ class WebCurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // ------------------------------------------------------------------
+  test("web e2e: funnel partitions the corpus exactly; footers removed before gating") {
+    val out = run("llm_web_e2e").cache()
+    // gate_fail + license_drop + kept is a PARTITION of every source's docs.
+    assert(out.filter(
+      col("n_gate_fail") + col("n_license_drop") + col("n_kept") =!= col("n_docs"))
+      .count() === 0)
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) === n)
+    // Both ends of the funnel are exercised on the fixture.
+    val tot = out.agg(sum("n_gate_fail"), sum("n_license_drop"), sum("n_kept")).collect()(0)
+    assert(tot.getLong(0) > 0 && tot.getLong(1) > 0 && tot.getLong(2) > 0)
+    // kept_tokens only counts kept docs: zero wherever nothing was kept.
+    assert(out.filter(col("n_kept") === 0 && col("kept_tokens") =!= 0).count() === 0)
+    out.unpersist()
+  }
+
   test("gopher gate: single-scan plan, no shuffle, no UDFs") {
     val plan = run("llm_gopher_gate").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"per-row gate must not shuffle:\n$plan")
