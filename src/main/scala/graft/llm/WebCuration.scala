@@ -303,8 +303,10 @@ object WebCuration extends QueryModule {
     * default). The whitespace collapse is written `' +'` (the constructed
     * text has only plain spaces) because a `\s` class cannot be spelled
     * identically in both dialects: Spark string literals process the
-    * backslash escape, DuckDB's do not. */
-  private def htmlExtractSql(c: String, g: String): String =
+    * backslash escape, DuckDB's do not. Entity decode runs `&amp;` LAST
+    * (the standard order): decoding it first would double-decode nested
+    * encodings like `&amp;lt;` to `<` instead of the literal `&lt;`. */
+  private[graft] def htmlExtractSql(c: String, g: String): String =
     s"""trim(regexp_replace(
           replace(replace(replace(replace(replace(
             regexp_replace(
@@ -314,8 +316,8 @@ object WebCuration extends QueryModule {
                   '<style[^>]*>.*?</style>', ' '$g),
                 '<!--.*?-->', ' '$g),
               '<[^>]+>', ' '$g),
-            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&copy;', '©'),
-            '&nbsp;', ' '),
+            '&lt;', '<'), '&gt;', '>'), '&copy;', '©'), '&nbsp;', ' '),
+            '&amp;', '&'),
           ' +', ' '$g))"""
 
   def htmlExtract(s: SparkSession, dir: String): DataFrame =

@@ -95,7 +95,15 @@ object BoilerplateStream {
     q.awaitTermination()
   }
 
-  /** The accumulated ban list (commit-log-protected read of the sink). */
-  def bannedSet(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).select("line", "n_docs")
+  /** The accumulated ban list (commit-log-protected read of the sink).
+    * Read with an explicit schema: before the stream's first emission the
+    * sink dir holds only `_spark_metadata`, and a schema-inferring read
+    * would throw ("unable to infer schema") at a consumer polling early —
+    * an empty ban list is the correct answer there, not a crash. */
+  def bannedSet(spark: SparkSession, outDir: String): DataFrame = {
+    val sinkSchema = StructType(Seq(
+      StructField("line", StringType),
+      StructField("n_docs", LongType)))
+    spark.read.schema(sinkSchema).parquet(outDir).select("line", "n_docs")
+  }
 }

@@ -59,10 +59,7 @@ object FaultInject {
   }
 
   private def executorPids(): Set[Int] =
-    scala.util.Try(
-      Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!.trim
-        .split("\\s+").filter(_.nonEmpty).map(_.toInt).toSet
-    ).getOrElse(Set.empty)
+    ExecutorKill.executorPidsForThisApp()
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: FaultInject <sfDir> <query> [query ...]")

@@ -24,10 +24,7 @@ import scala.sys.process._
   */
 object FaultInjectCurate {
   private def executorPids(): Set[Int] =
-    scala.util.Try(
-      Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!.trim
-        .split("\\s+").filter(_.nonEmpty).map(_.toInt).toSet
-    ).getOrElse(Set.empty)
+    ExecutorKill.executorPidsForThisApp()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

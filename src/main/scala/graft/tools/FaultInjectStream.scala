@@ -40,10 +40,7 @@ import scala.sys.process._
   */
 object FaultInjectStream {
   private def executorPids(): Set[Int] =
-    scala.util.Try(
-      Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!.trim
-        .split("\\s+").filter(_.nonEmpty).map(_.toInt).toSet
-    ).getOrElse(Set.empty)
+    ExecutorKill.executorPidsForThisApp()
 
   /** Order-independent digest of a layer (sum of per-row 64-bit hashes and
     * the row count — computed in Spark, so layers never hit the driver).

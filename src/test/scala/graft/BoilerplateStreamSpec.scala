@@ -59,4 +59,17 @@ class BoilerplateStreamSpec extends SparkSpec {
     assert(BoilerplateStream.bannedSet(spark, out).count() === before)
     streamed.unpersist(); batch.unpersist(); lined.unpersist()
   }
+
+  test("bannedSet on a sink with no committed data is an empty ban list, not a crash") {
+    // A consumer polling before the stream's first emission sees a dir
+    // holding only _spark_metadata (or nothing at all) — the explicit
+    // sink schema makes that the empty DataFrame instead of an
+    // unable-to-infer-schema failure.
+    val empty = tempDir("boiler-empty")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(empty, "_spark_metadata"))
+    val df = BoilerplateStream.bannedSet(spark, empty)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("line", "n_docs"))
+  }
 }

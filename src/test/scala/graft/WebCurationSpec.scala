@@ -193,6 +193,20 @@ class WebCurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("html extract: nested encodings decode one level, not two ('&' is last)") {
+    // '&amp;lt;' is the ONE-level encoding of the literal text '&lt;'. A
+    // decode chain that rewrites '&amp;' first turns it into '&lt;' and
+    // then the '&lt;' pass double-decodes it to '<' — extraction fidelity
+    // on real HTML requires the literal '&lt;' to survive.
+    val s = spark
+    import s.implicits._
+    val got = Seq("a &amp;lt; b &amp; c &lt; d")
+      .toDF("aug")
+      .selectExpr(s"${WebCuration.htmlExtractSql("aug", "")} AS x")
+      .collect()(0).getString(0)
+    assert(got === "a &lt; b & c < d")
+  }
+
   test("license filter: counts match planting density, only proprietary dropped") {
     val out = run("llm_license_filter").cache()
     val n = Tables.load(spark, sfDir, "documents").count()
