@@ -28,6 +28,7 @@ object SparkEntry {
     graft.llm.Embeddings,
     graft.llm.TextAnalysis,
     graft.llm.WebCuration,
+    graft.llm.SftOps,
     graft.llm.Training,
     graft.llm.MultimodalQueries,
     graft.sources.SourceFormats)
