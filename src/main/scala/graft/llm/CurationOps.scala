@@ -180,6 +180,36 @@ object CurationOps extends QueryModule {
       .select(col("doc_id"), col("shard"), col("pos"), col("source"))
   }
 
+  /** Length-curriculum export: train short→long (the standard warm-up
+    * curriculum). Phase = FIXED token-count bucket (<16, <32, <64, rest) —
+    * fixed thresholds need no quantile pass over the corpus; shard within
+    * phase and position within shard come from two salted content hashes,
+    * so per-(phase, shard) windows keep every shard ordering in parallel
+    * (the [[shuffleExport]] argument — a single global sort would
+    * serialize the corpus through one task). The trainer consumes phases
+    * in order, round-robin over a phase's shards. Re-salting re-shuffles
+    * within phases without moving any document across phases. */
+  def curriculumExport(docsDf: DataFrame, nShards: Int, salt: String): DataFrame = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two, got $nShards")
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("pri"), col("doc_id"))
+    docsDf
+      .withColumn("n_tokens",
+        size(split(lower(col("text")), "\\s+")).cast("long"))
+      .withColumn("phase", expr(
+        """CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+                WHEN n_tokens < 64 THEN 2 ELSE 3 END"""))
+      .withColumn("shard", expr(
+        s"CAST(md5_long(concat('$salt:', CAST(doc_id AS STRING))) & ${nShards - 1} AS INT)"))
+      .withColumn("pri", expr(
+        s"md5_long(concat('$salt-ord:', CAST(doc_id AS STRING))) & 4294967295"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("phase"), col("shard"),
+        col("pos"), col("source"))
+  }
+
   /** Shared DuckDB CTEs for the fuzzy-decontamination pair set (bounded
     * eval side, shingles, sizes, verified pairs at τ=0.5) — composed by
     * both the pair query and the contamination report. */
@@ -539,6 +569,35 @@ object CurationOps extends QueryModule {
     // (each shard orders independently), so it scales with the corpus —
     // a 100 TB export would use thousands; the per-shard window sort
     // spills, so shard size bounds parallelism, not memory.
+    // ------------------------------------------------------------------
+    // Length curriculum: fixed phase thresholds (no quantile pass), 64
+    // shards per phase so ordering parallelism scales with the corpus —
+    // the per-(phase, shard) window sort spills, so shard size bounds
+    // parallelism, not memory.
+    "llm_curriculum" -> QuerySpec(
+      fn = (s, dir) => curriculumExport(docs(s, dir), nShards = 64, salt = "cur0"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+                    WHEN n_tokens < 64 THEN 2 ELSE 3 END AS phase,
+               CAST(md5_number_upper('cur0:' || CAST(doc_id AS VARCHAR)) & 63
+                    AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY
+                   CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+                        WHEN n_tokens < 64 THEN 2 ELSE 3 END,
+                   md5_number_upper('cur0:' || CAST(doc_id AS VARCHAR)) & 63
+                 ORDER BY md5_number_upper('cur0-ord:' || CAST(doc_id AS VARCHAR))
+                            & 4294967295,
+                          doc_id) AS INT) AS pos,
+               source
+        FROM d""")),
+
     "llm_shuffle_export" -> QuerySpec(
       fn = (s, dir) => shuffleExport(docs(s, dir), nShards = 256, salt = "ep0"),
       oracle = Some("""

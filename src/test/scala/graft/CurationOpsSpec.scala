@@ -136,4 +136,37 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(ep1 != rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
   }
+
+  test("curriculum: phases partition by length, per-(phase,shard) positions dense, re-salt stays in phase") {
+    val out = CurationOps.curriculumExport(docs, nShards = 8, salt = "cur0")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.length === docs.count())
+    // Phase is the fixed token bucket — monotone in n_tokens.
+    rows.foreach { case (id, tok, phase, _, _) =>
+      val want = if (tok < 16) 0 else if (tok < 32) 1 else if (tok < 64) 2 else 3
+      assert(phase === want, s"doc $id tokens=$tok")
+    }
+    assert(rows.map(_._3).distinct.length > 1, "fixture must span multiple phases")
+    // Positions are dense 1..k within every (phase, shard) — a trainer can
+    // round-robin shards of a phase with no gaps.
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted.sameElements(1 to g.length))
+    }
+    // Re-salting reorders within phases but never moves a doc across one.
+    val resalt = CurationOps.curriculumExport(docs, 8, "cur1").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val phase0 = rows.map(r => r._1 -> r._3).toMap
+    resalt.foreach { case (id, phase, _, _) => assert(phase === phase0(id)) }
+    assert(resalt.map(r => (r._1, r._3, r._4)).toSet !=
+      rows.map(r => (r._1, r._4, r._5)).toSet)
+    // One shuffle: the window's (phase, shard) exchange — no global sort.
+    // (The adaptive plan string echoes the initial plan too; count only the
+    // executed final section.)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).length === 1, s"one shuffle expected:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort in a curriculum export:\n$plan")
+  }
 }
