@@ -332,6 +332,105 @@ object Embeddings extends QueryModule {
         GROUP BY cid, dim""")),
 
     // ------------------------------------------------------------------
+    // Cluster cards: the per-TOPIC summary a curator reads next to the
+    // per-source llm_dataset_cards — one row per (cluster, top-5 term):
+    // cluster size, cohesion (exact-decimal mean squared distance to the
+    // seed centroid), and the cluster's most DISTINCTIVE terms by relative
+    // frequency lift ((term share in cluster) / (term share in corpus) —
+    // tf-idf's idf is vacuous on the fixture's ~31-term vocabulary, lift
+    // is not). Assignment is the llm_embed_kmeans broadcast pass; the
+    // term side is one (cluster, term)-keyed hash aggregate whose state is
+    // bounded by k x vocabulary, then two broadcast joins of tiny
+    // aggregates and a k-partition top-5 window. The lift chain is fixed-
+    // order IEEE over exact integer counts.
+    "llm_cluster_cards" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "embeddings")
+          .withColumn("ve", VectorOps.asDouble("embedding"))
+          .select("vec_id", "ve")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ve").as("cv"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr("""
+            aggregate(zip_with(ve, cv, (a, b) -> (a - b) * (a - b)),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id").as("doc_id"), col("cid"), col("d2"))
+        val stats = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_docs"), Exact.davg(col("d2")).as("cohesion"))
+        val ct = assigned
+          .join(Tables.load(s, dir, "documents").select("doc_id", "text"), "doc_id")
+          .select(col("cid"),
+            explode(split(lower(col("text")), "\\s+")).as("term"))
+          .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("n_occ"))
+        val ctot = ct.groupBy("cid").agg(sum("n_occ").as("cluster_toks"))
+        val gt = ct.groupBy("term").agg(sum("n_occ").as("corpus_occ"))
+        val gtot = ct.agg(sum("n_occ").as("corpus_toks"))
+        val ranked = ct
+          .join(broadcast(ctot), "cid")
+          .join(broadcast(gt), "term")
+          .crossJoin(broadcast(gtot))
+          .withColumn("lift",
+            (col("n_occ").cast("double") / col("cluster_toks"))
+              / (col("corpus_occ").cast("double") / col("corpus_toks")))
+          .withColumn("term_rank", row_number().over(
+            Window.partitionBy(col("cid"))
+              .orderBy(col("lift").desc, col("term"))))
+          .filter(col("term_rank") <= 5)
+        ranked.join(broadcast(stats), "cid")
+          .select(col("cid").as("cluster_id"), col("n_docs"), col("cohesion"),
+            col("term_rank"), col("term"), col("n_occ"), col("lift"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS ve
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, ve AS cv FROM e WHERE vec_id < 8),
+        d AS (
+          SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   [(e.ve[i] - c.cv[i]) * (e.ve[i] - c.cv[i])
+                    for i in generate_series(1, 64)]),
+                   (a, b) -> a + b) AS d2
+          FROM e, c),
+        a AS (
+          SELECT vec_id AS doc_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d) WHERE rn = 1),
+        stats AS (
+          SELECT cid, COUNT(*) AS n_docs,
+                 ${Exact.sqlAvg("d2")} AS cohesion
+          FROM a GROUP BY cid),
+        tok AS (
+          SELECT a.cid,
+                 unnest(string_split_regex(lower(doc.text), '\\s+')) AS term
+          FROM a JOIN documents doc ON doc.doc_id = a.doc_id),
+        ct AS (SELECT cid, term, COUNT(*) AS n_occ FROM tok GROUP BY cid, term),
+        ctot AS (SELECT cid, CAST(SUM(n_occ) AS BIGINT) AS cluster_toks
+                 FROM ct GROUP BY cid),
+        gt AS (SELECT term, CAST(SUM(n_occ) AS BIGINT) AS corpus_occ
+               FROM ct GROUP BY term),
+        gtot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS corpus_toks FROM ct),
+        ranked AS (
+          SELECT ct.cid, ct.term, ct.n_occ,
+                 (CAST(ct.n_occ AS DOUBLE) / ctot.cluster_toks)
+                   / (CAST(gt.corpus_occ AS DOUBLE) / gtot.corpus_toks) AS lift,
+                 row_number() OVER (PARTITION BY ct.cid ORDER BY
+                   (CAST(ct.n_occ AS DOUBLE) / ctot.cluster_toks)
+                     / (CAST(gt.corpus_occ AS DOUBLE) / gtot.corpus_toks) DESC,
+                   ct.term) AS term_rank
+          FROM ct JOIN ctot USING (cid) JOIN gt USING (term), gtot)
+        SELECT r.cid AS cluster_id, s.n_docs, s.cohesion,
+               CAST(r.term_rank AS INT) AS term_rank, r.term, r.n_occ, r.lift
+        FROM ranked r JOIN stats s ON s.cid = r.cid
+        WHERE r.term_rank <= 5""")),
+
+    // ------------------------------------------------------------------
     // Cluster-balanced sampling — the curation move that keeps a corpus
     // from being dominated by its biggest topic: assign every vector to
     // its nearest seed centroid (the llm_embed_kmeans assignment — one
