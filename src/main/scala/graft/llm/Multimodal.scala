@@ -339,7 +339,10 @@ object MultimodalQueries extends QueryModule {
     * assets (8×8 brightness grid vs its mean) — shared by `llm_mm_phash`
     * (the hashes) and `llm_mm_dedup` (hamming near-dup pairs) so both
     * grade the identical decode→resample→threshold path. */
-  private def phashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Decoder-reported dims + 64-bit perceptual hash per image asset (one
+    * real ImageIO decode per payload; w/h are what the DECODER says, not
+    * the generator). */
+  private def phashFullDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     Multimodal.assets(s, dir)
       .filter(_.meta.kind == "image")
@@ -364,10 +367,40 @@ object MultimodalQueries extends QueryModule {
             }
             i += 1
           }
-          (a.asset_id, hi, lo)
+          (a.asset_id, w, h, hi, lo)
         }
       }
-      .toDF("asset_id", "phash_hi", "phash_lo")
+      .toDF("asset_id", "w", "h", "phash_hi", "phash_lo")
+  }
+
+  private def phashDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    phashFullDf(s, dir).select("asset_id", "phash_hi", "phash_lo")
+
+  /** The shared near-dup candidate contract over a (asset_id, phash_hi,
+    * phash_lo) set: four 16-bit chunk indexes, per-bucket cap
+    * [[Dedup.simhashBucketCap]] over the GIVEN population, exact
+    * hamming <= 6 verify. Used by `llm_mm_dedup` (whole corpus) and
+    * `llm_mm_gate` (gate survivors). */
+  private def phashPairs(ph: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = ph.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
+      explode(expr("sequence(0, 3)")).as("ci"))
+      .withColumn("cv", expr(
+        "CASE WHEN ci < 2 THEN (phash_lo >> (ci * 16)) & 65535 " +
+          "ELSE (phash_hi >> ((ci - 2) * 16)) & 65535 END"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ci", "cv")))
+      .filter(col("bsz") <= Dedup.simhashBucketCap)
+    chunks.as("a").hint("merge").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
+        col("a.phash_hi").as("h1"), col("a.phash_lo").as("l1"),
+        col("b.phash_hi").as("h2"), col("b.phash_lo").as("l2"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)"))
+      .filter(col("hamming") <= 6)
+      .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
   }
 
   def queries: Map[String, QuerySpec] = Map(
@@ -603,29 +636,7 @@ object MultimodalQueries extends QueryModule {
     // reconstructs the same chunk join (QUALIFY cap included), not a
     // naive cross-pair scan.
     "llm_mm_dedup" -> QuerySpec(
-      fn = (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val ph = phashDf(s, dir)
-        val chunks = ph.select(col("asset_id"), col("phash_hi"), col("phash_lo"),
-          explode(expr("sequence(0, 3)")).as("ci"))
-          .withColumn("cv", expr(
-            "CASE WHEN ci < 2 THEN (phash_lo >> (ci * 16)) & 65535 " +
-              "ELSE (phash_hi >> ((ci - 2) * 16)) & 65535 END"))
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ci", "cv")))
-          .filter(col("bsz") <= Dedup.simhashBucketCap)
-        val cand = chunks.as("a").hint("merge").join(chunks.as("b"),
-            col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-              col("a.asset_id") < col("b.asset_id"))
-          .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
-            col("a.phash_hi").as("h1"), col("a.phash_lo").as("l1"),
-            col("b.phash_hi").as("h2"), col("b.phash_lo").as("l2"))
-          .distinct()
-        cand
-          .withColumn("hamming",
-            expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)"))
-          .filter(col("hamming") <= 6)
-          .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
-      },
+      fn = (s, dir) => phashPairs(phashDf(s, dir)),
       oracle = { val cap = Dedup.simhashBucketCap; Some(s"""
         WITH img AS (
           SELECT doc_id AS asset_id,
@@ -671,5 +682,119 @@ object MultimodalQueries extends QueryModule {
                CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS INT)
                  AS hamming
         FROM cand
-        WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""") }))
+        WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6""") }),
+
+    // ------------------------------------------------------------------
+    // The IMAGE-curation funnel composite — the multimodal analog of
+    // `llm_web_e2e`: real decode → resolution gate (min side >= 24) →
+    // aspect gate (long side <= 2x short) → near-dup drop AMONG the gate
+    // survivors (the shared phashPairs contract; the pair's larger id is
+    // dropped) → per-source funnel whose legs PARTITION the image corpus
+    // exactly (first-fail-wins). One whole-chain differential oracle: a
+    // regression in any stage's interaction with the next (decode dims vs
+    // gate thresholds, survivor population vs the bucket cap) breaks the
+    // hash even when each stage's own oracle stays green. w/h on the
+    // Spark side are DECODER-reported; the oracle recomputes them from
+    // the generator's closed form, so the PNG write→decode roundtrip is
+    // part of what is checked.
+    "llm_mm_gate" -> QuerySpec(
+      fn = (s, dir) => {
+        graft.api.Checkpoints.ensureDir(s)
+        val ph = phashFullDf(s, dir)
+        val src = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("asset_id"), col("source"))
+        // The graded frame feeds TWO branches (the survivor pair join and
+        // the funnel aggregate); an eager checkpoint of the narrow
+        // (id, dims, hash, flags) rows runs the expensive PNG decode ONCE
+        // instead of once per branch — the [[Embeddings]] lineage-cut
+        // discipline, state O(images x 7 narrow columns), payloads never
+        // checkpointed.
+        val graded = ph.join(src, "asset_id")
+          .withColumn("f_res", least(col("w"), col("h")) >= 24)
+          .withColumn("f_aspect",
+            greatest(col("w"), col("h")) <= lit(2) * least(col("w"), col("h")))
+          .checkpoint(eager = true)
+        val surv = graded.filter(col("f_res") && col("f_aspect"))
+        val dropped = phashPairs(surv.select("asset_id", "phash_hi", "phash_lo"))
+          .select(col("id2").as("asset_id")).distinct()
+          .withColumn("is_dup", lit(true))
+        graded.join(dropped, Seq("asset_id"), "left")
+          .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_images"),
+            sum(when(!col("f_res"), 1L).otherwise(0L)).as("n_res_fail"),
+            sum(when(col("f_res") && !col("f_aspect"), 1L).otherwise(0L))
+              .as("n_aspect_fail"),
+            sum(when(col("f_res") && col("f_aspect") && col("is_dup"), 1L)
+              .otherwise(0L)).as("n_dup_dropped"),
+            sum(when(col("f_res") && col("f_aspect") && !col("is_dup"), 1L)
+              .otherwise(0L)).as("n_kept"))
+          .withColumn("pct_kept",
+            col("n_kept").cast("double") / col("n_images"))
+      },
+      oracle = { val cap = Dedup.simhashBucketCap; Some(s"""
+        WITH img AS (
+          SELECT doc_id AS asset_id, source,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        graded AS (
+          SELECT asset_id, source, w, h,
+                 least(w, h) >= 24 AS f_res,
+                 greatest(w, h) <= 2 * least(w, h) AS f_aspect
+          FROM img),
+        sv AS (SELECT asset_id, w, h FROM graded WHERE f_res AND f_aspect),
+        px AS (
+          SELECT asset_id, yy.i * 8 + xx.i AS i,
+                 (((xx.i * w) // 8) * 31 + ((yy.i * h) // 8) * 17 + asset_id)
+                   & 16777215 AS p
+          FROM sv,
+               (SELECT i FROM generate_series(0, 7) t(i)) xx,
+               (SELECT i FROM generate_series(0, 7) t(i)) yy),
+        g AS (
+          SELECT asset_id, i,
+                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g3
+          FROM px),
+        m AS (SELECT asset_id, SUM(g3) AS s FROM g GROUP BY asset_id),
+        ph AS (
+          SELECT g.asset_id,
+                 CAST(SUM(CASE WHEN i >= 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                   AS BIGINT) AS phash_hi,
+                 CAST(SUM(CASE WHEN i < 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                   AS BIGINT) AS phash_lo
+          FROM g JOIN m USING (asset_id)
+          GROUP BY g.asset_id),
+        chunks AS (
+          SELECT asset_id, phash_hi, phash_lo, ci.i AS ci,
+                 CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                      ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END AS cv
+          FROM ph, (SELECT i FROM generate_series(0, 3) t(i)) ci
+          QUALIFY COUNT(*) OVER (PARTITION BY ci.i,
+            CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                 ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END) <= $cap),
+        cand AS (
+          SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2,
+                 a.phash_hi AS h1, a.phash_lo AS l1,
+                 b.phash_hi AS h2, b.phash_lo AS l2
+          FROM chunks a JOIN chunks b
+            ON a.ci = b.ci AND a.cv = b.cv AND a.asset_id < b.asset_id),
+        dropped AS (
+          SELECT DISTINCT id2 AS asset_id FROM cand
+          WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= 6)
+        SELECT source, COUNT(*) AS n_images,
+               CAST(SUM(CASE WHEN NOT f_res THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_res_fail,
+               CAST(SUM(CASE WHEN f_res AND NOT f_aspect THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_aspect_fail,
+               CAST(SUM(CASE WHEN f_res AND f_aspect AND d.asset_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+               CAST(SUM(CASE WHEN f_res AND f_aspect AND d.asset_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(CAST(SUM(CASE WHEN f_res AND f_aspect AND d.asset_id IS NULL
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / COUNT(*) AS pct_kept
+        FROM graded LEFT JOIN dropped d USING (asset_id)
+        GROUP BY source""") }))
 }

@@ -213,4 +213,31 @@ class MultimodalSpec extends SparkSpec {
           s"hamming-$d pair ($a,$b) missing — pigeonhole completeness broken")
     }
   }
+  test("llm_mm_gate: funnel partitions the image corpus; drops only gate survivors") {
+    import org.apache.spark.sql.functions._
+    val out = graft.llm.MultimodalQueries.queries("llm_mm_gate").fn(spark, sfDir).cache()
+    // The funnel legs partition n_images exactly, per source and in total.
+    assert(out.filter(col("n_res_fail") + col("n_aspect_fail")
+      + col("n_dup_dropped") + col("n_kept") =!= col("n_images")).count() === 0)
+    val totals = out.agg(sum("n_images"), sum("n_kept")).collect()(0)
+    val nImages = graft.sources.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(totals.getLong(0) === nImages)
+    // Gates recompute from the generator's closed form: a doc whose closed-
+    // form dims fail a gate can never be counted as kept or dup-dropped.
+    val byForm = (0L until nImages * 3 by 3L).map { id =>
+      val (w, h) = Multimodal.pngDims(id)
+      (math.min(w, h) >= 24, math.max(w, h) <= 2 * math.min(w, h))
+    }
+    val expRes = byForm.count(!_._1)
+    val expAspect = byForm.count(x => x._1 && !x._2)
+    val got = out.agg(sum("n_res_fail"), sum("n_aspect_fail")).collect()(0)
+    assert(got.getLong(0) === expRes && got.getLong(1) === expAspect)
+    // pct_kept is the single division it claims to be.
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("pct_kept")
+        === r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_images"))
+    }
+    out.unpersist()
+  }
 }
