@@ -1611,6 +1611,97 @@ object RelationalQueries extends QueryModule {
         FROM lineitem GROUP BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // A from-scratch HyperLogLog, BIT-IDENTICAL across engines — the
+    // portable complement of rel_agg_approx's engine-native HLL++ (whose
+    // sketches can only be bound-checked). Registers are the MERGEABLE
+    // form itself: per-(group, register) MAX of the rank — map-side
+    // partials on a 1000-executor cluster combine by the same max, so the
+    // sketch state is what actually shuffles: <= groups x 4096 rows
+    // regardless of corpus size. rho comes from length(bin(w)) — integer
+    // string length, no float log2 whose boundary rounding could differ —
+    // and the estimator folds the register list in register order with
+    // explicit DOUBLE casts everywhere (bare SQL decimal literals would
+    // make one engine do DECIMAL math). Small-range branch = linear
+    // counting; both the estimate and its relative error vs the exact
+    // distinct are hash-compared, not bound-checked.
+    "rel_hll_distinct" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val ev = t(s, dir, "events")
+        val regs = ev.select($"event_type",
+          expr("md5_long(CAST(user_id AS STRING)) & 9223372036854775807").as("hp"))
+          .select($"event_type", expr("hp & 4095").as("reg"),
+            expr("""CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
+                    ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END""").as("rho"))
+          .groupBy($"event_type", $"reg").agg(max($"rho").as("mrho"))
+        val folded = regs.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_present"),
+            expr("""aggregate(
+                      sort_array(collect_list(named_struct('reg', reg, 'mrho', mrho))),
+                      CAST(0.0 AS DOUBLE),
+                      (acc, x) -> acc + power(CAST(2.0 AS DOUBLE),
+                                              -CAST(x.mrho AS DOUBLE)))""").as("s_present"))
+          .withColumn("s", $"s_present" + ($"n_present" * -1 + 4096).cast("double"))
+          .withColumn("raw",
+            lit(0.7213 / (1.0 + 1.079 / 4096)) * lit(4096.0) * lit(4096.0) / $"s")
+          .withColumn("est_distinct", when(
+            $"raw" <= lit(2.5) * lit(4096.0) && $"n_present" < 4096,
+            lit(4096.0) * log(lit(4096.0) / ($"n_present" * -1 + 4096).cast("double")))
+            .otherwise($"raw"))
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("exact_distinct"))
+        folded.join(exact, "event_type")
+          .select($"event_type", $"n_present".cast("bigint").as("n_registers"),
+            $"est_distinct", $"exact_distinct",
+            (abs($"est_distinct" - $"exact_distinct".cast("double"))
+              / $"exact_distinct".cast("double")).as("rel_err"))
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, hp & 4095 AS reg,
+                 CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
+                      ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END AS rho
+          FROM (SELECT event_type,
+                       md5_number_upper(CAST(user_id AS VARCHAR))
+                         & 9223372036854775807 AS hp
+                FROM events)),
+        m AS (SELECT event_type, reg, MAX(rho) AS mrho
+              FROM r GROUP BY event_type, reg),
+        f AS (
+          SELECT event_type, COUNT(*) AS n_present,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list(mrho ORDER BY reg),
+                     x -> power(CAST(2.0 AS DOUBLE), -CAST(x AS DOUBLE)))),
+                   (a, b) -> a + b) AS s_present
+          FROM m GROUP BY event_type),
+        c AS (
+          SELECT event_type, n_present,
+                 CAST(0.7213 AS DOUBLE)
+                   / (CAST(1.0 AS DOUBLE)
+                      + CAST(1.079 AS DOUBLE) / CAST(4096 AS DOUBLE))
+                   * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                   / (s_present + CAST(n_present * -1 + 4096 AS DOUBLE)) AS raw
+          FROM f),
+        est AS (
+          SELECT event_type, n_present,
+                 CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                           AND n_present < 4096
+                      THEN CAST(4096.0 AS DOUBLE)
+                           * ln(CAST(4096.0 AS DOUBLE)
+                                / CAST(n_present * -1 + 4096 AS DOUBLE))
+                      ELSE raw END AS est_distinct
+          FROM c),
+        e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY event_type)
+        SELECT est.event_type,
+               CAST(n_present AS BIGINT) AS n_registers,
+               est_distinct, exact_distinct,
+               abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE) AS rel_err
+        FROM est JOIN e USING (event_type)""")),
+
+    // ------------------------------------------------------------------
     // Salted skew join ([[Skew.saltedJoin]]) proven result-equivalent to
     // the plain join: the salt re-keys the shuffle as (key, salt) so one
     // hot key spreads over n partitions, while every matching pair still

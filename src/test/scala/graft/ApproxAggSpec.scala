@@ -36,4 +36,44 @@ class ApproxAggSpec extends SparkSpec {
         s"percentile error too large: $approxMed vs $exactMed")
     }
   }
+
+  test("portable HLL: accurate, partition-independent, and slice-sketches max-merge to the whole") {
+    val out = SparkEntry.queries("rel_hll_distinct")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"HLL estimate off by more than the 4096-register rsd allows: $r")
+      assert(r.getAs[Long]("n_registers") <= 4096)
+    }
+
+    // The register table IS the mergeable sketch state: computing it on
+    // any two disjoint slices and max-merging must reproduce the
+    // whole-corpus registers exactly — the property a 1000-executor
+    // combine relies on.
+    graft.functions.GraftFunctions.register(spark)
+    def registers(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("event_type",
+        "md5_long(CAST(user_id AS STRING)) & 9223372036854775807 AS hp")
+      .selectExpr("event_type", "hp & 4095 AS reg",
+        """CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
+           ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END AS rho""")
+      .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "user_id", "event_id")
+    val whole = registers(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val a = registers(ev.filter(col("event_id") % 2 === 0)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val b = registers(ev.filter(col("event_id") % 2 === 1)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map { k =>
+      k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))
+    }.toMap
+    assert(merged === whole, "max-merge of slice sketches != whole-corpus sketch")
+
+    // Partition-independence of the full estimate.
+    val again = SparkEntry.queries("rel_hll_distinct")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    out.foreach(r => assert(again(r.getString(0)) === r.getDouble(2)))
+  }
 }
