@@ -1627,79 +1627,73 @@ object RelationalQueries extends QueryModule {
     "rel_hll_distinct" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
+        import graft.functions.Hll
         graft.functions.GraftFunctions.register(s)
         val ev = t(s, dir, "events")
-        val regs = ev.select($"event_type",
-          expr("md5_long(CAST(user_id AS STRING)) & 9223372036854775807").as("hp"))
-          .select($"event_type", expr("hp & 4095").as("reg"),
-            expr("""CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
-                    ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END""").as("rho"))
+        val regs = ev.select($"event_type", expr(Hll.hpExpr("user_id")).as("hp"))
+          .select($"event_type", expr(Hll.regExpr).as("reg"),
+            expr(Hll.rhoExpr).as("rho"))
           .groupBy($"event_type", $"reg").agg(max($"rho").as("mrho"))
-        val folded = regs.groupBy($"event_type")
-          .agg(count(lit(1)).as("n_present"),
-            expr("""aggregate(
-                      sort_array(collect_list(named_struct('reg', reg, 'mrho', mrho))),
-                      CAST(0.0 AS DOUBLE),
-                      (acc, x) -> acc + power(CAST(2.0 AS DOUBLE),
-                                              -CAST(x.mrho AS DOUBLE)))""").as("s_present"))
-          .withColumn("s", $"s_present" + ($"n_present" * -1 + 4096).cast("double"))
-          .withColumn("raw",
-            lit(0.7213 / (1.0 + 1.079 / 4096)) * lit(4096.0) * lit(4096.0) / $"s")
-          .withColumn("est_distinct", when(
-            $"raw" <= lit(2.5) * lit(4096.0) && $"n_present" < 4096,
-            lit(4096.0) * log(lit(4096.0) / ($"n_present" * -1 + 4096).cast("double")))
-            .otherwise($"raw"))
         val exact = ev.groupBy($"event_type")
           .agg(countDistinct($"user_id").as("exact_distinct"))
-        folded.join(exact, "event_type")
-          .select($"event_type", $"n_present".cast("bigint").as("n_registers"),
-            $"est_distinct", $"exact_distinct",
+        Hll.estimate(regs, Seq("event_type")).join(exact, "event_type")
+          .select($"event_type", $"n_registers", $"est_distinct",
+            $"exact_distinct",
             (abs($"est_distinct" - $"exact_distinct".cast("double"))
               / $"exact_distinct".cast("double")).as("rel_err"))
       },
-      oracle = Some("""
-        WITH r AS (
-          SELECT event_type, hp & 4095 AS reg,
-                 CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
-                      ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END AS rho
-          FROM (SELECT event_type,
-                       md5_number_upper(CAST(user_id AS VARCHAR))
-                         & 9223372036854775807 AS hp
-                FROM events)),
-        m AS (SELECT event_type, reg, MAX(rho) AS mrho
-              FROM r GROUP BY event_type, reg),
-        f AS (
-          SELECT event_type, COUNT(*) AS n_present,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(list(mrho ORDER BY reg),
-                     x -> power(CAST(2.0 AS DOUBLE), -CAST(x AS DOUBLE)))),
-                   (a, b) -> a + b) AS s_present
-          FROM m GROUP BY event_type),
-        c AS (
-          SELECT event_type, n_present,
-                 CAST(0.7213 AS DOUBLE)
-                   / (CAST(1.0 AS DOUBLE)
-                      + CAST(1.079 AS DOUBLE) / CAST(4096 AS DOUBLE))
-                   * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
-                   / (s_present + CAST(n_present * -1 + 4096 AS DOUBLE)) AS raw
-          FROM f),
-        est AS (
-          SELECT event_type, n_present,
-                 CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
-                           AND n_present < 4096
-                      THEN CAST(4096.0 AS DOUBLE)
-                           * ln(CAST(4096.0 AS DOUBLE)
-                                / CAST(n_present * -1 + 4096 AS DOUBLE))
-                      ELSE raw END AS est_distinct
-          FROM c),
+      oracle = {
+        import graft.functions.Hll
+        Some(s"""
+        WITH ${Hll.oracleRegsCtes("event_type", "user_id", "events")},
+        ${Hll.oracleEstimateCtes("event_type")},
         e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
               FROM events GROUP BY event_type)
-        SELECT est.event_type,
+        SELECT hllest.event_type,
                CAST(n_present AS BIGINT) AS n_registers,
                est_distinct, exact_distinct,
                abs(est_distinct - CAST(exact_distinct AS DOUBLE))
                  / CAST(exact_distinct AS DOUBLE) AS rel_err
-        FROM est JOIN e USING (event_type)""")),
+        FROM hllest JOIN e USING (event_type)""")
+      }),
+
+    // ------------------------------------------------------------------
+    // The STREAMING maintainer of the same sketch: registers live in
+    // flatMapGroupsWithState (one int per (group, register) — state is
+    // O(groups x 4096) at any input volume), emitted append-only on each
+    // RISE, so the sink's per-key max is the live sketch. The query
+    // drains the events corpus in three waves (a restart per wave) and
+    // reports the distinct-so-far estimates; the oracle computes the
+    // BATCH sketch over the same corpus — stream state must equal batch
+    // registers bit-for-bit, cross-engine. DistinctStreamSpec pins the
+    // register-table equality, monotone emissions, and the empty-sink
+    // early poll.
+    "rel_hll_stream" -> QuerySpec(
+      fn = (s, dir) => {
+        import graft.streaming.DistinctStream
+        val landing = graft.api.Scratch.dir("hll_landing")
+        val out = graft.api.Scratch.dir("hll_out")
+        val cp = graft.api.Scratch.dir("hll_cp")
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"), col("event_id"))
+        (0 to 2).foreach { wave =>
+          ev.filter(pmod(col("event_id"), lit(3)) === wave)
+            .select("event_type", "user_id")
+            .coalesce(2).write.mode("append").parquet(landing)
+          DistinctStream.runAvailableNow(s, landing, out, cp,
+            maxFilesPerTrigger = 2)
+        }
+        DistinctStream.estimates(s, out)
+      },
+      oracle = {
+        import graft.functions.Hll
+        Some(s"""
+        WITH ${Hll.oracleRegsCtes("event_type", "user_id", "events")},
+        ${Hll.oracleEstimateCtes("event_type")}
+        SELECT event_type, CAST(n_present AS BIGINT) AS n_registers,
+               est_distinct
+        FROM hllest""")
+      }),
 
     // ------------------------------------------------------------------
     // Salted skew join ([[Skew.saltedJoin]]) proven result-equivalent to
