@@ -1658,6 +1658,105 @@ object RelationalQueries extends QueryModule {
       }),
 
     // ------------------------------------------------------------------
+    // Mergeable BLOOM membership sketch — the join-pruning companion of
+    // the HLL cardinality sketch: 2^18 bits as 4096 BIGINT words built by
+    // bit_or aggregation (bit_or IS the merge, so partials combine
+    // map-side like any max), k=4 salted md5 positions per key. The build
+    // side is the high-value-urgent customer set; the 4096-word table
+    // then BROADCASTS onto the probe scan — the shape a 100 TB join
+    // pre-filter uses (prune the big scan before the shuffle; Spark's own
+    // runtime row-group filters are this move). The report counts, per
+    // market segment, bloom-pass vs exact membership: false negatives are
+    // impossible by construction (the spec asserts zero), false positives
+    // are COUNTED exactly — the sketch's quality is measured, not
+    // assumed. DuckDB's checked `<<` overflows at bit 63, so the oracle
+    // branches to the min-long constant there; Spark's shiftleft has Java
+    // semantics and needs no branch.
+    "rel_bloom_prune" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        // Build side: high-value urgent customers (~18% of the probe
+        // population at every fixture scale) so the sketch prunes a real
+        // non-member majority — bloom over ALL order-placers would be
+        // vacuous here (TPC-H customers almost all have orders).
+        val keys = t(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 450000)
+          .select($"o_custkey".as("k")).distinct()
+        val four = expr("explode(sequence(0, 3))").as("i")
+        val words = keys.select($"k", four)
+          .select(expr(
+            "md5_long(concat('b', CAST(i AS STRING), ':', CAST(k AS STRING))) & 262143")
+            .as("p"))
+          .groupBy(($"p" / 64).cast("bigint").as("w"))
+          .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"))
+            .as("bm"))
+        val probe = t(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment", four)
+          .withColumn("p", expr(
+            "md5_long(concat('b', CAST(i AS STRING), ':', CAST(c_custkey AS STRING))) & 262143"))
+        val hits = probe
+          .join(broadcast(words), (probe("p") / 64).cast("bigint") === words("w"), "left")
+          .groupBy($"c_custkey", $"c_mktsegment")
+          .agg(bool_and($"bm".isNotNull &&
+            expr("shiftright(bm, CAST(p % 64 AS INT)) & 1") === 1).as("maybe"))
+        val act = keys.withColumn("has_orders", lit(true))
+        hits.join(act, hits("c_custkey") === act("k"), "left")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when($"has_orders", 1L).otherwise(0L)).as("n_actual"),
+            sum(when($"maybe", 1L).otherwise(0L)).as("n_maybe"),
+            sum(when($"maybe" && $"has_orders".isNull, 1L).otherwise(0L))
+              .as("n_false_pos"))
+          .withColumn("fp_rate", when($"n_customers" === $"n_actual",
+            lit(0.0)).otherwise($"n_false_pos".cast("double")
+              / ($"n_customers" - $"n_actual").cast("double")))
+      },
+      oracle = Some("""
+        WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_orderpriority = '1-URGENT'
+                        AND o_totalprice > 450000),
+        pos AS (
+          SELECT md5_number_upper('b' || CAST(i AS VARCHAR) || ':'
+                   || CAST(k AS VARCHAR)) & 262143 AS p
+          FROM keys, (SELECT i FROM generate_series(0, 3) t(i))),
+        words AS (
+          SELECT p // 64 AS w,
+                 bit_or(CASE WHEN (p % 64) = 63
+                             THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END)
+                   AS bm
+          FROM pos GROUP BY p // 64),
+        probe AS (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 md5_number_upper('b' || CAST(i AS VARCHAR) || ':'
+                   || CAST(c.c_custkey AS VARCHAR)) & 262143 AS p
+          FROM customer c, (SELECT i FROM generate_series(0, 3) t(i))),
+        hits AS (
+          SELECT c_custkey, c_mktsegment,
+                 bool_and(bm IS NOT NULL AND
+                   ((bm >> CAST(p % 64 AS INT)) & 1) = 1) AS maybe
+          FROM probe LEFT JOIN words ON (p // 64) = w
+          GROUP BY c_custkey, c_mktsegment)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CASE WHEN a.k IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_actual,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_maybe,
+               CAST(SUM(CASE WHEN maybe AND a.k IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos,
+               CASE WHEN COUNT(*) = CAST(SUM(CASE WHEN a.k IS NOT NULL
+                                              THEN 1 ELSE 0 END) AS BIGINT)
+                    THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(CAST(SUM(CASE WHEN maybe AND a.k IS NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                         / CAST(COUNT(*) - CAST(SUM(CASE WHEN a.k IS NOT NULL
+                                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                AS DOUBLE) END AS fp_rate
+        FROM hits h LEFT JOIN keys a ON a.k = h.c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
     // The STREAMING maintainer of the same sketch: registers live in
     // flatMapGroupsWithState (one int per (group, register) — state is
     // O(groups x 4096) at any input volume), emitted append-only on each

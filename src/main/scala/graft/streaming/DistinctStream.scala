@@ -80,6 +80,12 @@ object DistinctStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Batch-style drain leaves no stream behind — drop the cached
+    // state-store providers so they don't tax subsequent batch work in
+    // the same JVM (the Medallion.runAvailableNow discipline).
+    if (spark.streams.active.isEmpty)
+      scala.util.Try(
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop())
   }
 
   /** The current register table: per-key MAX over the append sink (ranks

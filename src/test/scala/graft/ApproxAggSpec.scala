@@ -76,4 +76,23 @@ class ApproxAggSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
     out.foreach(r => assert(again(r.getString(0)) === r.getDouble(2)))
   }
+
+  test("bloom prune: no false negatives, bounded false positives, broadcast word table") {
+    val df = SparkEntry.queries("rel_bloom_prune")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, actual, maybe, fp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // Every member passes the filter: maybe = actual + false positives
+      // exactly — a single missed member would break this identity.
+      assert(maybe === actual + fp, s"false negative in segment ${r.getString(0)}: $r")
+      assert(fp <= n - actual)
+      // At this load factor (k=4, n << m) the fp rate must stay tiny.
+      assert(r.getDouble(5) < 0.05, s"fp rate out of bound: $r")
+    }
+    // The 4096-word filter broadcasts onto the probe side — the pruning
+    // join must never shuffle the probe scan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bloom probe must broadcast:\n$plan")
+  }
 }
