@@ -259,6 +259,48 @@ object SftOps extends QueryModule {
         FROM d""")),
 
     // ------------------------------------------------------------------
+    // Preference-pair export (the DPO/RLHF shape): within each group of
+    // VALID dialogs sharing a prompt, the best response (most assistant
+    // content, smallest-id tie-break) becomes `chosen` and every other
+    // member a `rejected` — one (chosen, rejected) row per pair, with the
+    // content margin. Composes the parse gate with the dedup grouping:
+    // invalid dialogs can be neither chosen nor rejected. Same single
+    // prompt-keyed shuffle as the dedup; the pair fan-out is bounded by
+    // group size, never corpus size.
+    "llm_sft_pairs" -> QuerySpec(
+      fn = (s, dir) => {
+        // One window pass: rank + first_value over the same (prompt)
+        // partitioning — a chosen-vs-rejected SELF-JOIN would recompute
+        // the whole parse chain once per branch.
+        val ranked = Window.partitionBy(col("prompt"))
+          .orderBy(col("assistant_chars").desc, col("doc_id"))
+        perDoc(s, dir).filter(col("is_valid"))
+          .select("doc_id", "prompt", "assistant_chars")
+          .withColumn("rn", row_number().over(ranked))
+          .withColumn("chosen_id", first(col("doc_id")).over(ranked))
+          .withColumn("chosen_chars", first(col("assistant_chars")).over(ranked))
+          .filter(col("rn") > 1)
+          .select(col("prompt"), col("chosen_id"),
+            col("doc_id").as("rejected_id"), col("chosen_chars"),
+            col("assistant_chars").as("rejected_chars"),
+            (col("chosen_chars") - col("assistant_chars")).as("margin"))
+      },
+      oracle = Some(s"""
+        $oraclePerDoc,
+        valid AS (
+          SELECT doc_id, prompt, assistant_chars,
+                 row_number() OVER w AS rn,
+                 first_value(doc_id) OVER w AS chosen_id,
+                 first_value(assistant_chars) OVER w AS chosen_chars
+          FROM d WHERE valid_alternation AND NOT has_empty_turn
+          WINDOW w AS (PARTITION BY prompt
+                       ORDER BY assistant_chars DESC, doc_id))
+        SELECT prompt, chosen_id, doc_id AS rejected_id, chosen_chars,
+               assistant_chars AS rejected_chars,
+               chosen_chars - assistant_chars AS margin
+        FROM valid WHERE rn > 1""")),
+
+    // ------------------------------------------------------------------
     // Per-source curation report: counts are exact integers; every share
     // is ONE division of exact aggregates.
     "llm_sft_report" -> QuerySpec(

@@ -98,6 +98,26 @@ class SftOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  test("preference pairs: chosen dominates, both sides valid, consistent with dedup") {
+    val pairs = run("llm_sft_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(pairs.nonEmpty, "the planted prompt pool must yield real pairs")
+    val valid = run("llm_sft_parse").filter(col("is_valid"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    pairs.foreach { case (prompt, cid, rid, cc, rc, margin) =>
+      assert(valid(cid) && valid(rid), s"pair over invalid dialog: $prompt")
+      assert(margin === cc - rc)
+      // The chosen side wins on content, or ties with the smaller id.
+      assert(cc > rc || (cc == rc && cid < rid), s"survivor rule violated: $prompt")
+    }
+    // Exactly one chosen per prompt; every group member appears.
+    pairs.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).distinct.length === 1)
+      assert(g.map(_._3).distinct.length === g.length)
+    }
+  }
+
+  // ------------------------------------------------------------------
   test("token accounting reconciles: prompt + assistant = total, report sums match") {
     val toks = run("llm_sft_tokens").collect()
     toks.foreach { r =>
