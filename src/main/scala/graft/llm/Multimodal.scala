@@ -34,6 +34,10 @@ object Multimodal {
 
   // Image codec work must not touch a display even on dev machines.
   System.setProperty("java.awt.headless", "true")
+  // ImageIO defaults to a DISK-backed stream cache: every read/write of an
+  // in-memory payload creates (and deletes) a temp file. All payloads here
+  // are byte arrays — keep the cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata carried next to the opaque payload. */
   final case class MediaMeta(kind: String, width: Int, height: Int, sampleRate: Int)
