@@ -1,0 +1,135 @@
+package graft.llm
+
+import graft.api.Scratch
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decode-once image-feature materialization.
+  *
+  * The image-curation queries (`llm_mm_phash`, `llm_mm_dedup`,
+  * `llm_mm_gate`) all start from the same expensive step: decode every PNG
+  * payload through the real `javax.imageio` codec and derive the narrow
+  * per-asset feature row (decoder-reported dims + 64-bit perceptual hash).
+  * Run standalone, each query re-decoded the corpus — at sf30 that was
+  * ~120 s of repeated codec work for three queries whose combined
+  * post-decode logic costs seconds. At 100 TB the decode fleet is the
+  * dominant cost of the whole image pipeline, so features are decoded
+  * ONCE and persisted; every downstream query plans against the narrow
+  * feature table and the payload bytes never leave the decode pass.
+  *
+  * Two layers:
+  *
+  *   - [[appendBatch]] — the production shape: decode ONE corpus increment
+  *     and append its feature rows under a `batch=<id>` partition dir,
+  *     never re-touching earlier batches (the incremental-index discipline
+  *     of [[graft.streaming.IndexStream]] applied to decode). Decode work
+  *     per call is proportional to the increment, not the corpus.
+  *   - [[features]] — per-JVM decode-once resolution for a corpus dir: the
+  *     first caller builds the feature table via three [[appendBatch]]
+  *     increments (exercising the incremental path as the ONLY build
+  *     path); every later caller — any query in the session — reads the
+  *     persisted parquet. On a real cluster the features dir lives on
+  *     shared storage next to the warehouse; in this sandbox it is a
+  *     scratch dir (all JVMs share one host filesystem).
+  *
+  * Feature schema (narrow on purpose — this is what shuffles downstream):
+  * `(asset_id LONG, w INT, h INT, phash_hi LONG, phash_lo LONG)`. The
+  * hash ships as two 32-bit halves because the top bit of a single BIGINT
+  * would overflow signed arithmetic in the DuckDB oracle.
+  *
+  * Reference tie-in: the reference pipeline materializes each layer once
+  * and reads it many times (bronze→silver→gold,
+  * `02_silver_layer_processing.py:11-44`); this applies the same
+  * layer-materialization economics to the decode step of a multimodal
+  * corpus.
+  */
+object MmFeatures {
+
+  /** Total images decoded in this JVM — spec instrumentation proving the
+    * decode-once contract (local-mode executors share the JVM). Not used
+    * for any query semantics. */
+  val decodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The decode kernel: one real ImageIO decode per image asset →
+    * (asset_id, decoder-reported w/h, 64-bit average-hash as two halves).
+    * Exact integer arithmetic end-to-end (gray·64 vs Σgray, never a float
+    * mean) so the DuckDB oracle can recompute the grid analytically from
+    * the generator's closed form. Pure per-asset map work: payloads never
+    * shuffle; the output row is 36 bytes. */
+  def decodeFeatures(in: Dataset[Multimodal.MediaAsset]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.filter(_.meta.kind == "image")
+      .mapPartitions { it =>
+        it.map { a =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(a.media))
+          decodeCount.incrementAndGet()
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g3 = new Array[Long](64)
+          var i = 0
+          while (i < 64) {
+            val p = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xffffff
+            g3(i) = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+            i += 1
+          }
+          val sum = g3.sum
+          var hi = 0L; var lo = 0L
+          i = 0
+          while (i < 64) {
+            if (g3(i) * 64 > sum) {
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          (a.asset_id, w, h, hi, lo)
+        }
+      }
+      .toDF("asset_id", "w", "h", "phash_hi", "phash_lo")
+  }
+
+  /** Decode ONE corpus increment and append its features under
+    * `featuresDir/batch=<batchId>`. Idempotent per batch id (a re-run of
+    * the same increment overwrites only its own partition dir — the
+    * batch-id-overwrite exactly-once discipline of
+    * [[graft.streaming.CurateStream]]); earlier batches are never read or
+    * rewritten, so decode work is proportional to the increment. */
+  def appendBatch(
+      featuresDir: String,
+      batchId: Long,
+      increment: Dataset[Multimodal.MediaAsset]): Unit =
+    decodeFeatures(increment)
+      .write.mode("overwrite")
+      .parquet(s"$featuresDir/batch=$batchId")
+
+  /** Read the persisted feature table (all batches; the `batch` partition
+    * column is maintenance metadata, dropped here). */
+  def read(spark: SparkSession, featuresDir: String): DataFrame =
+    spark.read.parquet(featuresDir)
+      .select("asset_id", "w", "h", "phash_hi", "phash_lo")
+
+  // Corpus dir → features dir, resolved once per JVM. ConcurrentHashMap's
+  // computeIfAbsent guarantees a single build even under concurrent first
+  // callers (Verify/Bench are sequential; specs may not be).
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Decode-once features for the corpus at `dir`: built on first use via
+    * three [[appendBatch]] increments (id-sliced so the incremental path
+    * IS the production path), then served from parquet for every
+    * downstream query in this JVM. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val fdir = built.computeIfAbsent(dir, _ => {
+      val out = Scratch.dir("mm_features")
+      // Deterministic thirds of the image population — stands in for three
+      // ingest days; each append decodes only its slice. Both the image
+      // predicate (doc_id % 3 = 0) and the batch slice are id predicates
+      // pushed to the parquet scan BEFORE payload synthesis, so each
+      // append synthesizes and decodes exactly its increment's PNGs.
+      (0L to 2L).foreach { b =>
+        appendBatch(out, b, Multimodal.assets(spark, dir,
+          col("doc_id") % 3 === 0 && expr("(doc_id DIV 3) % 3") === b))
+      }
+      out
+    })
+    read(spark, fdir)
+  }
+}
