@@ -54,9 +54,10 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB): parse/tokens/report are single-scan map passes
   * (all turn work is array HOFs inside whole-stage codegen — no explode,
   * no per-turn shuffle) with an O(|sources|) final aggregate; prompt dedup
-  * is ONE shuffle keyed on the prompt text with two windows over the same
-  * partitioning (group sizes are bounded by prompt popularity — the key
-  * could be swapped for `xxhash64(prompt)` without touching the plan).
+  * is ONE shuffle keyed on `(xxhash64(prompt), prompt)` with two windows
+  * over the same partitioning — hash-led so the window sort compares
+  * 8-byte integers, prompt-second so a hash collision can never merge
+  * two groups (output identical to a plain prompt key).
   * Every reported fraction is one IEEE division of exact integer
   * aggregates, never a float sum (see [[graft.api.Exact]]).
   */
@@ -236,14 +237,125 @@ object SftOps extends QueryModule {
         FROM d""")),
 
     // ------------------------------------------------------------------
+    // TRAINER-TRUE loss-mask accounting: the same per-turn mask split as
+    // llm_sft_tokens, but counted in the tokens the trainer actually
+    // emits — the engine's own learned BPE merges (llm_bpe_train),
+    // applied per word with the boundary-safe serialize → replace×3 →
+    // count program of llm_bpe_apply. Whitespace words over-count the
+    // loss density of morphology-heavy text; the mask ratio in merge
+    // tokens is what sizes the effective batch. Composition shape: the
+    // merges collapse to 3 driver-side string literals (the k-means
+    // centroid discipline — training reduces to the vocab table, O(1)
+    // rides into this query), application is array HOFs inside the one
+    // transcript scan — no shuffle, no explode, no join between the two
+    // programs. The oracle re-derives the merges itself (bpeTrainCtes)
+    // and re-applies them over the same turn parse, so the WHOLE
+    // train → parse → apply → mask chain is differential-checked.
+    "llm_sft_bpe_tokens" -> QuerySpec(
+      fn = (s, dir) => {
+        val merges = TextAnalysis.bpeTrainDf(s, dir).orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        def lit_(v: String) = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val serialized =
+          "'|' || array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '||') || '|'"
+        val applied = merges.foldLeft(serialized) { case (acc, (a, b)) =>
+          s"replace($acc, '|' || ${lit_(a)} || '||' || ${lit_(b)} || '|', " +
+            s"'|' || ${lit_(a)} || ${lit_(b)} || '|')"
+        }
+        def sumBpe(filterSql: String): String =
+          s"""aggregate(turnbpe, CAST(0 AS BIGINT),
+                (acc2, t) -> acc2 + CASE WHEN $filterSql
+                  THEN t.ntok ELSE CAST(0 AS BIGINT) END)"""
+        docs(s, dir)
+          .withColumn("convo", expr(sftWrapSql("doc_id", "text")))
+          .withColumn("turns", expr(turnsExpr))
+          .withColumn("n_turns", expr("CAST(size(turns) AS INT)"))
+          // Each turn tokenized ONCE into (role, BPE-token count): words
+          // split as the trainer splits them, each word merged and its
+          // post-merge symbol count folded — never materializing symbols.
+          .withColumn("turnbpe", expr(
+            s"""transform(turns, t -> named_struct('role', t.role, 'ntok',
+                  aggregate(
+                    filter(split(lower(t.content), '\\\\s+'), w -> length(w) >= 1),
+                    CAST(0 AS BIGINT),
+                    (acc, w) -> acc + CAST(size(split(
+                      substring($applied, 2, length($applied) - 2),
+                      '\\\\|\\\\|')) AS BIGINT))))"""))
+          .withColumn("assistant_bpe", expr(sumBpe("t.role = 'assistant'")))
+          .withColumn("total_bpe", expr(sumBpe("true")))
+          .select(col("doc_id"), col("n_turns"),
+            (col("total_bpe") - col("assistant_bpe")).as("prompt_bpe"),
+            col("assistant_bpe"), col("total_bpe"),
+            (col("assistant_bpe").cast("double") / col("total_bpe"))
+              .as("loss_mask_ratio_bpe"))
+      },
+      oracle = Some(s"""
+        WITH ${TextAnalysis.bpeTrainCtes},
+        base AS (
+          SELECT doc_id, ${sftWrapSql("doc_id", "text")} AS convo
+          FROM documents),
+        t AS (SELECT doc_id, $oracleTurns AS turns FROM base),
+        tr AS (SELECT doc_id, unnest(turns) AS turn FROM t),
+        tw AS (
+          SELECT doc_id, turn.role AS role,
+                 unnest(list_filter(
+                   string_split_regex(lower(turn.content), '\\s+'),
+                   w -> length(w) >= 1)) AS w
+          FROM tr),
+        ap AS (
+          SELECT doc_id, role,
+                 replace(replace(replace(
+                     '|' || array_to_string(string_split(w, ''), '||') || '|',
+                     '|' || (SELECT a FROM b1) || '||' || (SELECT b FROM b1) || '|',
+                     '|' || (SELECT a FROM b1) || (SELECT b FROM b1) || '|'),
+                     '|' || (SELECT a FROM b2) || '||' || (SELECT b FROM b2) || '|',
+                     '|' || (SELECT a FROM b2) || (SELECT b FROM b2) || '|'),
+                     '|' || (SELECT a FROM b3) || '||' || (SELECT b FROM b3) || '|',
+                     '|' || (SELECT a FROM b3) || (SELECT b FROM b3) || '|') AS r3
+          FROM tw),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN role = 'assistant'
+                   THEN len(string_split(substring(r3, 2, length(r3) - 2), '||'))
+                   ELSE 0 END) AS BIGINT) AS assistant_bpe,
+                 CAST(SUM(len(string_split(substring(r3, 2, length(r3) - 2), '||')))
+                   AS BIGINT) AS total_bpe
+          FROM ap GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.turns) AS INT) AS n_turns,
+               agg.total_bpe - agg.assistant_bpe AS prompt_bpe,
+               agg.assistant_bpe, agg.total_bpe,
+               CAST(agg.assistant_bpe AS DOUBLE) / agg.total_bpe
+                 AS loss_mask_ratio_bpe
+        FROM t JOIN agg USING (doc_id)""")),
+
+    // ------------------------------------------------------------------
     // Prompt dedup: group on the first user turn; survivor = most
     // assistant characters, ties to the smallest doc_id. One shuffle on
     // the prompt key, two windows over the same partitioning.
+    //
+    // The window key leads with xxhash64(prompt): at corpus scale the
+    // prompt is an arbitrarily long string, and WindowExec sorts its
+    // partition by the full partitionBy+orderBy key — leading with the
+    // 8-byte hash makes every comparison an integer compare that only
+    // falls back to the string on hash-equal (i.e. same prompt, modulo
+    // collisions). The raw prompt STAYS second in the key, so a 64-bit
+    // collision between two hot prompts can never merge their groups —
+    // output is bit-identical to the plain (prompt) spelling. Hot
+    // prompts ("hello" at 30–50 % of a pooled export) still serialize
+    // through one partition — that is the window's semantics — but the
+    // sort inside it is hash-speed; the GRAFT_SOAK hot-prompt run pins
+    // the bound.
     "llm_sft_prompt_dedup" -> QuerySpec(
       fn = (s, dir) => {
-        val byPrompt = Window.partitionBy(col("prompt"))
+        // The hash is computed ONCE as a named column: partitioning both
+        // windows by the same attribute keeps them in one Exchange —
+        // inlining xxhash64 into each Window spec re-projects it with a
+        // fresh attribute per window and Catalyst plans TWO shuffles
+        // (caught by the plan-shape spec).
+        val byPrompt = Window.partitionBy(col("pk"), col("prompt"))
         val ranked = byPrompt.orderBy(col("assistant_chars").desc, col("doc_id"))
         perDoc(s, dir)
+          .withColumn("pk", xxhash64(col("prompt")))
           .withColumn("group_size", count(lit(1)).over(byPrompt).cast("int"))
           .withColumn("keep", row_number().over(ranked) === 1)
           .select("doc_id", "prompt", "group_size", "assistant_chars", "keep")
@@ -271,11 +383,15 @@ object SftOps extends QueryModule {
       fn = (s, dir) => {
         // One window pass: rank + first_value over the same (prompt)
         // partitioning — a chosen-vs-rejected SELF-JOIN would recompute
-        // the whole parse chain once per branch.
-        val ranked = Window.partitionBy(col("prompt"))
+        // the whole parse chain once per branch. Hash-led key like
+        // llm_sft_prompt_dedup (one named pk column shared by the three
+        // window functions): integer compares in the window sort, the
+        // raw prompt second for collision-exactness.
+        val ranked = Window.partitionBy(col("pk"), col("prompt"))
           .orderBy(col("assistant_chars").desc, col("doc_id"))
         perDoc(s, dir).filter(col("is_valid"))
           .select("doc_id", "prompt", "assistant_chars")
+          .withColumn("pk", xxhash64(col("prompt")))
           .withColumn("rn", row_number().over(ranked))
           .withColumn("chosen_id", first(col("doc_id")).over(ranked))
           .withColumn("chosen_chars", first(col("assistant_chars")).over(ranked))

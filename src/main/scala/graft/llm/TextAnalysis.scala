@@ -49,7 +49,7 @@ object TextAnalysis extends QueryModule {
                  cnt
           FROM $prev)"""
 
-  private def bpeTrainCtes: String = s"""
+  private[llm] def bpeTrainCtes: String = s"""
         words AS (
           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
           FROM documents),

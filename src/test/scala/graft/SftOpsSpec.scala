@@ -135,6 +135,108 @@ class SftOpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  test("BPE token accounting reconciles and is denser than whitespace words") {
+    val ws = run("llm_sft_tokens").select("doc_id", "total_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bpe = run("llm_sft_bpe_tokens").collect()
+    assert(bpe.length === ws.size, "one row per dialog")
+    bpe.foreach { r =>
+      val (id, prompt, assistant, total) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(prompt + assistant === total, "BPE token partition")
+      val ratio = r.getDouble(5)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      // A learned merge can only JOIN symbols: per word the BPE count is
+      // <= the character count and >= 1, so dialog-total BPE tokens are
+      // always >= whitespace words (each word is >= 1 token).
+      assert(total >= ws(id),
+        s"dialog $id: BPE total $total < whitespace words ${ws(id)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Hot-prompt soak (GRAFT_SOAK=1): one prompt holds 40 % of a 1M-row
+  // frame — the pooled-export pathology the VERDICT flagged. Pins that
+  // (a) the hash-led window key is bit-identical to the plain prompt
+  // key even under extreme skew, and (b) the one window shuffle moves
+  // ~one pass of the narrow rows (no blowup) and completes in bounded
+  // wall-clock despite the hot partition serializing through one task.
+  // Measured honestly: at this scale the two spellings are within noise
+  // of each other (~1.3–1.7 s — the shuffle ships the prompt bytes
+  // either way, and the sort is a small fraction of the pass); the
+  // hash-led key buys the 8-byte comparison BOUND for arbitrarily long
+  // prompts, not a local-mode speedup.
+  test("hot-prompt soak: 40% single-prompt skew stays one bounded shuffle") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+    val n = 1000000L
+    // Long prompts with a deep shared prefix — worst case for the string
+    // comparisons the hash-led key is there to avoid.
+    val coldPrefix = "p" * 180
+    val hot = "could you please summarize this for me " * 5
+    val frame = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 5 < 2, lit(hot))
+        .otherwise(concat(lit(coldPrefix), (col("id") % 100000).cast("string")))
+        .as("prompt"),
+      (col("id") * 37 % 1000).as("assistant_chars"))
+
+    def dedup(in: org.apache.spark.sql.DataFrame,
+              w: org.apache.spark.sql.expressions.WindowSpec) =
+      in
+        .withColumn("group_size", count(lit(1)).over(w).cast("int"))
+        .withColumn("keep", row_number().over(
+          w.orderBy(col("assistant_chars").desc, col("doc_id"))) === 1)
+        .select("doc_id", "group_size", "keep")
+
+    val hashLed = dedup(frame.withColumn("pk", xxhash64(col("prompt"))),
+      Window.partitionBy(col("pk"), col("prompt")))
+    val plain = dedup(frame, Window.partitionBy(col("prompt")))
+
+    def timedChecksum(df: org.apache.spark.sql.DataFrame): (Long, Double, Long) = {
+      // Two executions, min time — first-run JIT/codegen noise dominates
+      // a single measurement at this scale.
+      val qe = df.queryExecution
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        qe.toRdd.foreach(_ => ()) // execute the EXACT plan so its metrics fill
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      def shuffled(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => shuffled(a.executedPlan)
+        // QueryStageExec is a LEAF node — the wrapped tree hangs off .plan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffled(q.plan)
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("dataSize").map(_.value).getOrElse(0L) +
+            s.children.map(shuffled).sum
+        case _ => p.children.map(shuffled).sum
+      }
+      val checksum = df.agg(expr(
+        "bit_xor(xxhash64(doc_id, group_size, keep))")).collect()(0).getLong(0)
+      (checksum, sec, shuffled(qe.executedPlan))
+    }
+
+    val (cs1, tHash, bytesHash) = timedChecksum(hashLed)
+    val (cs2, tPlain, _) = timedChecksum(plain)
+    info(f"hash-led $tHash%.1f s, plain-string $tPlain%.1f s, " +
+      f"shuffled ${bytesHash / 1e6}%.0f MB for $n rows")
+    assert(cs1 === cs2, "hash-led key changed the dedup output")
+    // One window pass over (hash, prompt, chars, id) rows: the in-flight
+    // row is ~prompt + ~32B; 3× covers serialization overhead. A skew
+    // blowup (row duplication, multi-pass) would blast past this.
+    val rowBytes = hot.length + 48
+    assert(bytesHash < 3L * n * rowBytes,
+      s"shuffle moved $bytesHash bytes — more than ~one pass of the frame")
+    assert(tHash < 120.0, f"hot-prompt window took $tHash%.1f s")
+  }
+
+  // ------------------------------------------------------------------
   test("plan shapes: parse/tokens single-scan no-shuffle; dedup shuffles once on the prompt") {
     Seq("llm_sft_parse", "llm_sft_tokens").foreach { q =>
       val plan = run(q).queryExecution.executedPlan.toString
