@@ -2317,10 +2317,11 @@ object RelationalQueries extends QueryModule {
     // exact ceil-rank lower median with the (l_orderkey, l_linenumber)
     // tiebreak; the Spark side SELECTS the same value by two-phase
     // distributed selection instead of a per-group total sort (which runs
-    // at parallelism = |groups| = 2): a bounded integer-bucket histogram
-    // (map-side-combined, ~1.6k 64-wide buckets/group) locates the bucket
-    // holding rank ceil(n/2), then only that bucket's handful of rows is
-    // sorted for the exact value. Tiebreaks can't change the SELECTED
+    // at parallelism = |groups| = 2): a bounded histogram whose bucket
+    // width derives from each group's observed min/max (≤4096
+    // buckets/group at ANY value domain — [[Selection]]) locates the
+    // bucket holding rank ceil(n/2), then only that bucket's handful of
+    // rows is sorted for the exact value. Tiebreaks can't change the SELECTED
     // VALUE (the k-th element's value is the smallest v with cdf(v) ≥ k),
     // so the rank-spelling oracle still matches bit-for-bit. Same
     // machinery again for the deviation median; four cheap columnar scans,
@@ -2328,60 +2329,26 @@ object RelationalQueries extends QueryModule {
     "rel_agg_mad" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        // Exact per-group lower median of a derived value column, as a
-        // driver Map(group -> median). Driver state is O(groups) — the
-        // k-means-centroid pattern — which buys literal CASE predicates in
-        // the follow-up scans instead of broadcast-join jobs: each phase is
-        // one pure-codegen 2-column scan. Tiebreaks can't change the
-        // SELECTED VALUE (the k-th element's value is the smallest v with
-        // cdf(v) ≥ k), so value-only ordering suffices here.
-        def fastMedian(df: org.apache.spark.sql.DataFrame,
-            valueCol: Column): Map[String, Double] = {
-          // 64-wide buckets: /64 and floor are exact IEEE ops; ~1.6k
-          // buckets keep the histogram shuffle trivial while the residual
-          // (≈ rows/buckets per group) stays a few hundred rows.
-          val bucketed = df.select($"l_linestatus",
-            valueCol.as("v"), floor(valueCol / 64.0).cast("long").as("bkt"))
-          // The histogram is O(buckets) rows; its cumsum is driver-side
-          // arithmetic, not a window stage.
-          val hist = bucketed.groupBy($"l_linestatus", $"bkt")
-            .agg(count(lit(1)).as("cnt"))
-            .collect()
-            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          val target: Map[String, (Long, Long)] =
-            hist.groupBy(_._1).map { case (g, rows) =>
-              val sorted = rows.sortBy(_._2)
-              val n = sorted.map(_._3).sum
-              val k = math.ceil(0.5 * n).toLong
-              var cum = 0L
-              val (_, bkt, cnt) =
-                sorted.find { case (_, _, c) => cum += c; cum >= k }.get
-              g -> (bkt, k - (cum - cnt))
-            }
-          // Residual: only the target bucket's rows per group, filtered by
-          // a literal predicate — no join, no broadcast exchange.
-          val inTarget = target.map { case (g, (b, _)) =>
-            $"l_linestatus" === g && $"bkt" === b
-          }.reduce(_ || _)
-          val kOf = target.foldLeft(lit(-1L)) { case (acc, (g, (_, k))) =>
-            when($"l_linestatus" === g, lit(k)).otherwise(acc)
-          }
-          val wr = Window.partitionBy($"l_linestatus").orderBy($"v")
-          bucketed.filter(inTarget)
-            .withColumn("rn", row_number().over(wr).cast("long"))
-            .filter($"rn" === kOf)
-            .collect()
-            .map(r => r.getString(0) -> r.getDouble(1))
-            .toMap
-        }
+        // Exact per-group lower median via [[Selection.groupMedian]] —
+        // domain-adaptive two-phase selection (bucket width derives from
+        // each group's observed min/max, so driver rows are bounded by
+        // construction, not by the value range; the pre-round-11 fixed
+        // 64-wide buckets would have collected millions of rows on a
+        // wide-domain column like epoch micros). Driver output is
+        // O(groups) — the k-means-centroid pattern — which buys literal
+        // CASE predicates in the follow-up scans instead of
+        // broadcast-join jobs. Tiebreaks can't change the SELECTED VALUE
+        // (the k-th element's value is the smallest v with cdf(v) ≥ k),
+        // so value-only ordering suffices here.
         def caseOf(m: Map[String, Double]): Column =
           m.foldLeft(lit(Double.NaN)) { case (acc, (g, v)) =>
             when($"l_linestatus" === g, lit(v)).otherwise(acc)
           }
         val li = t(s, dir, "lineitem")
           .select($"l_linestatus", $"l_extendedprice")
-        val med = fastMedian(li, $"l_extendedprice")
-        val mad = fastMedian(li, abs($"l_extendedprice" - caseOf(med)))
+        val med = Selection.groupMedian(li, "l_linestatus", $"l_extendedprice")
+        val mad = Selection.groupMedian(li, "l_linestatus",
+          abs($"l_extendedprice" - caseOf(med)))
         // Assemble the 2-row result locally — no final join.
         import scala.jdk.CollectionConverters._
         val rows = med.keys.toSeq.sorted.map(g =>
@@ -2660,23 +2627,34 @@ object RelationalQueries extends QueryModule {
         FROM lineitem JOIN bounds ON l_linestatus = g
         GROUP BY l_linestatus""")),
 
+    // Exact multi-quantile per group, re-spelled (round 11) through the
+    // same domain-adaptive two-phase selection as rel_agg_mad: the
+    // previous window spelling row_numbered EVERY fact row inside a
+    // per-group sort — parallelism = |groups| = 2 and the hot partition
+    // is the whole group, the shape that dies at 100 TB. Now: domain
+    // pass → ≤4096-bucket histogram (driver cumsum) → residual scan of
+    // only the 3 target buckets. The ceil-rank ORACLE is unchanged —
+    // selection is by value, so the sort spelling and the histogram
+    // spelling pick the identical element.
     "rel_agg_quantiles" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
-        val part = Window.partitionBy($"l_linestatus")
-        val w = part.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-        def rank(q: Double) =
-          ceil(lit(q) * $"n").cast("long")
-        t(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(part))
-          .filter($"rn" === rank(0.5) || $"rn" === rank(0.9) ||
-            $"rn" === rank(0.99))
-          .groupBy($"l_linestatus")
-          .agg(
-            max(when($"rn" === rank(0.5), $"l_extendedprice")).as("p50"),
-            max(when($"rn" === rank(0.9), $"l_extendedprice")).as("p90"),
-            max(when($"rn" === rank(0.99), $"l_extendedprice")).as("p99"))
+        val li = t(s, dir, "lineitem")
+          .select($"l_linestatus", $"l_extendedprice")
+        val qs = Seq(0.5, 0.9, 0.99)
+        val (sel, _) = Selection.groupQuantiles(
+          li, "l_linestatus", $"l_extendedprice", qs)
+        import scala.jdk.CollectionConverters._
+        val rows = sel.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+          org.apache.spark.sql.Row(g, sel((g, 0.5)), sel((g, 0.9)), sel((g, 0.99)))
+        }
+        s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+          Seq("l_linestatus" -> org.apache.spark.sql.types.StringType,
+            "p50" -> org.apache.spark.sql.types.DoubleType,
+            "p90" -> org.apache.spark.sql.types.DoubleType,
+            "p99" -> org.apache.spark.sql.types.DoubleType)
+            .map { case (n, t0) =>
+              org.apache.spark.sql.types.StructField(n, t0) }))
       },
       oracle = Some("""
         SELECT l_linestatus,
