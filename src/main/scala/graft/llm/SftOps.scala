@@ -104,7 +104,7 @@ object SftOps extends QueryModule {
 
   /** Spark-side turn parser: split on newline, strip the `role: ` prefix,
     * drop the empty tail line. Array HOFs only — no explode. */
-  private val turnsExpr: String =
+  private[graft] val turnsExpr: String =
     """filter(
          transform(split(convo, chr(10)),
            l -> named_struct(

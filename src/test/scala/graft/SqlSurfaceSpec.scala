@@ -19,7 +19,7 @@ import org.apache.spark.sql.DataFrame
 class SqlSurfaceSpec extends SparkSpec {
 
   private def registerViews(): Unit = {
-    Seq("lineitem", "orders", "customer", "documents").foreach { t =>
+    Seq("lineitem", "orders", "customer", "documents", "events").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
     graft.functions.GraftFunctions.register(spark)
@@ -143,5 +143,156 @@ class SqlSurfaceSpec extends SparkSpec {
     checkSame("llm_text_fingerprint", """
       SELECT doc_id, fp[0] AS full_hash, fp[1] AS min_window_hash
       FROM (SELECT doc_id, poly_fingerprint(text) AS fp FROM documents)""")
+  }
+
+  // ------------------------------------------------------------------
+  // Round-10-family doors. The SFT spellings reuse the library's own
+  // dialect-neutral fragments (transcript construction + turn parser) so
+  // the SQL text and the DataFrame program share one source of truth.
+
+  test("llm_sft_parse through spark.sql") {
+    val wrap = graft.llm.SftOps.sftWrapSql("doc_id", "text")
+    val turns = graft.llm.SftOps.turnsExpr
+    checkSame("llm_sft_parse", s"""
+      WITH base AS (SELECT doc_id, $wrap AS convo FROM documents),
+      t AS (SELECT doc_id, $turns AS turns FROM base)
+      SELECT doc_id,
+             CAST(size(turns) AS INT) AS n_turns,
+             CAST(size(filter(turns, t -> t.role = 'user')) AS INT) AS n_user,
+             CAST(size(filter(turns, t -> t.role = 'assistant')) AS INT)
+               AS n_assistant,
+             size(filter(turns, t -> t.role = 'system')) > 0 AS has_system,
+             array_join(transform(turns, t -> substr(t.role, 1, 1)), ',')
+               AS roles,
+             regexp_like(array_join(transform(turns, t -> substr(t.role, 1, 1)), ','),
+               '^(s,)?u,a(,u,a)*$$') AS valid_alternation,
+             right(array_join(transform(turns, t -> substr(t.role, 1, 1)), ','), 1) = 'a'
+               AS ends_assistant,
+             exists(turns, t -> t.content = '') AS has_empty_turn,
+             regexp_like(array_join(transform(turns, t -> substr(t.role, 1, 1)), ','),
+               '^(s,)?u,a(,u,a)*$$')
+               AND NOT exists(turns, t -> t.content = '') AS is_valid
+      FROM t""")
+  }
+
+  test("llm_sft_report through spark.sql") {
+    val wrap = graft.llm.SftOps.sftWrapSql("doc_id", "text")
+    val turns = graft.llm.SftOps.turnsExpr
+    checkSame("llm_sft_report", s"""
+      WITH base AS (SELECT doc_id, source, $wrap AS convo FROM documents),
+      t AS (SELECT doc_id, source, $turns AS turns FROM base),
+      d AS (
+        SELECT source,
+               CAST(size(turns) AS INT) AS n_turns,
+               regexp_like(array_join(transform(turns, t -> substr(t.role, 1, 1)), ','),
+                 '^(s,)?u,a(,u,a)*$$') AS valid_alternation,
+               right(array_join(transform(turns, t -> substr(t.role, 1, 1)), ','), 1) = 'a'
+                 AS ends_assistant,
+               exists(turns, t -> t.content = '') AS has_empty_turn,
+               aggregate(turns, CAST(0 AS BIGINT),
+                 (acc, t) -> acc + CASE WHEN t.role = 'assistant'
+                   THEN CAST(size(filter(split(t.content, ' '), w -> w <> ''))
+                     AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS assistant_tokens,
+               aggregate(turns, CAST(0 AS BIGINT),
+                 (acc, t) -> acc +
+                   CAST(size(filter(split(t.content, ' '), w -> w <> ''))
+                     AS BIGINT)) AS total_tokens
+        FROM t)
+      SELECT source,
+             COUNT(*) AS n_convos,
+             SUM(CASE WHEN valid_alternation AND NOT has_empty_turn
+                      THEN 1L ELSE 0L END) AS n_valid,
+             SUM(CASE WHEN NOT valid_alternation THEN 1L ELSE 0L END)
+               AS n_alt_violation,
+             SUM(CASE WHEN has_empty_turn THEN 1L ELSE 0L END) AS n_empty_turn,
+             SUM(CASE WHEN NOT ends_assistant THEN 1L ELSE 0L END)
+               AS n_unanswered,
+             CAST(SUM(CASE WHEN valid_alternation AND NOT has_empty_turn
+                           THEN 1L ELSE 0L END) AS DOUBLE) / COUNT(*)
+               AS pct_valid,
+             CAST(SUM(CAST(n_turns AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS avg_turns,
+             CAST(SUM(assistant_tokens) AS DOUBLE) / SUM(total_tokens)
+               AS assistant_token_share
+      FROM d GROUP BY source""")
+  }
+
+  test("rel_hll_distinct through spark.sql (portable HLL via injected md5_long)") {
+    import graft.functions.Hll
+    checkSame("rel_hll_distinct", s"""
+      WITH hsrc AS (
+        SELECT event_type, ${Hll.hpExpr("user_id")} AS hp FROM events),
+      rsrc AS (
+        SELECT event_type, ${Hll.regExpr} AS reg, ${Hll.rhoExpr} AS rho
+        FROM hsrc),
+      regs AS (
+        SELECT event_type, reg, MAX(rho) AS mrho
+        FROM rsrc GROUP BY event_type, reg),
+      folded AS (
+        SELECT event_type, COUNT(*) AS n_present,
+               aggregate(
+                 sort_array(collect_list(named_struct('reg', reg, 'mrho', mrho))),
+                 CAST(0.0 AS DOUBLE),
+                 (acc, x) -> acc + power(CAST(2.0 AS DOUBLE),
+                                         -CAST(x.mrho AS DOUBLE))) AS s_present
+        FROM regs GROUP BY event_type),
+      est AS (
+        SELECT event_type, n_present,
+               ${0.7213 / (1.0 + 1.079 / 4096)}D * 4096.0D * 4096.0D
+                 / (s_present + CAST(4096 - n_present AS DOUBLE)) AS raw
+        FROM folded),
+      hllest AS (
+        SELECT event_type, CAST(n_present AS BIGINT) AS n_registers,
+               CASE WHEN raw <= 2.5D * 4096.0D AND n_present < 4096
+                    THEN 4096.0D * ln(4096.0D / CAST(4096 - n_present AS DOUBLE))
+                    ELSE raw END AS est_distinct
+        FROM est),
+      e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type)
+      SELECT hllest.event_type, n_registers, est_distinct, exact_distinct,
+             abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+      FROM hllest JOIN e USING (event_type)""")
+  }
+
+  test("rel_bloom_prune through spark.sql (mergeable bloom via bit_or)") {
+    checkSame("rel_bloom_prune", """
+      WITH keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000),
+      pos AS (
+        SELECT md5_long(concat('b', CAST(i AS STRING), ':', CAST(k AS STRING)))
+                 & 262143 AS p
+        FROM keys LATERAL VIEW explode(sequence(0, 3)) AS i),
+      words AS (
+        SELECT CAST(p / 64 AS BIGINT) AS w,
+               bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS bm
+        FROM pos GROUP BY 1),
+      probe AS (
+        SELECT c_custkey, c_mktsegment,
+               md5_long(concat('b', CAST(i AS STRING), ':', CAST(c_custkey AS STRING)))
+                 & 262143 AS p
+        FROM customer LATERAL VIEW explode(sequence(0, 3)) AS i),
+      hits AS (
+        SELECT c_custkey, c_mktsegment,
+               bool_and(bm IS NOT NULL
+                 AND (shiftright(bm, CAST(p % 64 AS INT)) & 1) = 1) AS maybe
+        FROM probe LEFT JOIN words ON CAST(p / 64 AS BIGINT) = w
+        GROUP BY c_custkey, c_mktsegment)
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             SUM(CASE WHEN a.k IS NOT NULL THEN 1L ELSE 0L END) AS n_actual,
+             SUM(CASE WHEN maybe THEN 1L ELSE 0L END) AS n_maybe,
+             SUM(CASE WHEN maybe AND a.k IS NULL THEN 1L ELSE 0L END)
+               AS n_false_pos,
+             CASE WHEN COUNT(*) = SUM(CASE WHEN a.k IS NOT NULL THEN 1L ELSE 0L END)
+                  THEN 0.0D
+                  ELSE CAST(SUM(CASE WHEN maybe AND a.k IS NULL THEN 1L ELSE 0L END)
+                         AS DOUBLE)
+                       / CAST(COUNT(*) - SUM(CASE WHEN a.k IS NOT NULL
+                                             THEN 1L ELSE 0L END) AS DOUBLE)
+             END AS fp_rate
+      FROM hits h LEFT JOIN keys a ON a.k = h.c_custkey
+      GROUP BY c_mktsegment""")
   }
 }
