@@ -1757,6 +1757,42 @@ object RelationalQueries extends QueryModule {
         GROUP BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
+    // The sketch APPLIED — runtime bloom pre-filter on a real fact⋈dim
+    // join ([[BloomPrune]], round 11): the dim side (2M parts at sf10)
+    // is past broadcast size, so the join shuffles both sides; the dim
+    // KEY SET (p_size = 1, ~2 % of parts) still fits a 2^20-bit bitmap,
+    // which is collected (128 KB) and applied to the lineitem scan as a
+    // codegen'd literal-array filter BEFORE the shuffle — fact rows
+    // shuffled drop to selectivity + FP (~2 % measured at sf10). The
+    // ORACLE IS THE PLAIN JOIN: the bloom is semantics-transparent
+    // (the shuffle-hash join verifies every survivor, false negatives
+    // impossible by construction), so the hash match proves exactness
+    // of the whole prune→join chain, and the spec + BLOOM_JOIN bench
+    // artifact record the pruned-vs-unpruned row and wall-clock deltas.
+    "rel_bloom_join" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val dim = t(s, dir, "part").filter($"p_size" === 1).select($"p_partkey")
+        val words = BloomPrune.buildWords(dim)
+        t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_extendedprice", $"l_discount",
+            $"l_returnflag")
+          .filter(BloomPrune.mayContain(words, $"l_partkey"))
+          .join(dim.hint("shuffle_hash"), $"l_partkey" === $"p_partkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .as("revenue"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               ${sqlSum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")}
+                 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 1
+        GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
     // The STREAMING maintainer of the same sketch: registers live in
     // flatMapGroupsWithState (one int per (group, register) — state is
     // O(groups x 4096) at any input volume), emitted append-only on each
