@@ -2382,9 +2382,18 @@ object RelationalQueries extends QueryModule {
           }
         val li = t(s, dir, "lineitem")
           .select($"l_linestatus", $"l_extendedprice")
-        val med = Selection.groupMedian(li, "l_linestatus", $"l_extendedprice")
+        // ONE domain job serves both medians: the deviation |v − med| is
+        // bounded by the price range analytically, so the second
+        // selection needs no min/max scan of the derived column — 5 jobs
+        // total (domain, 2× histogram, 2× residual).
+        val r = li.agg(min($"l_extendedprice"), max($"l_extendedprice"))
+          .collect()(0)
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        val med = Selection.groupMedian(li, "l_linestatus",
+          $"l_extendedprice", domain = Some((lo, hi)))
         val mad = Selection.groupMedian(li, "l_linestatus",
-          abs($"l_extendedprice" - caseOf(med)))
+          abs($"l_extendedprice" - caseOf(med)),
+          domain = Some((0.0, hi - lo)))
         // Assemble the 2-row result locally — no final join.
         import scala.jdk.CollectionConverters._
         val rows = med.keys.toSeq.sorted.map(g =>

@@ -10,15 +10,21 @@ import org.apache.spark.sql.functions._
   * whose hot partition is the whole group.
   *
   * Phases (each a cheap columnar scan, no group-wide sort anywhere):
-  *   1. domain pass — per-group (min, max, n), O(groups) rows, map-side
-  *      combined;
-  *   2. histogram pass — values binned into ≤ [[targetBuckets]] buckets
-  *      whose WIDTH DERIVES FROM THE OBSERVED DOMAIN, counts collected
-  *      to the driver and cumsum'd there (O(groups × buckets) driver
-  *      rows — bounded by construction, NOT by the value range: epoch
-  *      micros and unit prices cost the same. A fixed absolute bucket
-  *      width here couples driver memory to the domain — 64-wide
-  *      buckets on a micros column would collect millions of rows);
+  *   1. domain pass — ONE ungrouped (min, max) of the value column,
+  *      skipped when the caller already knows a conservative bound
+  *      (e.g. a derived column whose range follows analytically from a
+  *      previous selection — see `rel_agg_mad`);
+  *   2. histogram pass — values binned into buckets whose WIDTH DERIVES
+  *      FROM THE OBSERVED DOMAIN (range / [[targetBuckets]]), counts
+  *      collected to the driver and cumsum'd there. Driver rows are
+  *      ≤ groups × targetBuckets BY CONSTRUCTION — decoupled from the
+  *      value range: epoch micros and unit prices cost the same. (A
+  *      fixed absolute bucket width here couples driver memory to the
+  *      domain — 64-wide buckets on a micros column would collect
+  *      millions of rows.) A global width is deliberately shared by all
+  *      groups: each group's bucket count is (group range / width)
+  *      ≤ targetBuckets, and the width literal keeps the binning
+  *      expression CASE-free;
   *   3. residual pass — only the buckets holding a requested rank are
   *      re-scanned (literal predicates, no join) and locally
   *      row-numbered for the exact element.
@@ -26,7 +32,10 @@ import org.apache.spark.sql.functions._
   * Selection is BY VALUE: the k-th element's value is the smallest v
   * with cdf(v) ≥ k, so tie order inside a bucket cannot change the
   * selected value and a rank-spelling oracle (full sort + row_number
-  * with any tiebreak) matches bit-for-bit.
+  * with any tiebreak) matches bit-for-bit. Binning uses one shared
+  * floor((v − lo) / w) expression in both scans — exact-double ops, so
+  * boundary placement is consistent by construction, and monotone in v
+  * (no transcendental whose 1-ulp wobble could reorder a boundary).
   *
   * Driver state is O(groups × buckets) — the k-means-centroid
   * discipline. Intended for bounded group cardinality (status codes,
@@ -38,43 +47,37 @@ object Selection {
   val targetBuckets = 4096
 
   /** Exact per-group quantiles at the given fractions, ceil-rank
-    * (lower-quantile) semantics: rank = ceil(q·n). Returns
+    * (lower-quantile) semantics: rank = ceil(q·n). `domain`, when given,
+    * must be a CONSERVATIVE [lo, hi] bound on every value (bounds may be
+    * loose — a loose range only coarsens buckets, never exceeds the
+    * count bound) and saves the domain job. Returns
     * ((group, fraction) -> value, histogram rows observed) — the second
     * component exists so tests can pin the driver-row bound. */
   def groupQuantiles(
       df: DataFrame,
       groupCol: String,
       valueCol: Column,
-      fractions: Seq[Double]): (Map[(String, Double), Double], Long) = {
+      fractions: Seq[Double],
+      domain: Option[(Double, Double)] = None): (Map[(String, Double), Double], Long) = {
     val g = col(groupCol)
+    val narrow = df.select(g.as("g"), valueCol.as("v"))
 
-    // Phase 1: per-group domain. O(groups) driver rows.
-    val dom = df.select(g.as("g"), valueCol.as("v"))
-      .groupBy(col("g"))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-        count(col("v")).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
-      .toMap
-
+    // Phase 1: one ungrouped min/max (2 driver rows) unless supplied.
+    val (lo, hi) = domain.getOrElse {
+      val r = narrow.agg(min(col("v")), max(col("v"))).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
     // Degenerate-width guard: a constant column bins everything into
     // bucket 0, which is exactly right.
-    def widthOf(mn: Double, mx: Double): Double = {
-      val w = (mx - mn) / targetBuckets
+    val width = {
+      val w = (hi - lo) / targetBuckets
       if (w > 0 && java.lang.Double.isFinite(w)) w else 1.0
     }
-    val mnCol = dom.foldLeft(lit(0.0)) { case (acc, (grp, (mn, _, _))) =>
-      when(col("g") === grp, lit(mn)).otherwise(acc)
-    }
-    val wCol = dom.foldLeft(lit(1.0)) { case (acc, (grp, (mn, mx, _))) =>
-      when(col("g") === grp, lit(widthOf(mn, mx))).otherwise(acc)
-    }
 
-    // Phase 2: domain-relative histogram. floor((v-mn)/w) is monotone in
-    // v for positive w, and the residual pass bins with the IDENTICAL
-    // expression, so boundary placement is consistent by construction.
-    val bucketed = df.select(g.as("g"), valueCol.as("v"))
-      .withColumn("bkt", floor((col("v") - mnCol) / wCol).cast("long"))
+    // Phase 2: domain-relative histogram; per-group counts come free as
+    // the per-group sum, so no separate count job.
+    val bucketed = narrow
+      .withColumn("bkt", floor((col("v") - lit(lo)) / lit(width)).cast("long"))
     val hist = bucketed.groupBy(col("g"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
@@ -85,7 +88,7 @@ object Selection {
     val targets: Map[(String, Double), (Long, Long)] =
       hist.groupBy(_._1).flatMap { case (grp, rows) =>
         val sorted = rows.sortBy(_._2)
-        val n = dom(grp)._3
+        val n = sorted.map(_._3).sum
         fractions.map { q =>
           val k = math.max(1L, math.ceil(q * n).toLong)
           var cum = 0L
@@ -113,7 +116,11 @@ object Selection {
   }
 
   /** Exact per-group lower median — [[groupQuantiles]] at 0.5. */
-  def groupMedian(df: DataFrame, groupCol: String, valueCol: Column): Map[String, Double] =
-    groupQuantiles(df, groupCol, valueCol, Seq(0.5))._1
+  def groupMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      domain: Option[(Double, Double)] = None): Map[String, Double] =
+    groupQuantiles(df, groupCol, valueCol, Seq(0.5), domain)._1
       .map { case ((grp, _), v) => grp -> v }
 }
