@@ -71,18 +71,27 @@ object Multimodal {
       dir: String,
       idFilter: org.apache.spark.sql.Column = lit(true)): Dataset[MediaAsset] = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    assetsFromIds(Tables.load(spark, dir, "documents")
       .select(col("doc_id"))
       .filter(idFilter)
-      .as[Long]
-      .map { id =>
-        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        val media =
-          if (kind == "image") pngPayload(id)
-          else if (kind == "audio") wavPayload(id)
-          else videoPayload(id)
-        MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
-      }
+      .as[Long])
+  }
+
+  /** Asset synthesis from a bare id set — the entry point streaming
+    * ingestion uses ([[graft.streaming.FeatureStream]]): a micro-batch
+    * names the newly-landed assets and this materializes their payloads
+    * (in a real pipeline the batch CARRIES the payload bytes; the
+    * closed-form synthesis stands in for the blob fetch). */
+  def assetsFromIds(ids: Dataset[Long]): Dataset[MediaAsset] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+      val media =
+        if (kind == "image") pngPayload(id)
+        else if (kind == "audio") wavPayload(id)
+        else videoPayload(id)
+      MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
+    }
   }
 
   /** Deterministic video-container parameters, the closed form the
@@ -580,6 +589,58 @@ object MultimodalQueries extends QueryModule {
     // roundtrip is hash-checked end-to-end.
     "llm_mm_features" -> QuerySpec(
       fn = (s, dir) => MmFeatures.features(s, dir),
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id AS asset_id,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT asset_id, yy.i * 8 + xx.i AS i,
+                 (((xx.i * w) // 8) * 31 + ((yy.i * h) // 8) * 17 + asset_id)
+                   & 16777215 AS p
+          FROM img,
+               (SELECT i FROM generate_series(0, 7) t(i)) xx,
+               (SELECT i FROM generate_series(0, 7) t(i)) yy),
+        g AS (
+          SELECT asset_id, i,
+                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g3
+          FROM px),
+        m AS (SELECT asset_id, SUM(g3) AS s FROM g GROUP BY asset_id)
+        SELECT g.asset_id,
+               CAST(MIN(img.w) AS INT) AS w,
+               CAST(MIN(img.h) AS INT) AS h,
+               CAST(SUM(CASE WHEN i >= 32 AND g3 * 64 > s
+                        THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                 AS BIGINT) AS phash_hi,
+               CAST(SUM(CASE WHEN i < 32 AND g3 * 64 > s
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                 AS BIGINT) AS phash_lo
+        FROM g JOIN m USING (asset_id) JOIN img USING (asset_id)
+        GROUP BY g.asset_id""")),
+
+    // ------------------------------------------------------------------
+    // The STREAMING maintainer of the same table
+    // ([[graft.streaming.FeatureStream]]): image asset ids land in two
+    // waves (a stream restart between them), each micro-batch decodes
+    // ONLY its increment and overwrites its own `batch=` dir
+    // (exactly-once replay), and the accumulated table must hash-equal
+    // the batch decode the oracle recomputes analytically — streamed
+    // and batch-built feature tables are indistinguishable.
+    "llm_mm_features_stream" -> QuerySpec(
+      fn = (s, dir) => {
+        import graft.streaming.FeatureStream
+        val landing = graft.api.Scratch.dir("mmfeat_landing")
+        val fdir = graft.api.Scratch.dir("mmfeat_state")
+        val cp = graft.api.Scratch.dir("mmfeat_cp")
+        val ids = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+        (0 to 1).foreach { wave =>
+          ids.filter(expr("(doc_id DIV 3) % 2") === wave)
+            .coalesce(2).write.mode("append").parquet(landing)
+          FeatureStream.runAvailableNow(s, landing, fdir, cp)
+        }
+        MmFeatures.read(s, fdir)
+      },
       oracle = Some("""
         WITH img AS (
           SELECT doc_id AS asset_id,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.{MmFeatures, Multimodal}
+import graft.streaming.FeatureStream
+import org.apache.spark.sql.functions._
+
+/** The streamed feature table must be indistinguishable from a batch
+  * decode of everything ingested — across waves, restarts, and replays —
+  * and each trigger's decode work must be proportional to its increment. */
+class FeatureStreamSpec extends SparkSpec {
+
+  private def imageIds = spark.read.parquet(s"$sfDir/documents.parquet")
+    .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+
+  test("waves + restart: accumulated features equal a fresh batch decode") {
+    val landing = tempDir("fs_landing")
+    val fdir = tempDir("fs_state")
+    val cp = tempDir("fs_cp")
+    val before = MmFeatures.decodeCount.get()
+    (0 to 2).foreach { wave =>
+      imageIds.filter(expr("(doc_id DIV 3) % 3") === wave)
+        .coalesce(1).write.mode("append").parquet(landing)
+      FeatureStream.runAvailableNow(spark, landing, fdir, cp)
+    }
+    val nImages = imageIds.count()
+    // Decode work across all waves = one pass over the corpus, no wave
+    // ever re-decoding earlier arrivals.
+    assert(MmFeatures.decodeCount.get() - before === nImages)
+
+    val streamed = MmFeatures.read(spark, fdir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val batch = {
+      import org.apache.spark.sql.SparkSession
+      val s: SparkSession = spark
+      import s.implicits._
+      MmFeatures.decodeFeatures(
+        Multimodal.assetsFromIds(imageIds.as[Long])).collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4)))).toMap
+    }
+    assert(streamed === batch)
+
+    // Re-draining with nothing new landed is a no-op (checkpoint resumes
+    // past all committed batches).
+    val c0 = MmFeatures.decodeCount.get()
+    FeatureStream.runAvailableNow(spark, landing, fdir, cp)
+    assert(MmFeatures.decodeCount.get() === c0, "empty drain re-decoded")
+    assert(MmFeatures.read(spark, fdir).count() === nImages)
+  }
+
+  test("replayed batch overwrites its own output — exactly-once without a log") {
+    val fdir = tempDir("fs_replay")
+    val s = spark
+    import s.implicits._
+    val ids = imageIds.as[Long].take(30).toSeq
+    val batch = spark.createDataset(ids).toDF("doc_id")
+    FeatureStream.applyBatch(batch, 7L, fdir)
+    val once = MmFeatures.read(spark, fdir).collect().map(_.toString).sorted
+    // A crash between sink write and checkpoint commit replays the batch.
+    FeatureStream.applyBatch(batch, 7L, fdir)
+    val twice = MmFeatures.read(spark, fdir).collect().map(_.toString).sorted
+    assert(twice.toSeq === once.toSeq, "replay duplicated or altered rows")
+  }
+}
