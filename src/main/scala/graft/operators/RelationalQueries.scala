@@ -2418,7 +2418,7 @@ object RelationalQueries extends QueryModule {
           FROM base),
         med AS (
           SELECT l_linestatus AS g, MAX(l_extendedprice) AS med
-          FROM r1 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT) GROUP BY 1),
+          FROM r1 WHERE rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) GROUP BY 1),
         dev AS (
           SELECT b.l_linestatus, m.med,
                  ABS(b.l_extendedprice - m.med) AS dv,
@@ -2430,7 +2430,7 @@ object RelationalQueries extends QueryModule {
                  COUNT(*) OVER (PARTITION BY l_linestatus) AS n
           FROM dev)
         SELECT l_linestatus, MAX(med) AS median, MAX(dv) AS mad
-        FROM r2 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+        FROM r2 WHERE rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
         GROUP BY l_linestatus""")),
 
     // Benford first-digit screening (audit/fraud primitive): observed
@@ -2703,11 +2703,11 @@ object RelationalQueries extends QueryModule {
       },
       oracle = Some("""
         SELECT l_linestatus,
-               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+               MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
                         THEN l_extendedprice END) AS p50,
-               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+               MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
                         THEN l_extendedprice END) AS p90,
-               MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+               MAX(CASE WHEN rn = CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
                         THEN l_extendedprice END) AS p99
         FROM (
           SELECT l_linestatus, l_extendedprice,
@@ -2715,10 +2715,96 @@ object RelationalQueries extends QueryModule {
                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
                  COUNT(*) OVER (PARTITION BY l_linestatus) AS n
           FROM lineitem)
-        WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
-           OR rn = CAST(CEIL(0.9 * n) AS BIGINT)
-           OR rn = CAST(CEIL(0.99 * n) AS BIGINT)
+        WHERE rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+           OR rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+           OR rn = CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
         GROUP BY l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    // Mergeable CDF sketch with DETERMINISTIC, oracle-checked semantics —
+    // the one-pass approximate companion of the exact [[Selection]] path
+    // (and the transparent alternative to approx_percentile, whose GK
+    // internals can only be bound-checked, never hash-matched): the
+    // per-(group, bucket) count table IS the sketch state — counts merge
+    // by SUM, so partials combine map-side on 1000 executors and two
+    // shards' sketches merge into the corpus sketch exactly (spec-pinned
+    // property). Quantiles interpolate linearly inside the target bucket,
+    // so the value error is bounded by ONE bucket width by construction;
+    // every step (domain → 512-bucket histogram → windowed cumsum over
+    // ≤513 rows per group → interpolation) is exact-int + fixed-shape
+    // double arithmetic the DuckDB oracle reproduces bit-for-bit. The
+    // cumsum window rides over the BUCKET table (≤513 rows/group), never
+    // the fact table — the full-sort trap rel_agg_quantiles retired.
+    "rel_cdf_sketch" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_linestatus".as("g"), $"l_extendedprice".as("v"))
+        val stats = li.agg(min($"v").as("mn"), max($"v").as("mx"))
+        val binned = li.crossJoin(broadcast(stats))
+          .withColumn("w", when($"mx" === $"mn", lit(1.0))
+            .otherwise(($"mx" - $"mn") / lit(512.0)))
+          .withColumn("bkt", floor(($"v" - $"mn") / $"w").cast("long"))
+        val hist = binned.groupBy($"g", $"bkt")
+          .agg(count(lit(1)).as("cnt"), max($"mn").as("mn"), max($"w").as("w"))
+        val ord = Window.partitionBy($"g").orderBy($"bkt")
+        val cum = hist
+          .withColumn("cum", sum($"cnt").over(ord))
+          .withColumn("n", sum($"cnt").over(Window.partitionBy($"g")))
+        def estOf(q: Double): Column = {
+          val k = ceil(lit(q) * $"n")
+          max(when($"cum" >= k && ($"cum" - $"cnt") < k,
+            $"mn" + $"w" * ($"bkt".cast("double") +
+              (k - ($"cum" - $"cnt")).cast("double") / $"cnt".cast("double"))))
+        }
+        cum.groupBy($"g")
+          .agg(max($"n").as("n"), max($"w").as("bucket_width"),
+            estOf(0.5).as("p50_est"), estOf(0.9).as("p90_est"),
+            estOf(0.99).as("p99_est"))
+          .select($"g".as("l_linestatus"), $"n", $"bucket_width",
+            $"p50_est", $"p90_est", $"p99_est")
+      },
+      oracle = Some("""
+        WITH stats AS (
+          SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+          FROM lineitem),
+        binned AS (
+          SELECT l_linestatus AS g,
+                 CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                      ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END AS w,
+                 mn,
+                 CAST(FLOOR((l_extendedprice - mn) /
+                   CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                        ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END) AS BIGINT)
+                   AS bkt
+          FROM lineitem, stats),
+        hist AS (
+          SELECT g, bkt, COUNT(*) AS cnt, MAX(mn) AS mn, MAX(w) AS w
+          FROM binned GROUP BY g, bkt),
+        cumt AS (
+          SELECT g, bkt, cnt, mn, w,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
+                 SUM(cnt) OVER (PARTITION BY g) AS n
+          FROM hist)
+        SELECT g AS l_linestatus,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MAX(w) AS bucket_width,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p50_est,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p90_est,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p99_est
+        FROM cumt GROUP BY g""")),
 
     // ------------------------------------------------------------------
     // Pearson correlation per group from INTEGER moments: built-in corr()
