@@ -885,5 +885,87 @@ object MultimodalQueries extends QueryModule {
                                   THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
                  / COUNT(*) AS pct_kept
         FROM graded LEFT JOIN dropped d USING (asset_id)
-        GROUP BY source""") }))
+        GROUP BY source""") }),
+
+    // ------------------------------------------------------------------
+    // CROSS-MODAL training-pair export — the caption–image shape a
+    // multimodal trainer reads: each image asset joins its caption (the
+    // document's text keyed by the same id — the narrow id-equi-join
+    // that stays colocated at any scale), BOTH modalities gate
+    // independently (image: the llm_mm_gate resolution/aspect legs over
+    // DECODER-reported dims from the decode-once feature table; caption:
+    // language + token floor), and near-dup images are dropped among the
+    // pair survivors via the shared phashPairs contract so no duplicate
+    // picture trains twice under different captions. Payload bytes never
+    // join, shuffle, or export — the pair row is (ids + dims + caption
+    // stats), which is exactly what a 100 TB export manifest carries.
+    "llm_mm_pairs_export" -> QuerySpec(
+      fn = (s, dir) => {
+        val feats = phashFullDf(s, dir)
+        val caps = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("asset_id"), col("lang"),
+            expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)")
+              .as("caption_tokens"))
+        val paired = feats.join(caps, "asset_id")
+          .filter(least(col("w"), col("h")) >= 24 &&
+            greatest(col("w"), col("h")) <= lit(2) * least(col("w"), col("h")) &&
+            col("lang").isin("en", "fr", "es") && col("caption_tokens") >= 8)
+        val dropped = phashPairs(
+          paired.select("asset_id", "phash_hi", "phash_lo"))
+          .select(col("id2").as("asset_id")).distinct()
+        paired.join(dropped, Seq("asset_id"), "left_anti")
+          .select(col("asset_id"), col("lang"), col("caption_tokens"),
+            col("w"), col("h"))
+      },
+      oracle = { val cap = Dedup.simhashBucketCap; Some(s"""
+        WITH img AS (
+          SELECT doc_id AS asset_id, lang,
+                 CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS BIGINT) AS caption_tokens,
+                 16 + doc_id % 48 AS w, 16 + doc_id % 31 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        paired AS (
+          SELECT * FROM img
+          WHERE least(w, h) >= 24 AND greatest(w, h) <= 2 * least(w, h)
+            AND lang IN ('en', 'fr', 'es') AND caption_tokens >= 8),
+        px AS (
+          SELECT asset_id, yy.i * 8 + xx.i AS i,
+                 (((xx.i * w) // 8) * 31 + ((yy.i * h) // 8) * 17 + asset_id)
+                   & 16777215 AS p
+          FROM paired,
+               (SELECT i FROM generate_series(0, 7) t(i)) xx,
+               (SELECT i FROM generate_series(0, 7) t(i)) yy),
+        g AS (
+          SELECT asset_id, i,
+                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS g3
+          FROM px),
+        m AS (SELECT asset_id, SUM(g3) AS s FROM g GROUP BY asset_id),
+        ph AS (
+          SELECT g.asset_id,
+                 CAST(SUM(CASE WHEN i >= 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                   AS BIGINT) AS phash_hi,
+                 CAST(SUM(CASE WHEN i < 32 AND g3 * 64 > s
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                   AS BIGINT) AS phash_lo
+          FROM g JOIN m USING (asset_id)
+          GROUP BY g.asset_id),
+        chunks AS (
+          SELECT asset_id, phash_hi, phash_lo, ci.i AS ci,
+                 CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                      ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END AS cv
+          FROM ph, (SELECT i FROM generate_series(0, 3) t(i)) ci
+          QUALIFY COUNT(*) OVER (PARTITION BY ci.i,
+            CASE WHEN ci.i < 2 THEN (phash_lo >> (ci.i * 16)) & 65535
+                 ELSE (phash_hi >> ((ci.i - 2) * 16)) & 65535 END) <= $cap),
+        dropped AS (
+          SELECT DISTINCT b.asset_id
+          FROM chunks a JOIN chunks b
+            ON a.ci = b.ci AND a.cv = b.cv AND a.asset_id < b.asset_id
+          WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6)
+        SELECT asset_id, lang, caption_tokens, w, h
+        FROM paired
+        WHERE asset_id NOT IN (SELECT asset_id FROM dropped)""") }))
 }

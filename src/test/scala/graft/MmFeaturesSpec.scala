@@ -74,6 +74,30 @@ class MmFeaturesSpec extends SparkSpec {
     assert(MmFeatures.read(spark, dir).count() === expected)
   }
 
+  test("cross-modal pairs: both gates hold, no surviving near-dup images") {
+    val qs = MultimodalQueries.queries
+    val pairs = qs("llm_mm_pairs_export").fn(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "export must be non-vacuous at fixture scale")
+    pairs.foreach { r =>
+      val (w, h, tok, lang) =
+        (r.getInt(3), r.getInt(4), r.getLong(2), r.getString(1))
+      assert(math.min(w, h) >= 24 && math.max(w, h) <= 2 * math.min(w, h),
+        "image gate leg violated")
+      assert(tok >= 8 && Set("en", "fr", "es")(lang), "caption gate violated")
+    }
+    // Survivors carry no hamming<=6 near-dup pair among themselves: the
+    // dedup leg really ran on the PAIRED population.
+    val ids = pairs.map(_.getLong(0)).toSet
+    val feats = graft.llm.MmFeatures.features(spark, sfDir).collect()
+      .filter(r => ids(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    for (a <- feats; b <- feats if a._1 < b._1) {
+      val ham = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      assert(ham > 6, s"near-dup pair survived export: ${a._1}, ${b._1}")
+    }
+  }
+
   test("feature table matches a fresh standalone decode bit-for-bit") {
     val fresh = MmFeatures.decodeFeatures(Multimodal.assets(spark, sfDir))
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2),
