@@ -107,6 +107,73 @@ object MmFeatures {
     spark.read.parquet(featuresDir)
       .select("asset_id", "w", "h", "phash_hi", "phash_lo")
 
+  /** Consolidate accumulated `batch=` increments into one partition —
+    * the maintenance the decode table needs at fleet scale, where
+    * per-partition compaction is a no-op (each micro-batch dir already
+    * holds few files; the accretion is ACROSS batch dirs: one per
+    * trigger, thousands per day of scan-planning drag).
+    *
+    * All but the newest `keepLast` batch dirs are rewritten into the
+    * SMALLEST merged batch id. Safe only once the maintaining stream has
+    * committed past the merged ids — a replay can then never target them
+    * (the [[graft.streaming.FeatureStream]] checkpoint guarantees it);
+    * keepLast ≥ 1 keeps the most recent, still-replayable trigger out of
+    * the merge.
+    *
+    * Crash protocol (the [[graft.streaming.Maintenance]] manifest
+    * discipline): the rewrite lands in a hidden tmp dir, a `_originals`
+    * manifest inside it is the commit point, then originals are deleted
+    * and the tmp renamed. A crash before the manifest discards the tmp
+    * on the next run; after it, the next run completes the swap
+    * idempotently BEFORE reading the table. Returns (dirs before, dirs
+    * after). */
+  def compactBatches(
+      spark: SparkSession,
+      featuresDir: String,
+      keepLast: Int = 1): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(featuresDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val tmp = new Path(root, ".compact_tmp_batches")
+    val manifest = new Path(tmp, "_originals")
+
+    def finishSwap(): Unit = if (fs.exists(manifest)) {
+      val names = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(manifest)),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+      val dest = new Path(root, names.min) // smallest merged id
+      names.foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      fs.delete(manifest, false)
+      if (!fs.exists(dest)) fs.rename(tmp, dest) else fs.delete(tmp, true)
+    }
+    finishSwap() // complete a crashed prior run before reading
+
+    val batches = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName)
+      .sortBy(n => n.stripPrefix("batch=").toLong)
+    val nBefore = batches.length
+    val toMerge = batches.dropRight(math.max(keepLast, 1))
+    if (toMerge.length <= 1) return (nBefore, nBefore)
+
+    fs.delete(tmp, true)
+    spark.read.parquet(toMerge.map(n => s"$featuresDir/$n"): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Commit point: the manifest names exactly the dirs this rewrite
+    // replaces.
+    val out = fs.create(manifest, true)
+    out.write(toMerge.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    finishSwap()
+    (nBefore, nBefore - toMerge.length + 1)
+  }
+
   // Corpus dir → features dir, resolved once per JVM. ConcurrentHashMap's
   // computeIfAbsent guarantees a single build even under concurrent first
   // callers (Verify/Bench are sequential; specs may not be).

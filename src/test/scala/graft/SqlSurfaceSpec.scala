@@ -255,6 +255,42 @@ class SqlSurfaceSpec extends SparkSpec {
       FROM hllest JOIN e USING (event_type)""")
   }
 
+  test("rel_cdf_sketch through spark.sql") {
+    checkSame("rel_cdf_sketch", """
+      WITH stats AS (
+        SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        FROM lineitem),
+      binned AS (
+        SELECT l_linestatus AS g, mn,
+               CASE WHEN mx = mn THEN 1.0D ELSE (mx - mn) / 512.0D END AS w,
+               CAST(FLOOR((l_extendedprice - mn) /
+                 CASE WHEN mx = mn THEN 1.0D ELSE (mx - mn) / 512.0D END)
+                 AS BIGINT) AS bkt
+        FROM lineitem CROSS JOIN stats),
+      hist AS (
+        SELECT g, bkt, COUNT(*) AS cnt, MAX(mn) AS mn, MAX(w) AS w
+        FROM binned GROUP BY g, bkt),
+      cumt AS (
+        SELECT g, bkt, cnt, mn, w,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
+               SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM hist)
+      SELECT g AS l_linestatus, MAX(n) AS n, MAX(w) AS bucket_width,
+             MAX(CASE WHEN cum >= CEIL(0.5D * n) AND cum - cnt < CEIL(0.5D * n)
+                 THEN mn + w * (CAST(bkt AS DOUBLE) +
+                   CAST(CEIL(0.5D * n) - (cum - cnt) AS DOUBLE)
+                     / CAST(cnt AS DOUBLE)) END) AS p50_est,
+             MAX(CASE WHEN cum >= CEIL(0.9D * n) AND cum - cnt < CEIL(0.9D * n)
+                 THEN mn + w * (CAST(bkt AS DOUBLE) +
+                   CAST(CEIL(0.9D * n) - (cum - cnt) AS DOUBLE)
+                     / CAST(cnt AS DOUBLE)) END) AS p90_est,
+             MAX(CASE WHEN cum >= CEIL(0.99D * n) AND cum - cnt < CEIL(0.99D * n)
+                 THEN mn + w * (CAST(bkt AS DOUBLE) +
+                   CAST(CEIL(0.99D * n) - (cum - cnt) AS DOUBLE)
+                     / CAST(cnt AS DOUBLE)) END) AS p99_est
+      FROM cumt GROUP BY g""")
+  }
+
   test("rel_bloom_prune through spark.sql (mergeable bloom via bit_or)") {
     checkSame("rel_bloom_prune", """
       WITH keys AS (
