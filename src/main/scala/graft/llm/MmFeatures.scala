@@ -107,6 +107,71 @@ object MmFeatures {
     spark.read.parquet(featuresDir)
       .select("asset_id", "w", "h", "phash_hi", "phash_lo")
 
+  /** AUDIO decode kernel — one real `javax.sound` PCM decode per audio
+    * asset → DSP features (exact-integer energy + zero crossings, the
+    * `llm_mm_audio` columns) PLUS the md5 digest of the decoded sample
+    * stream (the `llm_mm_audio_dedup` key), so the whole audio family
+    * costs ONE codec pass. Digesting the DECODED stream (not the
+    * container bytes) is what lets two differently-padded containers
+    * with identical audio dedup together. */
+  def decodeAudioFeatures(in: org.apache.spark.sql.Dataset[Multimodal.MediaAsset]): DataFrame = {
+    import in.sparkSession.implicits._
+    in.filter(_.meta.kind == "audio")
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { a =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(a.media))
+            val fmt = ais.getFormat
+            val bytes = ais.readAllBytes()
+            ais.close()
+            audioDecodeCount.incrementAndGet()
+            val n = bytes.length / 2
+            var sumSq = 0L; var zc = 0L; var prevNeg = false; var i = 0
+            while (i < n) {
+              val s0 = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              sumSq += s0.toLong * s0
+              val neg = s0 < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            md.reset()
+            Some((a.asset_id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits, n.toLong, sumSq, zc,
+              md.digest(bytes).map("%02x".format(_)).mkString))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+      .toDF("asset_id", "sample_rate", "channels", "bits", "n_frames",
+        "sum_sq", "zero_cross", "pcm_digest")
+  }
+
+  /** Audio decodes in this JVM — spec instrumentation like [[decodeCount]]. */
+  val audioDecodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val audioBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Decode-once audio features for the corpus at `dir` — same contract
+    * as [[features]]: first caller decodes and persists (incremental
+    * `batch=` thirds, id predicates pushed before payload synthesis),
+    * every later query reads the narrow parquet. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val fdir = audioBuilt.computeIfAbsent(dir, _ => {
+      val out = Scratch.dir("mm_audio_features")
+      (0L to 2L).foreach { b =>
+        decodeAudioFeatures(Multimodal.assets(spark, dir,
+          col("doc_id") % 3 === 1 && expr("(doc_id DIV 3) % 3") === b))
+          .write.mode("overwrite").parquet(s"$out/batch=$b")
+      }
+      out
+    })
+    spark.read.parquet(fdir)
+      .select("asset_id", "sample_rate", "channels", "bits", "n_frames",
+        "sum_sq", "zero_cross", "pcm_digest")
+  }
+
   /** Consolidate accumulated `batch=` increments into one partition —
     * the maintenance the decode table needs at fleet scale, where
     * per-partition compaction is a no-op (each micro-batch dir already

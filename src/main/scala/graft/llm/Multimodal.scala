@@ -541,13 +541,13 @@ object MultimodalQueries extends QueryModule {
     // codec amortized), payloads never shuffle, output is one narrow row
     // per asset.
     "llm_mm_audio" -> QuerySpec(
-      fn = (s, dir) => {
-        import s.implicits._
-        Multimodal.decodeAudio(Multimodal.assets(s, dir))
-          .toDF()
+      // Since round 11 the audio family plans against the decode-once
+      // [[MmFeatures.audioFeatures]] table — one real javax.sound PCM
+      // pass per corpus serves this query AND llm_mm_audio_dedup.
+      fn = (s, dir) =>
+        MmFeatures.audioFeatures(s, dir)
           .select(col("asset_id"), col("sample_rate"), col("channels"),
-            col("bits"), col("n_frames"), col("sum_sq"), col("zero_cross"))
-      },
+            col("bits"), col("n_frames"), col("sum_sq"), col("zero_cross")),
       oracle = Some("""
         WITH a AS (
           SELECT doc_id AS asset_id,
@@ -886,6 +886,39 @@ object MultimodalQueries extends QueryModule {
                  / COUNT(*) AS pct_kept
         FROM graded LEFT JOIN dropped d USING (asset_id)
         GROUP BY source""") }),
+
+    // ------------------------------------------------------------------
+    // AUDIO exact dedup THROUGH THE REAL CODEC — the dedup discipline's
+    // third modality: each WAV payload is decoded with javax.sound
+    // (a true PCM decode, not a byte compare — two containers with
+    // different header padding but identical audio dedup together), the
+    // decoded sample stream is digested per asset inside the decode map
+    // (payload bytes never shuffle; the 32-char digest does), and
+    // survivorship is ONE digest-keyed shuffle with zero pairwise
+    // comparisons — the llm_dedup_exact shape. The generator's waveforms
+    // are closed-form in (doc_id % 16, doc_id % 5), so the oracle
+    // recomputes the duplicate classes ANALYTICALLY: a flipped bit
+    // anywhere in the write → sniff → decode → digest chain splits or
+    // merges a class and breaks the hash.
+    "llm_mm_audio_dedup" -> QuerySpec(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val digests = MmFeatures.audioFeatures(s, dir)
+          .select(col("asset_id"), col("pcm_digest").as("digest"))
+        val byD = Window.partitionBy(col("digest"))
+        digests
+          .withColumn("group_size", count(lit(1)).over(byD).cast("int"))
+          .withColumn("keep",
+            row_number().over(byD.orderBy(col("asset_id"))) === 1)
+          .select("asset_id", "group_size", "keep")
+      },
+      oracle = Some("""
+        SELECT doc_id AS asset_id,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id % 16, doc_id % 5)
+                 AS INT) AS group_size,
+               row_number() OVER (PARTITION BY doc_id % 16, doc_id % 5
+                                  ORDER BY doc_id) = 1 AS keep
+        FROM documents WHERE doc_id % 3 = 1""")),
 
     // ------------------------------------------------------------------
     // CROSS-MODAL training-pair export — the caption–image shape a

@@ -32,10 +32,22 @@ object MmFamilyBench {
       }
       n -> s
     }
-    val total = buildSec + perQuery.map(_._2).sum
-    val q = perQuery.map { case (n, s) => s""""$n":$s""" }.mkString(",")
+    val (_, audioBuildSec) = timed {
+      MmFeatures.audioFeatures(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val audioQueries = Seq("llm_mm_audio", "llm_mm_audio_dedup").map { n =>
+      val (_, s) = timed {
+        qs(n).fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      n -> s
+    }
+    val total = buildSec + audioBuildSec +
+      (perQuery ++ audioQueries).map(_._2).sum
+    val q = (perQuery ++ audioQueries)
+      .map { case (n, s) => s""""$n":$s""" }.mkString(",")
     // scalastyle:off println
-    println(s"""{"metric":"mm_family_e2e","build_sec":$buildSec,$q,"total_sec":$total,"sf":"$dir"}""")
+    println(s"""{"metric":"mm_family_e2e","build_sec":$buildSec,"audio_build_sec":$audioBuildSec,$q,"total_sec":$total,"sf":"$dir"}""")
     // scalastyle:on println
     spark.stop()
   }

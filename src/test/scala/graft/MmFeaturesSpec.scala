@@ -98,6 +98,23 @@ class MmFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("audio dedup: non-vacuous classes, one keeper each, decode-derived") {
+    val rows = MultimodalQueries.queries("llm_mm_audio_dedup")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._2 > 1), "no duplicate class — dedup is vacuous")
+    // Exactly one keeper per duplicate class, and it is the smallest id.
+    val byClass = rows.groupBy(r => (r._1 % 16, r._1 % 5))
+    byClass.values.foreach { members =>
+      assert(members.count(_._3) === 1, "exactly one keeper per class")
+      assert(members.filter(_._3).head._1 === members.map(_._1).min)
+      val size = members.head._2
+      assert(members.forall(_._2 == size) && size === members.length,
+        "group_size must equal the decoded class population")
+    }
+  }
+
   test("feature table matches a fresh standalone decode bit-for-bit") {
     val fresh = MmFeatures.decodeFeatures(Multimodal.assets(spark, sfDir))
       .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2),
