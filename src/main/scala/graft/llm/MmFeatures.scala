@@ -186,12 +186,17 @@ object MmFeatures {
     * the merge.
     *
     * Crash protocol (the [[graft.streaming.Maintenance]] manifest
-    * discipline): the rewrite lands in a hidden tmp dir, a `_originals`
-    * manifest inside it is the commit point, then originals are deleted
-    * and the tmp renamed. A crash before the manifest discards the tmp
-    * on the next run; after it, the next run completes the swap
-    * idempotently BEFORE reading the table. Returns (dirs before, dirs
-    * after). */
+    * discipline): the rewrite lands in a hidden tmp dir (carrying a
+    * `_merged` marker file), then a `.compact_manifest` at the table
+    * ROOT is the commit point. Completion order is delete-originals →
+    * rename tmp→dest → delete manifest LAST, so the manifest keeps
+    * naming the swap until the merged data is durable at its final
+    * path; the marker (which travels with the rename) tells a re-run
+    * whether the dest dir is the merged output or a not-yet-deleted
+    * original, so no crash point can delete the only copy. A crash
+    * before the manifest discards the tmp on the next run; after it,
+    * the next run completes the swap idempotently BEFORE reading the
+    * table. Returns (dirs before, dirs after). */
   def compactBatches(
       spark: SparkSession,
       featuresDir: String,
@@ -201,19 +206,36 @@ object MmFeatures {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
     val tmp = new Path(root, ".compact_tmp_batches")
-    val manifest = new Path(tmp, "_originals")
+    val manifest = new Path(root, ".compact_manifest")
 
     def finishSwap(): Unit = if (fs.exists(manifest)) {
       val names = new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(manifest)),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
-      val dest = new Path(root, names.min) // smallest merged id
-      names.foreach { n =>
-        val p = new Path(root, n)
-        if (fs.exists(p)) fs.delete(p, true)
+      val destName = names.minBy(_.stripPrefix("batch=").toLong)
+      val dest = new Path(root, destName)
+      val marker = new Path(dest, "_merged")
+      if (fs.exists(marker)) {
+        // Rename already happened: dest holds the merged data. Clear any
+        // straggler originals and a leftover tmp, then commit.
+        names.filter(_ != destName).foreach { n =>
+          val p = new Path(root, n)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      } else if (fs.exists(new Path(tmp, "_merged"))) {
+        // Merged data still in tmp: finish the swap. Originals (dest's
+        // name included) are safe to delete — the manifest survives this
+        // whole block, so any crash here re-enters one of these branches.
+        names.foreach { n =>
+          val p = new Path(root, n)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        fs.rename(tmp, dest)
       }
-      fs.delete(manifest, false)
-      if (!fs.exists(dest)) fs.rename(tmp, dest) else fs.delete(tmp, true)
+      // else: manifest without a complete tmp or a renamed dest — an
+      // aborted rewrite; originals are untouched, so just fall through.
+      fs.delete(manifest, false) // LAST: commit point until durable
     }
     finishSwap() // complete a crashed prior run before reading
 
@@ -229,6 +251,9 @@ object MmFeatures {
     spark.read.parquet(toMerge.map(n => s"$featuresDir/$n"): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
+    // Marker rides the rename: finishSwap uses it to tell merged output
+    // from a leftover original at the same path.
+    fs.create(new Path(tmp, "_merged"), true).close()
     // Commit point: the manifest names exactly the dirs this rewrite
     // replaces.
     val out = fs.create(manifest, true)

@@ -76,12 +76,43 @@ class FeatureStreamSpec extends SparkSpec {
     // Idempotent: a second run has at most one mergeable dir and no-ops.
     val (b1, a1) = MmFeatures.compactBatches(spark, fdir, keepLast = 1)
     assert(b1 === 2 && a1 === 2)
-    // Crash-window completion: plant a manifest-committed tmp (simulating
-    // a crash after the commit point) and assert the next call completes
-    // the swap before reading.
-    val streamStillEqual = MmFeatures.read(spark, fdir).collect()
+
+    // Crash-window completion, worst window: the merged rewrite is
+    // durable only in tmp, the originals are ALREADY DELETED, and the
+    // root manifest (the commit point, deleted last) still names them.
+    // The next call must finish the swap before reading — zero row loss.
+    import org.apache.hadoop.fs.Path
+    val root = new Path(fdir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirNames = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).sortBy(_.stripPrefix("batch=").toLong).toSeq
+    val tmp = new Path(root, ".compact_tmp_batches")
+    spark.read.parquet(dirNames.map(n => s"$fdir/$n"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.create(new Path(tmp, "_merged"), true).close()
+    val man = fs.create(new Path(root, ".compact_manifest"), true)
+    man.write(dirNames.mkString("\n").getBytes("UTF-8")); man.close()
+    dirNames.foreach(n => fs.delete(new Path(root, n), true)) // the crash
+    assert(nDirs === 0, "crash state should hold data only in tmp")
+    val (b2, a2) = MmFeatures.compactBatches(spark, fdir, keepLast = 1)
+    assert(nDirs === 1 && b2 === 1 && a2 === 1)
+    val recovered = MmFeatures.read(spark, fdir).collect()
       .map(_.toString).sorted
-    assert(streamStillEqual.toSeq === before.toSeq)
+    assert(recovered.toSeq === before.toSeq, "crash-window swap lost rows")
+
+    // Post-rename crash: manifest outlives a completed swap (dest carries
+    // the _merged marker). Re-running must treat dest as the merged
+    // output — NOT an original to delete — and just clear the manifest.
+    val man2 = fs.create(new Path(root, ".compact_manifest"), true)
+    man2.write(dirNames.mkString("\n").getBytes("UTF-8")); man2.close()
+    val (b3, a3) = MmFeatures.compactBatches(spark, fdir, keepLast = 1)
+    assert(b3 === 1 && a3 === 1)
+    assert(!fs.exists(new Path(root, ".compact_manifest")))
+    val stillThere = MmFeatures.read(spark, fdir).collect()
+      .map(_.toString).sorted
+    assert(stillThere.toSeq === before.toSeq,
+      "post-rename recovery deleted the merged data")
   }
 
   test("replayed batch overwrites its own output — exactly-once without a log") {

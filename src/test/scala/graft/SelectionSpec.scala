@@ -45,6 +45,49 @@ class SelectionSpec extends SparkSpec {
     assert(sel(("b", 0.5)) === 1.0 && sel(("b", 0.99)) === 1.0)
   }
 
+  test("empty input is a defined empty result, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0)).toDF("grp", "v").filter(col("v") < 0)
+    val (sel, histRows) = Selection.groupQuantiles(df, "grp", col("v"), Seq(0.5))
+    assert(sel.isEmpty && histRows === 0L)
+  }
+
+  test("skewed point mass: residual collect stays one row per target") {
+    val s = spark
+    import s.implicits._
+    // 90% of group "a" is a single value — the target bucket is O(n).
+    // The rn filter must keep the driver pull at one row per
+    // (group, fraction), not the whole bucket.
+    val n = 50000L
+    val df = spark.range(n).select(
+      lit("a").as("grp"),
+      when(col("id") % 10 =!= 0, lit(42.0))
+        .otherwise(col("id").cast("double")).as("v"))
+    val (sel, _) = Selection.groupQuantiles(df, "grp", col("v"), Seq(0.5, 0.9))
+    val local = df.collect().map(_.getDouble(1)).toSeq
+    assert(sel(("a", 0.5)) === refQuantile(local, 0.5))
+    assert(sel(("a", 0.9)) === refQuantile(local, 0.9))
+  }
+
+  test("high-cardinality grouping trips the driver-row guard loudly") {
+    val s = spark
+    import s.implicits._
+    // 10k distinct groups; with a tight maxRows the histogram must fail
+    // fast (limit-bounded collect) instead of swelling the driver.
+    val df = spark.range(10000).select(
+      concat(lit("g"), col("id")).as("grp"), col("id").cast("double").as("v"))
+    val e = intercept[IllegalStateException] {
+      Selection.groupQuantiles(df, "grp", col("v"), Seq(0.5), maxRows = 1000)
+    }
+    assert(e.getMessage.contains("driver rows"))
+    // And at the default bound the same 10k-group call succeeds (10k
+    // single-value groups = 10k histogram rows, far under the cap).
+    val (sel, histRows) = Selection.groupQuantiles(df, "grp", col("v"), Seq(0.5))
+    assert(histRows === 10000L && sel(("g0", 0.5)) === 0.0 &&
+      sel(("g9999", 0.5)) === 9999.0)
+  }
+
   test("matches the window-sort spelling on real data at every fraction") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_linestatus"), col("l_extendedprice"))
