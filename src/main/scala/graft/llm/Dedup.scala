@@ -504,6 +504,72 @@ object Dedup extends QueryModule {
     else verifyPairs(cand, sets)
   }
 
+  /** As [[incrementPairs]] (broadcast mode), but against a
+    * [[graft.sources.SortedRunIndex]] layout instead of flat band/set
+    * tables — the spelling whose per-batch cost is O(increment), not
+    * O(index-scan). The flat-table broadcast probe still READS the whole
+    * persisted index every batch (measured 0.98 s → 5.89 s for the same
+    * 100-doc increment as the index grew 50k → 1.5M docs); here the
+    * band run is sorted by `bh` and the set run by `doc_id`, so
+    *
+    *   1. the increment's ≤ |docs|·b distinct band hashes prune the band
+    *      run to the files whose key range they intersect — ≤ one file
+    *      per probe key;
+    *   2. candidate verification probes the set run with just the
+    *      candidate doc ids (both sides of every surviving pair).
+    *
+    * Both collected key lists are bounded by the increment (the same
+    * bound that justifies broadcasting it). Output is bit-identical to
+    * both [[incrementPairs]] modes: pruning returns a superset of the
+    * matching rows and the joins do the exact matching (DedupSpec
+    * asserts the equality).
+    *
+    * `root` must hold `bands/` and `sets/` SortedRunIndex trees as
+    * written by [[graft.streaming.CurateStream]]. */
+  def incrementPairsIndexed(newDocs: DataFrame, root: String): DataFrame = {
+    import graft.sources.SortedRunIndex
+    val spark = newDocs.sparkSession
+    val docs = newDocs.select("doc_id", "text")
+    val nb0 = bandsOf(docs)
+    nb0.persist()
+    try {
+      val probeBhs = nb0.select(col("bh")).distinct()
+        .collect().map(_.getLong(0))
+      val idxBands = SortedRunIndex
+        .probe(spark, s"$root/bands", probeBhs, bandsOf(docs.limit(0)))
+        .select("doc_id", "band", "bh")
+      val nb = broadcast(nb0)
+      val crossCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(idxBands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      val withinCand = nb.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(nb.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      // Candidates come to the driver anyway (they are the broadcast side
+      // of verification); landing them locally also yields the set-probe
+      // key list without a second job over the index.
+      val candRows = crossCand.unionAll(withinCand).distinct().collect()
+      val cand = spark.createDataFrame(
+        spark.sparkContext.parallelize(candRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_b",
+            org.apache.spark.sql.types.LongType))))
+      val candIds = candRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val idxSets = SortedRunIndex
+        .probe(spark, s"$root/sets", candIds, setsOf(docs.limit(0)))
+        .select("doc_id", "sh", "n")
+      val sets = idxSets.unionAll(setsOf(docs)).dropDuplicates("doc_id")
+      verifyPairsBroadcast(cand, sets)
+    } finally nb0.unpersist()
+  }
+
   /** [[verifyPairs]] with the CANDIDATE side broadcast: for a bounded
     * increment the pair list is small, so both set lookups become hash
     * probes over a straight scan of the set table — no set-table shuffle.

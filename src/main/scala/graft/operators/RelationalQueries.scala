@@ -166,6 +166,52 @@ object RelationalQueries extends QueryModule {
     GROUP BY bucket
     ORDER BY bucket"""
 
+  // Shared by rel_cdf_sketch / rel_cdf_agg / rel_cdf_stream: all three
+  // spellings produce the identical (group, n, bucket_width, p50/90/99_est)
+  // rows, so they pin against ONE oracle.
+  private val cdfSketchOracleSql = """
+        WITH stats AS (
+          SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+          FROM lineitem),
+        binned AS (
+          SELECT l_linestatus AS g,
+                 CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                      ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END AS w,
+                 mn,
+                 CAST(FLOOR((l_extendedprice - mn) /
+                   CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                        ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END) AS BIGINT)
+                   AS bkt
+          FROM lineitem, stats),
+        hist AS (
+          SELECT g, bkt, COUNT(*) AS cnt, MAX(mn) AS mn, MAX(w) AS w
+          FROM binned GROUP BY g, bkt),
+        cumt AS (
+          SELECT g, bkt, cnt, mn, w,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
+                 SUM(cnt) OVER (PARTITION BY g) AS n
+          FROM hist)
+        SELECT g AS l_linestatus,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MAX(w) AS bucket_width,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p50_est,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p90_est,
+               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+                         AND cum - cnt < CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+                   THEN mn + w * (CAST(bkt AS DOUBLE) +
+                     CAST(CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
+                       / CAST(cnt AS DOUBLE)) END) AS p99_est
+        FROM cumt GROUP BY g
+"""
+
   def queries: Map[String, QuerySpec] = Map(
     // ------------------------------------------------------------------
     // Aggregation: TPC-H Q1-style pricing summary (SURVEY §2.4 A1 analog).
@@ -2764,47 +2810,72 @@ object RelationalQueries extends QueryModule {
           .select($"g".as("l_linestatus"), $"n", $"bucket_width",
             $"p50_est", $"p90_est", $"p99_est")
       },
-      oracle = Some("""
-        WITH stats AS (
-          SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
-          FROM lineitem),
-        binned AS (
-          SELECT l_linestatus AS g,
-                 CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
-                      ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END AS w,
-                 mn,
-                 CAST(FLOOR((l_extendedprice - mn) /
-                   CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
-                        ELSE (mx - mn) / CAST(512.0 AS DOUBLE) END) AS BIGINT)
-                   AS bkt
-          FROM lineitem, stats),
-        hist AS (
-          SELECT g, bkt, COUNT(*) AS cnt, MAX(mn) AS mn, MAX(w) AS w
-          FROM binned GROUP BY g, bkt),
-        cumt AS (
-          SELECT g, bkt, cnt, mn, w,
-                 SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
-                 SUM(cnt) OVER (PARTITION BY g) AS n
-          FROM hist)
-        SELECT g AS l_linestatus,
-               CAST(MAX(n) AS BIGINT) AS n,
-               MAX(w) AS bucket_width,
-               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
-                         AND cum - cnt < CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
-                   THEN mn + w * (CAST(bkt AS DOUBLE) +
-                     CAST(CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
-                       / CAST(cnt AS DOUBLE)) END) AS p50_est,
-               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
-                         AND cum - cnt < CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
-                   THEN mn + w * (CAST(bkt AS DOUBLE) +
-                     CAST(CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
-                       / CAST(cnt AS DOUBLE)) END) AS p90_est,
-               MAX(CASE WHEN cum >= CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
-                         AND cum - cnt < CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
-                   THEN mn + w * (CAST(bkt AS DOUBLE) +
-                     CAST(CAST(CEIL(CAST(0.99 AS DOUBLE) * n) AS BIGINT) - (cum - cnt) AS DOUBLE)
-                       / CAST(cnt AS DOUBLE)) END) AS p99_est
-        FROM cumt GROUP BY g""")),
+      oracle = Some(cdfSketchOracleSql)),
+
+    // The same sketch as a REUSABLE registered aggregate: the SQL door
+    // `cdf_sketch(v, lo, w)` ([[CdfSketch]], a typed Aggregator whose
+    // buffer is the 513-slot count array — merge is element-wise sum, so
+    // partials combine map-side) followed by [[CdfSketch.quantileEst]],
+    // whose fold mirrors the spelling's interpolation expression-for-
+    // expression. Same oracle as rel_cdf_sketch: the aggregator path must
+    // reproduce the query spelling bit-for-bit. The collected global
+    // min/max round-trips through Double.toString (shortest exact repr),
+    // so the SQL literal carries the identical double.
+    "rel_cdf_agg" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        CdfSketch.register(s)
+        val li = t(s, dir, "lineitem")
+          .select($"l_linestatus".as("g"), $"l_extendedprice".as("v"))
+        val r = li.agg(min($"v"), max($"v")).collect()(0)
+        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+        val w = if (mx == mn) 1.0 else (mx - mn) / 512.0
+        li.createOrReplaceTempView("cdf_in")
+        val sk = s.sql(
+          s"""SELECT g, cdf_sketch(v, CAST('$mn' AS DOUBLE),
+             |  CAST('$w' AS DOUBLE)) AS sketch
+             |FROM cdf_in GROUP BY g""".stripMargin)
+        sk.select($"g".as("l_linestatus"),
+          CdfSketch.countOf($"sketch").as("n"),
+          lit(w).as("bucket_width"),
+          CdfSketch.quantileEst($"sketch", 0.5, lit(mn), lit(w)).as("p50_est"),
+          CdfSketch.quantileEst($"sketch", 0.9, lit(mn), lit(w)).as("p90_est"),
+          CdfSketch.quantileEst($"sketch", 0.99, lit(mn), lit(w)).as("p99_est"))
+      },
+      oracle = Some(cdfSketchOracleSql)),
+
+    // And the sketch MAINTAINED incrementally ([[graft.streaming.CdfStream]],
+    // the DistinctStream treatment): three waves drain through a
+    // checkpointed stream whose per-batch delta is the (g, bucket) count
+    // table — additive state, so the accumulated sketch is one SUM over
+    // O(batches × groups × 513) tiny rows, never a re-scan of ingested
+    // values — and the final quantile estimates must STILL hash-match the
+    // one-shot batch oracle, across batch boundaries and restarts.
+    "rel_cdf_stream" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.streaming.CdfStream
+        val landing = graft.api.Scratch.dir("cdf_landing")
+        val state = graft.api.Scratch.dir("cdf_state")
+        val cp = graft.api.Scratch.dir("cdf_cp")
+        val li = t(s, dir, "lineitem")
+          .select($"l_linestatus".as("g"), $"l_extendedprice".as("v"),
+            $"l_orderkey")
+        val r = li.agg(min($"v"), max($"v")).collect()(0)
+        val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+        val w = if (mx == mn) 1.0 else (mx - mn) / 512.0
+        (0 to 2).foreach { wave =>
+          li.filter(pmod($"l_orderkey", lit(3)) === wave).select("g", "v")
+            .coalesce(2).write.mode("append").parquet(landing)
+          CdfStream.runAvailableNow(s, landing, state, cp, mn, w,
+            maxFilesPerTrigger = 2)
+        }
+        CdfStream.estimates(s, state, mn, w,
+          Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99))
+          .select($"g".as("l_linestatus"), $"n", lit(w).as("bucket_width"),
+            $"p50_est", $"p90_est", $"p99_est")
+      },
+      oracle = Some(cdfSketchOracleSql)),
 
     // ------------------------------------------------------------------
     // Pearson correlation per group from INTEGER moments: built-in corr()

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.llm.Dedup
+import graft.sources.SortedRunIndex
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -30,10 +31,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * or batch boundaries. CurateStreamSpec proves that equality end-to-end
   * across waves and a checkpoint restart.
   *
-  * Scale posture: the persisted index is the band table `bandsOf`
-  * documents as "the table an incremental pipeline appends to each day";
-  * the label recompute runs over PAIRS (≪ corpus — only near-dup members
-  * appear); survivors is an anti-join of the corpus against the tiny
+  * Scale posture: the persisted band/set state lives in a
+  * [[graft.sources.SortedRunIndex]] (sorted runs + per-file key-range
+  * manifest + delta zone), so a batch's dedup probe READS only the run
+  * files its own band hashes intersect — O(increment) IO per batch where
+  * a flat layout re-scans the whole index (round-11's measured
+  * 0.98 → 5.89 s drift for a fixed 100-doc increment). [[maintain]]
+  * (run after each drain) folds deltas into the runs; the label
+  * recompute runs over PAIRS (≪ corpus — only near-dup members appear);
+  * survivors is an anti-join of the corpus against the tiny
   * non-representative set. Nothing here rereads or reshuffles previously
   * ingested text.
   */
@@ -76,28 +82,49 @@ object CurateStream {
     // streaming source that cannot be re-scanned — materialize it once.
     accepted.persist()
     try {
-      val emptyCorpus = accepted.limit(0)
-      // Project away the batch=<id> partition column the parquet reader
-      // discovers — the index join expects the bare band/set schemas.
-      val idxBands = readOr(spark, s"$stateDir/bands", Dedup.bandsOf(emptyCorpus))
-        .select("doc_id", "band", "bh")
-      val idxSets = readOr(spark, s"$stateDir/sets", Dedup.setsOf(emptyCorpus))
-        .select("doc_id", "sh", "n")
       // Micro-batches are bounded (source admission caps), so the
-      // increment broadcasts and the persisted index is scanned in place —
-      // zero index shuffle per batch.
-      val newPairs = Dedup.incrementPairs(
-        accepted.select("doc_id", "text"), idxBands, idxSets,
-        broadcastIncrement = true)
+      // increment broadcasts — and the persisted band/set state lives in
+      // a SortedRunIndex, so the probe reads only the run files whose key
+      // ranges the increment's band hashes (then the candidates' doc ids)
+      // intersect: per-batch IO is O(increment), never O(index).
+      val newPairs = Dedup.incrementPairsIndexed(
+        accepted.select("doc_id", "text"), stateDir)
       // batch=<id> subdirs: a replayed batch overwrites its own output.
       def put(df: DataFrame, name: String): Unit =
         df.write.mode(SaveMode.Overwrite)
           .parquet(s"$stateDir/$name/batch=$batchId")
       put(newPairs.select("doc_a", "doc_b", "jaccard"), "pairs")
-      put(Dedup.bandsOf(accepted.select("doc_id", "text")), "bands")
-      put(Dedup.setsOf(accepted.select("doc_id", "text")), "sets")
+      SortedRunIndex.append(
+        Dedup.bandsOf(accepted.select("doc_id", "text")),
+        s"$stateDir/bands", batchId)
+      SortedRunIndex.append(
+        Dedup.setsOf(accepted.select("doc_id", "text")),
+        s"$stateDir/sets", batchId)
       put(accepted.select("doc_id", "lang"), "docs")
     } finally accepted.unpersist()
+  }
+
+  /** File granularity of the compacted band/set runs — the probe-cost
+    * unit (a probe key drags in at most one run file). Sized for
+    * micro-batch increments: a 100-doc batch probes ≤ 3,200 band hashes
+    * → ≤ 3,200 × [[bandRowsPerFile]] rows whatever the index size. A
+    * deployment ingesting ~100k-doc increments would raise these to ~1M
+    * rows (≈ 100 MB files) — same math, warehouse-sized files. */
+  val bandRowsPerFile = 2048
+  val setRowsPerFile = 512
+
+  /** Fold accumulated band/set deltas into their sorted runs — the
+    * maintenance that keeps probe cost flat. `keepLast = 1` leaves the
+    * newest, still-replayable micro-batch in the delta zone (the
+    * [[graft.llm.MmFeatures.compactBatches]] replay-safety argument).
+    * Returns (band deltas folded, set deltas folded). */
+  def maintain(spark: SparkSession, stateDir: String,
+      keepLast: Int = 1): (Int, Int) = {
+    val (b, _) = SortedRunIndex.compact(
+      spark, s"$stateDir/bands", "bh", bandRowsPerFile, keepLast)
+    val (s, _) = SortedRunIndex.compact(
+      spark, s"$stateDir/sets", "doc_id", setRowsPerFile, keepLast)
+    (b, s)
   }
 
   /** The current keep set: every ingested doc that is not a
@@ -118,7 +145,8 @@ object CurateStream {
   def runAvailableNow(spark: SparkSession, landingDir: String,
       stateDir: String, checkpointDir: String,
       gate: GateConfig = GateConfig(),
-      maxFilesPerTrigger: Int = 10): Unit = {
+      maxFilesPerTrigger: Int = 10,
+      maintainAfterDrain: Boolean = true): Unit = {
     val q: StreamingQuery = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -131,5 +159,10 @@ object CurateStream {
       }
       .start()
     q.awaitTermination()
+    // Post-drain maintenance: fold this wave's deltas into the sorted
+    // runs so the NEXT wave's probes stay flat. The drained stream has
+    // committed past every folded batch, so a restart can only replay
+    // the kept-out newest delta (keepLast = 1).
+    if (maintainAfterDrain) maintain(spark, stateDir)
   }
 }

@@ -31,6 +31,16 @@ object IncrementBench {
       val scratch = graft.api.Scratch.dir("incbench")
       Dedup.bandsOf(docs).write.parquet(s"$scratch/bands")
       Dedup.setsOf(docs).write.parquet(s"$scratch/sets")
+      // SortedRunIndex layout for the indexed mode: one delta fold + full
+      // compaction (the steady state CurateStream.maintain converges to).
+      import graft.sources.SortedRunIndex
+      import graft.streaming.CurateStream
+      val idxRoot = s"$scratch/sri"
+      val tBuild0 = System.nanoTime()
+      SortedRunIndex.append(Dedup.bandsOf(docs), s"$idxRoot/bands", 0)
+      SortedRunIndex.append(Dedup.setsOf(docs), s"$idxRoot/sets", 0)
+      CurateStream.maintain(spark, idxRoot, keepLast = 0)
+      val buildSec = (System.nanoTime() - tBuild0) / 1e9
       // Fixed 100-doc increment: first-word-dropped variants of the first
       // 100 docs — every increment doc near-matches its source, so the
       // verify leg always has real work. The 1e8 offset keeps increment
@@ -51,14 +61,25 @@ object IncrementBench {
         val a = once(); val b = once()
         (math.min(a._1, b._1), b._2)
       }
+      def timeIndexed(): (Double, Long) = {
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = Dedup.incrementPairsIndexed(batch, idxRoot).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val a = once(); val b = once()
+        (math.min(a._1, b._1), b._2)
+      }
+      val (ti, ni) = timeIndexed()
       val (tb, nb) = timeMode(bcast = true)
       val (tm, nm) = timeMode(bcast = false)
-      require(nb == nm, s"mode outputs differ: $nb vs $nm")
-      (dir, nDocs, tb, tm, nb)
+      require(nb == nm && nb == ni,
+        s"mode outputs differ: bcast=$nb merge=$nm indexed=$ni")
+      (dir, nDocs, ti, tb, tm, buildSec, nb)
     }
 
-    val json = results.map { case (dir, n, tb, tm, np) =>
-      s""""$dir":{"docs":$n,"bcast_sec":${f"$tb%.2f"},"merge_sec":${f"$tm%.2f"},"pairs":$np}"""
+    val json = results.map { case (dir, n, ti, tb, tm, bu, np) =>
+      s""""$dir":{"docs":$n,"indexed_sec":${f"$ti%.2f"},"bcast_sec":${f"$tb%.2f"},"merge_sec":${f"$tm%.2f"},"index_build_sec":${f"$bu%.2f"},"pairs":$np}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
