@@ -144,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Constraint-aware optimizations Spark can't do without declared
     // PK/FK metadata (see graft.plans.JoinElimination).
     extensions.injectOptimizerRule(graft.plans.EliminatePkFkJoin)
+    // Automatic data skipping: point-predicate scans over tables
+    // registered with SkippingIndex.enableAutoPrune read only candidate
+    // files (see graft.plans.ConsultSkippingIndex).
+    extensions.injectOptimizerRule(graft.plans.ConsultSkippingIndex)
     // Whole-operator extension: native sort-merge as-of join
     // (see graft.plans.AsofJoin).
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -33,6 +33,56 @@ object SkippingIndex {
   private def fp(key: Column): Column =
     (xxhash64(key).bitwiseAND(lit(65535L))).cast("int")
 
+  /** Driver-resident auto-prune state for one registered table: per-file
+    * SORTED fingerprint arrays (binary-searchable), keyed by canonical
+    * file path. */
+  final case class AutoIndex(keyCol: String,
+      fileFps: Map[String, Array[Int]]) {
+    def nFiles: Int = fileFps.size
+    /** Canonical paths of files that may contain `value` — same
+      * fingerprint function as [[build]], evaluated on the literal via
+      * the identical catalyst XxHash64, so driver and executor agree
+      * bit-for-bit. */
+    def candidateFiles(value: Any, dt: org.apache.spark.sql.types.DataType): Set[String] = {
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
+        .eval(null).asInstanceOf[Long]
+      val f = (h & 65535L).toInt
+      fileFps.collect {
+        case (path, fps) if java.util.Arrays.binarySearch(fps, f) >= 0 => path
+      }.toSet
+    }
+  }
+
+  private val autoIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, AutoIndex]()
+
+  private def canonDir(p: org.apache.hadoop.fs.Path): String = p.toUri.getPath
+
+  /** Build the index for `tableDir` and register it with the
+    * [[graft.plans.ConsultSkippingIndex]] optimizer rule: from here on,
+    * every `keyCol = literal` scan over the table reads only candidate
+    * files — no manual [[lookup]] call. Re-run after rewriting the table
+    * (stale file names would prune everything). Returns files indexed. */
+  def enableAutoPrune(spark: SparkSession, tableDir: String,
+      keyCol: String): Int = {
+    val entries = build(spark, tableDir, keyCol).collect().map { r =>
+      canonDir(new org.apache.hadoop.fs.Path(r.getString(0))) ->
+        r.getSeq[Int](1).toArray
+    }.toMap
+    autoIndexes.put(
+      canonDir(new org.apache.hadoop.fs.Path(tableDir)),
+      AutoIndex(keyCol, entries))
+    entries.size
+  }
+
+  def disableAutoPrune(tableDir: String): Unit =
+    autoIndexes.remove(canonDir(new org.apache.hadoop.fs.Path(tableDir)))
+
+  /** The registered index for a scan root, if any. */
+  def autoIndexOf(root: org.apache.hadoop.fs.Path): Option[AutoIndex] =
+    Option(autoIndexes.get(canonDir(root)))
+
   /** One-scan index build: (file, fps[], n_rows) per data file. */
   def build(spark: SparkSession, tableDir: String, keyCol: String): DataFrame =
     spark.read.parquet(tableDir)

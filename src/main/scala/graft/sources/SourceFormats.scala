@@ -122,6 +122,30 @@ object SourceFormats extends QueryModule {
         SELECT event_id, user_id, event_type, value
         FROM events WHERE user_id = 42""")),
 
+    // The PLANNER-AUTOMATIC form of the same skipping index
+    // ([[graft.plans.ConsultSkippingIndex]], injected via
+    // GraftExtensions): the table is registered once with
+    // `enableAutoPrune` and the query site is a PLAIN filter — the
+    // optimizer rule swaps the scan's FileIndex for the candidate files
+    // itself (SkippingIndexSpec pins the plan: 1-4 files of 16, zero for
+    // provably-absent keys). Same oracle as the manual lookup: a pruning
+    // bug that drops a file loses rows and hash-fails.
+    "src_skipping_auto" -> QuerySpec(
+      fn = (s, dir) => {
+        val tmp = scratch("fmt_skipauto")
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartitionByRange(16, col("user_id"))
+          .write.mode("overwrite").parquet(tmp)
+        SkippingIndex.enableAutoPrune(s, tmp, "user_id")
+        s.read.parquet(tmp).filter(col("user_id") === 42L)
+          .select("event_id", "user_id", "event_type", "value")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE user_id = 42""")),
+
     // Catalog-backed registration: tables live in `spark.catalog` as
     // EXTERNAL parquet entries (plus the encoding-adaptive `events` VIEW)
     // instead of per-session temp views — the metastore discipline that

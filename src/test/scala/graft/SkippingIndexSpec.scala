@@ -88,4 +88,55 @@ class SkippingIndexSpec extends SparkSpec {
     assert(!after.collect().map(_.getString(0))
       .exists(_.endsWith(victim.getName)))
   }
+
+  test("auto-prune: plain point-predicate scans consult the index in the planner") {
+    import graft.plans.SkipPrunedFileIndex
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = tempDir("skipidx_auto")
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    events.repartitionByRange(16, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = SkippingIndex.enableAutoPrune(spark, dir, "user_id")
+    assert(nFiles >= 8)
+    val key = events.select("user_id").orderBy(col("user_id").desc)
+      .limit(1).collect()(0).getLong(0)
+    try {
+      // No manual lookup call — the optimizer rewrites the scan itself.
+      val q = spark.read.parquet(dir).filter(col("user_id") === key)
+      val prunedScans = q.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+            if r.location.isInstanceOf[SkipPrunedFileIndex] =>
+          r.location.inputFiles.length
+      }
+      assert(prunedScans.nonEmpty, "rule did not rewrite the scan")
+      assert(prunedScans.head >= 1 && prunedScans.head <= 4,
+        s"expected 1-4 candidate files, scanned ${prunedScans.head} of $nFiles")
+      val got = q.select("event_id").collect().map(_.getLong(0)).sorted
+      val full = spark.read.parquet(dir)
+      SkippingIndex.disableAutoPrune(dir)
+      val want = full.filter(col("user_id") === key)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      SkippingIndex.enableAutoPrune(spark, dir, "user_id")
+      assert(got.sameElements(want) && got.nonEmpty)
+
+      // Absent key: the intersection is empty — zero files planned, empty
+      // result, schema intact.
+      val none = spark.read.parquet(dir).filter(col("user_id") === 1000000000L)
+      val zeroScan = none.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+            if r.location.isInstanceOf[SkipPrunedFileIndex] =>
+          r.location.inputFiles.length
+      }
+      assert(zeroScan.headOption.contains(0))
+      assert(none.isEmpty && none.columns.length === 4)
+
+      // Non-key predicates and other tables stay untouched.
+      val other = spark.read.parquet(dir).filter(col("event_id") === 7L)
+      assert(other.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+            if r.location.isInstanceOf[SkipPrunedFileIndex] => 1
+      }.isEmpty)
+    } finally SkippingIndex.disableAutoPrune(dir)
+  }
 }
