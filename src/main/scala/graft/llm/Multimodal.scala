@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing here is real and tested — schema, encoders,
   * partition-preserving `mapPartitions` batching (the JVM analog of
   * `mapInPandas` batch shape), deterministic outputs. The IMAGE path is a
-  * real codec: payloads are genuine PNGs and `decode` reads them with the
-  * JDK's `javax.imageio` (no extra dependencies). The AUDIO path is also a
+  * real codec: payloads are genuine PNGs/BMPs (alternating by id — a
+  * mixed-codec corpus; GIF and JPEG are exercised by `llm_mm_codec_meta`)
+  * and `decode` reads them with the JDK's `javax.imageio` (no extra
+  * dependencies). The AUDIO path is also a
   * real codec: payloads are genuine 16-bit PCM WAV files and
   * [[decodeAudio]] reads them with the JDK's `javax.sound.sampled`
   * (PCM/WAV needs no external codec) — sample rate, channel count, and
@@ -52,7 +54,8 @@ object Multimodal {
       frames: Array[Array[Byte]])
 
   /** Synthesize a deterministic asset table from `documents`: image assets
-    * carry a REAL PNG payload ([[pngPayload]]); audio assets a REAL 16-bit
+    * carry a REAL mixed-codec payload ([[imagePayload]] — PNG or BMP by
+    * id, both pixel-lossless); audio assets a REAL 16-bit
     * PCM WAV payload ([[wavPayload]]); video assets a REAL container —
     * minimal valid MP4 or WebM ([[VideoContainers]], even/odd ids) whose
     * box/EBML metadata parses with any compliant reader. Only the coded
@@ -87,7 +90,7 @@ object Multimodal {
     ids.map { id =>
       val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
       val media =
-        if (kind == "image") pngPayload(id)
+        if (kind == "image") imagePayload(id)
         else if (kind == "audio") wavPayload(id)
         else videoPayload(id)
       MediaAsset(id, media, MediaMeta(kind, width = 0, height = 0, sampleRate = 0))
@@ -134,13 +137,13 @@ object Multimodal {
     else AudioContainers.oggPayload(id, rate, channels, kbps, oggSamples)
   }
 
-  /** Expected dimensions of [[pngPayload]] (shared with tests). */
+  /** Expected dimensions of every image payload (shared with tests). */
   def pngDims(id: Long): (Int, Int) = (16 + (id % 48).toInt, 16 + (id % 31).toInt)
 
-  /** A genuine PNG, deterministic in the id: dimensions from [[pngDims]],
-    * pixels a fixed id-seeded gradient. The JDK's PNG encoder writes no
-    * timestamps, so the byte stream is stable across runs. */
-  def pngPayload(id: Long): Array[Byte] = {
+  /** The id-seeded gradient every image payload carries (the closed form
+    * the pixel oracles recompute). `gray = true` folds it to 256 gray
+    * levels — the palette-safe variant a GIF encode preserves exactly. */
+  private def gradientImage(id: Long, gray: Boolean): java.awt.image.BufferedImage = {
     val (w, h) = pngDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -148,15 +151,42 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xffffff).toInt)
+        val p =
+          if (gray) { val v = ((x * 31 + y * 17 + id) & 0xff).toInt; v * 0x010101 }
+          else ((x * 31 + y * 17 + id) & 0xffffff).toInt
+        img.setRGB(x, y, p)
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode the gradient through a REAL `javax.imageio` writer. */
+  def imageBytes(id: Long, fmt: String, gray: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(gradientImage(id, gray), fmt, bos)
     bos.toByteArray
   }
+
+  /** A genuine PNG, deterministic in the id: dimensions from [[pngDims]],
+    * pixels a fixed id-seeded gradient. The JDK's PNG encoder writes no
+    * timestamps, so the byte stream is stable across runs. */
+  def pngPayload(id: Long): Array[Byte] = imageBytes(id, "png")
+
+  /** Codec of image asset `id` in the default corpus — alternating the
+    * two pixel-LOSSLESS `javax.imageio` codecs (24-bit PNG and BMP), so
+    * the whole decode fleet (features, pHash, near-dup, gate, resize,
+    * streaming maintainers) faces a genuinely mixed codec registry while
+    * every pixel oracle's closed form still holds bit-for-bit. GIF
+    * (palette) and JPEG (DCT) are exercised by `llm_mm_codec_meta` and
+    * MultimodalSpec — GIF pixel-exact on the gray gradient, JPEG
+    * dims-only (lossy pixels are not closed-form; that is the honest
+    * boundary, not a gap). */
+  def imageCodec(id: Long): String = if ((id / 3) % 2 == 0) "png" else "bmp"
+
+  /** The default corpus's image payload: [[imageCodec]]-encoded gradient. */
+  def imagePayload(id: Long): Array[Byte] = imageBytes(id, imageCodec(id))
 
   /** Audio sample count / waveform parameters, closed-form in the id —
     * shared by the generator, the decoder's test expectations, and the
@@ -415,6 +445,45 @@ object MultimodalQueries extends QueryModule {
                md5(text) AS digest,
                hex(encode(substring(text, 1, 4))) AS magic
         FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // The full JDK codec registry, differentially checked: each image
+    // asset is encoded through a REAL ImageIO writer in a 4-cycle
+    // (PNG / BMP / GIF / JPEG), then sniffed and decoded back through the
+    // registry — the reported format name and TRUE pixel dimensions must
+    // match the generator's closed form. GIF uses the 256-level gray
+    // gradient (palette-exact, so its pixels stay closed-form — asserted
+    // in MultimodalSpec); JPEG's DCT pixels are not closed-form, which is
+    // exactly why this row checks codec + dims (the oracle-checkable
+    // surface) and the default corpus mixes only the lossless pair.
+    "llm_mm_codec_meta" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val fmts = Array("png", "bmp", "gif", "jpg")
+            val fmt = fmts(((id / 3) % 4).toInt)
+            val bytes = Multimodal.imageBytes(id, fmt, gray = fmt == "gif")
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val reader = javax.imageio.ImageIO.getImageReaders(in).next()
+            val sniffed = reader.getFormatName.toLowerCase
+            reader.setInput(in)
+            (id, sniffed, reader.getWidth(0), reader.getHeight(0),
+              bytes.length >= 64)
+          })
+          .toDF("asset_id", "codec", "w", "h", "payload_nontrivial")
+      },
+      oracle = Some("""
+        SELECT doc_id AS asset_id,
+               CASE (doc_id // 3) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    WHEN 2 THEN 'gif' ELSE 'jpeg' END AS codec,
+               CAST(16 + doc_id % 48 AS INT) AS w,
+               CAST(16 + doc_id % 31 AS INT) AS h,
+               TRUE AS payload_nontrivial
+        FROM documents WHERE doc_id % 3 = 0""")),
 
     // ------------------------------------------------------------------
     // REAL video-container metadata, differentially checked: the Spark

@@ -197,7 +197,7 @@ object SourceFormats extends QueryModule {
           (it: Iterator[graft.llm.Multimodal.MediaAsset]) =>
             it.foreach { a =>
               val ext = a.meta.kind match {
-                case "image" => "png"
+                case "image" => graft.llm.Multimodal.imageCodec(a.asset_id)
                 case "audio" => "wav"
                 case _ => if (a.asset_id % 2 == 0) "mp4" else "webm"
               }
@@ -212,10 +212,12 @@ object SourceFormats extends QueryModule {
             val name = path.substring(path.lastIndexOf('/') + 1)
             val id = name.stripPrefix("asset_").takeWhile(_.isDigit).toLong
             val kind = name.substring(name.lastIndexOf('.') + 1) match {
-              case "png" => "image"; case "wav" => "audio"; case _ => "video"
+              case "png" | "bmp" => "image"
+              case "wav" => "audio"; case _ => "video"
             }
             if (kind == "image") {
-              // Real codec decode: dimensions come from the PNG itself.
+              // Real codec decode (mixed PNG/BMP corpus): dimensions come
+              // from the payload itself.
               val img = javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(content))
               (id, kind, None: Option[Long], Some(img.getWidth),

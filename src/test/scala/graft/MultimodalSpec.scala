@@ -31,14 +31,21 @@ class MultimodalSpec extends SparkSpec {
         assert(d.meta.sampleRate === 0)
       }
       if (d.meta.kind == "image") {
-        // The REAL javax.imageio decode must report the generated PNG's
-        // true pixel dimensions.
+        // The REAL javax.imageio decode must report the generated image's
+        // true pixel dimensions — through whichever codec the mixed
+        // corpus assigned this id.
         val (w, h) = Multimodal.pngDims(d.asset_id)
         assert(d.meta.width === w, s"decoded width for ${d.asset_id}")
         assert(d.meta.height === h, s"decoded height for ${d.asset_id}")
-        val magic = d.media.take(4).map(_ & 0xff)
-        assert(magic.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
-          "image payload is not a PNG")
+        val magic = d.media.take(2).map(_ & 0xff)
+        Multimodal.imageCodec(d.asset_id) match {
+          case "png" =>
+            assert(magic.sameElements(Array(0x89, 'P'.toInt)),
+              s"payload for ${d.asset_id} is not a PNG")
+          case "bmp" =>
+            assert(magic.sameElements(Array('B'.toInt, 'M'.toInt)),
+              s"payload for ${d.asset_id} is not a BMP")
+        }
       }
     }
 
@@ -239,5 +246,37 @@ class MultimodalSpec extends SparkSpec {
         === r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_images"))
     }
     out.unpersist()
+  }
+
+  test("all four JDK codecs decode through the real registry; lossless ones pixel-exact") {
+    // PNG and BMP (the default-corpus pair) plus GIF (gray palette) and
+    // JPEG — every payload a real ImageIO encode, every decode a real
+    // registry sniff. Lossless codecs must reproduce the closed-form
+    // gradient EXACTLY; JPEG gets dims + decode-determinism (its DCT
+    // pixels are legitimately not closed-form).
+    for (id <- Seq(0L, 3L, 6L, 9L, 12L, 45L); fmt <- Seq("png", "bmp", "gif", "jpg")) {
+      val gray = fmt == "gif"
+      val bytes = Multimodal.imageBytes(id, fmt, gray)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = Multimodal.pngDims(id)
+      assert(img.getWidth === w && img.getHeight === h, s"$fmt dims for id $id")
+      if (fmt != "jpg") {
+        var bad = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val exp =
+            if (gray) { val v = ((x * 31 + y * 17 + id) & 0xff).toInt; v * 0x010101 }
+            else ((x * 31 + y * 17 + id) & 0xffffff).toInt
+          if ((img.getRGB(x, y) & 0xffffff) != exp) bad += 1
+        }
+        assert(bad === 0, s"$fmt decode for id $id: $bad pixels diverge")
+      } else {
+        val again = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        for (y <- 0 until h; x <- 0 until w)
+          assert(img.getRGB(x, y) === again.getRGB(x, y), "jpeg decode unstable")
+      }
+    }
+    // The default corpus really is mixed: both codecs appear.
+    val codecs = (0L until 60L by 3L).map(Multimodal.imageCodec).toSet
+    assert(codecs === Set("png", "bmp"))
   }
 }
