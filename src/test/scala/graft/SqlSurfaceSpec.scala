@@ -19,7 +19,8 @@ import org.apache.spark.sql.DataFrame
 class SqlSurfaceSpec extends SparkSpec {
 
   private def registerViews(): Unit = {
-    Seq("lineitem", "orders", "customer", "documents", "events").foreach { t =>
+    Seq("lineitem", "orders", "customer", "supplier", "nation",
+      "documents", "events").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
     graft.functions.GraftFunctions.register(spark)
@@ -330,5 +331,114 @@ class SqlSurfaceSpec extends SparkSpec {
              END AS fp_rate
       FROM hits h LEFT JOIN keys a ON a.k = h.c_custkey
       GROUP BY c_mktsegment""")
+  }
+
+  test("rel_graph_components through spark.sql (graph family door)") {
+    // The DF's 8 bounded min-label rounds as chained CTEs — trade edges,
+    // self-scaling strong-edge threshold, label propagation, all in one
+    // SQL string. (A recursive-CTE spelling needs UNION-dedup semantics,
+    // which Spark's WITH RECURSIVE does not support yet; UNION ALL on a
+    // cyclic graph path-enumerates, so the bounded chain IS the honest
+    // SQL spelling of the bounded DF iteration.)
+    val dsumW = "CAST(SUM(CAST(w AS DECIMAL(30,6))) AS DOUBLE)"
+    val rounds = (1 to 8).map { k =>
+      s"""l$k AS (
+           SELECT node, MIN(label) AS label FROM (
+             SELECT node, label FROM l${k - 1}
+             UNION ALL
+             SELECT e.dst AS node, p.label
+             FROM bidir e JOIN l${k - 1} p ON e.src = p.node) u
+           GROUP BY node)"""
+    }.mkString(",\n")
+    checkSame("rel_graph_components", s"""
+      WITH dir_edges AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               CAST(SUM(CAST(l_extendedprice * (1.0D - l_discount)
+                 AS DECIMAL(30,6))) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+      und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, $dsumW AS w
+        FROM dir_edges WHERE src <> dst GROUP BY 1, 2),
+      thr AS (SELECT $dsumW / COUNT(w) AS t FROM und),
+      keep AS (SELECT a, b FROM und CROSS JOIN thr WHERE w > t),
+      bidir AS (SELECT a AS src, b AS dst FROM keep
+                UNION ALL SELECT b, a FROM keep),
+      l0 AS (SELECT n_name AS node, n_name AS label FROM nation),
+      $rounds
+      SELECT node, label AS component FROM l8""")
+  }
+
+  test("rel_geo_nearest through spark.sql (geo family door)") {
+    checkSame("rel_geo_nearest", """
+      WITH c AS (
+        SELECT c_custkey, c_custkey * 7919 % 18000 AS cla,
+               c_custkey * 104729 % 36000 AS clo
+        FROM customer),
+      s AS (
+        SELECT s_suppkey, s_suppkey * 4099 % 18000 AS sla,
+               s_suppkey * 9973 % 36000 AS slo
+        FROM supplier),
+      cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               2.0D * 6371.0D * ASIN(LEAST(1.0D, SQRT(
+                 POW(SIN(RADIANS((sla / 100.0D - 90.0D) - (cla / 100.0D - 90.0D)) / 2), 2) +
+                 COS(RADIANS(cla / 100.0D - 90.0D)) * COS(RADIANS(sla / 100.0D - 90.0D)) *
+                 POW(SIN(RADIANS((slo / 100.0D - 180.0D) - (clo / 100.0D - 180.0D)) / 2), 2)))) AS d
+        FROM c JOIN s
+          ON abs(cla div 1000 - sla div 1000) <= 1
+         AND least(abs(clo div 1000 - slo div 1000),
+                   36 - abs(clo div 1000 - slo div 1000)) <= 1),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+        FROM cand)
+      SELECT c_custkey, s_suppkey, ROUND(d, 4) AS dist_km
+      FROM ranked WHERE rn = 1""")
+  }
+
+  test("ts_drawdown through spark.sql (finance family door)") {
+    checkSame("ts_drawdown", """
+      WITH c AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(value AS DECIMAL(30,6))) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM events),
+      p AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM c)
+      SELECT user_id,
+             CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+             CAST(MAX(peak) AS DOUBLE) AS peak_value,
+             COUNT(*) AS n_events
+      FROM p GROUP BY user_id""")
+  }
+
+  test("rel_aqp_sum through spark.sql (AQP family door, injected md5_long)") {
+    checkSame("rel_aqp_sum", """
+      WITH samp AS (
+        SELECT l_extendedprice FROM lineitem
+        WHERE (md5_long(concat('aqp:', CAST(l_orderkey AS STRING), '-',
+                 CAST(l_linenumber AS STRING))) & 63) = 0),
+      s AS (
+        SELECT COUNT(*) AS n_sample,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 * 64.0D AS est_sum,
+               SQRT(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                 AS DECIMAL(30,6))) AS DOUBLE) * (63.0D * 64.0D)) AS se
+        FROM samp)
+      SELECT n_sample, est_sum, se,
+             est_sum - 1.96D * se AS ci_lo,
+             est_sum + 1.96D * se AS ci_hi
+      FROM s""")
   }
 }
