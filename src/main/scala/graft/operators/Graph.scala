@@ -157,18 +157,31 @@ object Graph extends QueryModule {
     * two nation maps broadcast. Columns: (src_nk, dst_nk, src, dst, w). */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Dim-reduction shape (the rel_q7 lesson, measured at sf100): fold
+    // each nation into its OWN side before the fact joins. supplier+nation
+    // collapses to a broadcastable 2-column map; the customer nation rides
+    // orders as (o_orderkey, src_nk, src); lineitem then shuffles ONCE, on
+    // l_orderkey — the naive chain re-shuffled the full-width 600M-row
+    // intermediate on o_custkey and l_suppkey as well.
     val nation   = Tables.load(s, dir, "nation")
     val cn = nation.select($"n_nationkey".as("c_nk"), $"n_name".as("src"))
     val sn = nation.select($"n_nationkey".as("s_nk"), $"n_name".as("dst"))
-    Tables.load(s, dir, "lineitem")
-      .join(Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .join(Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+    val suppSide = broadcast(
+      Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+        .select($"s_suppkey", $"s_nk", $"dst"))
+    val ordSide = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(
+        Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+          .join(broadcast(cn), $"c_nationkey" === $"c_nk")
+          .select($"c_custkey", $"c_nk", $"src"),
         $"o_custkey" === $"c_custkey")
-      .join(Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
-        $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(cn), $"c_nationkey" === $"c_nk")
-      .join(broadcast(sn), $"s_nationkey" === $"s_nk")
+      .select($"o_orderkey", $"c_nk", $"src")
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(suppSide, $"l_suppkey" === $"s_suppkey")
+      .join(ordSide, $"l_orderkey" === $"o_orderkey")
       .groupBy($"c_nk".as("src_nk"), $"s_nk".as("dst_nk"), $"src", $"dst")
       .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .cast(DecimalType(30, 6))).cast("double").as("w"))

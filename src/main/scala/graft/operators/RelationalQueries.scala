@@ -1404,14 +1404,34 @@ object RelationalQueries extends QueryModule {
     "rel_q7_nations_volume" -> QuerySpec(
       fn = (s, dir) => {
         import s.implicits._
+        // Dim-reduction shape: fold each nation name into its OWN side
+        // before the fact joins, so the fact never re-shuffles per dim.
+        // The naive spelling (li ⋈ orders ⋈ customer ⋈ supplier, nations
+        // last) re-shuffles the full-width 600M-row intermediate on
+        // o_custkey and again on l_suppkey — measured 219 s at sf100 with
+        // ZERO spill (pure exchange volume). Here: supplier+nation
+        // collapses to a (s_suppkey, supp_nation) map — 2 narrow columns,
+        // broadcastable two decades past where the raw supplier table
+        // stops being so (at cluster scale, shuffle_hash-able) — and the
+        // customer nation rides orders as (o_orderkey, cust_nation), so
+        // lineitem shuffles ONCE, on l_orderkey.
         val n1 = t(s, dir, "nation").select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
         val n2 = t(s, dir, "nation").select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
-        t(s, dir, "lineitem")
-          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
-          .join(t(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
-          .join(broadcast(n1), $"s_nationkey" === $"sk")
+        val suppNation = broadcast(
+          t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+            .join(broadcast(n1), $"s_nationkey" === $"sk")
+            .select($"s_suppkey", $"supp_nation"))
+        val custNation = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
           .join(broadcast(n2), $"c_nationkey" === $"ck")
+          .select($"c_custkey", $"cust_nation")
+        val ordNation = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+          .join(custNation, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"cust_nation")
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+            $"l_extendedprice", $"l_discount")
+          .join(suppNation, $"l_suppkey" === $"s_suppkey")
+          .join(ordNation, $"l_orderkey" === $"o_orderkey")
           .filter($"supp_nation" < $"cust_nation")
           .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
           .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))

@@ -37,8 +37,27 @@ object StreamThroughput {
     // which would turn "throughput" into a measurement of the late-row
     // filter.
     val genT0 = System.nanoTime()
-    val gen = ActivityGenerator.generate(
-      dirs.raw, numFiles = numFiles, rowsPerFile = rowsPerFile, chronological = true)
+    // Config-sweep support: SPARK_GRAFT_STREAM_RAW names a raw dir from a
+    // previous run to reuse (same numFiles/rowsPerFile), so an attempt
+    // prices at the drain, not at minutes of CSV generation. The row count
+    // is recomputed from the reused files' summary convention.
+    val gen = sys.env.get("SPARK_GRAFT_STREAM_RAW") match {
+      case Some(raw) =>
+        require(Files.exists(Paths.get(raw)), s"reuse dir $raw missing")
+        if (!Files.exists(Paths.get(dirs.raw)))
+          Files.createSymbolicLink(
+            Paths.get(dirs.raw).toAbsolutePath,
+            Paths.get(raw).toAbsolutePath)
+        // Rows = line count minus one header per file (cheap: Spark scan).
+        val n = spark.read.textFile(dirs.raw + "/*.csv").count() -
+          new java.io.File(raw).listFiles().count(_.getName.endsWith(".csv"))
+        ActivityGenerator.Summary(files = numFiles, totalRows = n.toInt,
+          invalidRows = -1, distinctValidLogIds = -1)
+      case None =>
+        ActivityGenerator.generate(
+          dirs.raw, numFiles = numFiles, rowsPerFile = rowsPerFile,
+          chronological = true)
+    }
     val genSec = (System.nanoTime() - genT0) / 1e9
 
     val t = Trigger.AvailableNow()
