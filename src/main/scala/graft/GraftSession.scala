@@ -72,6 +72,20 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("spark.sql.warehouse.dir",
           s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"))
+    // Measurement-sweep escape hatch: SPARK_GRAFT_EXTRA_CONF carries
+    // semicolon-separated key=value pairs applied LAST (they win over the
+    // defaults above). Exists so tools like StreamThroughput can price one
+    // config against another (RocksDB changelog checkpointing, bounded
+    // state memory, ...) without a code change per experiment; production
+    // callers configure through the builder as usual.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { raw =>
+      raw.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not key=value")
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
+    b
   }
 
   def apply(appName: String = "graft"): SparkSession = {

@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.Merge,
     graft.operators.Baskets,
     graft.operators.Finance,
+    graft.operators.CountMin,
     graft.operators.Geo,
     graft.pipeline.PipelineQueries,
     graft.llm.Dedup,

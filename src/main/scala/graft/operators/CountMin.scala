@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.api.{QueryModule, QuerySpec}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch — the frequency-estimation member of the mergeable
+  * sketch family (HLL cardinality `rel_hll_distinct`, Bloom membership
+  * `rel_bloom_prune`, CDF quantiles `rel_cdf_sketch`, Misra–Gries heavy
+  * hitters `llm_text_heavyhitters`). Like the others it is built so the
+  * aggregation IS the merge:
+  *
+  *   - state = a (depth × width) counter grid, here 4 × 8192 rows of
+  *     (seed, bucket, count). Partials combine by SUM — map-side combine
+  *     on a 1000-executor cluster shuffles at most 32,768 rows per
+  *     partition regardless of corpus size, and two shards' sketches (or
+  *     two days' sketches) union by the same SUM.
+  *   - point query = min over the key's `depth` counters; misses read 0.
+  *     The estimate NEVER undercounts (each counter upper-bounds the true
+  *     frequency), overcounts only by hash-collision mass — both
+  *     properties are measured exactly in the result, not assumed.
+  *
+  * Hashing is the engine's portable `md5_long` (upper 64 md5 bits as a
+  * signed long — DuckDB's `md5_number_upper` is bit-identical), salted per
+  * seed row, masked to the low 13 bits; the oracle replays the identical
+  * construction so counts hash-compare exactly.
+  */
+object CountMin extends QueryModule {
+
+  def queries: Map[String, QuerySpec] = Map(
+    // Part-frequency sketch over lineitem: build the 4×8192 grid in one
+    // partial-aggregable shuffle, broadcast it (≤32k rows) onto a bounded
+    // probe set (p_size ≤ 2), and report per key the exact count, the CMS
+    // estimate, the collision overcount, and the no-undercount invariant.
+    "rel_cms_freq" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val li = Tables.load(s, dir, "lineitem")
+        val seeds = expr("explode(sequence(0, 3))").as("i")
+        val grid = li.select($"l_partkey", seeds)
+          .select($"i", expr(
+            "md5_long(concat('cms', CAST(i AS STRING), ':', CAST(l_partkey AS STRING))) & 8191")
+            .as("b"))
+          .groupBy($"i", $"b").agg(count(lit(1)).as("c"))
+        val probe = Tables.load(s, dir, "part")
+          .filter($"p_size" <= 2).select($"p_partkey")
+        val est = probe.select($"p_partkey", seeds)
+          .withColumn("b", expr(
+            "md5_long(concat('cms', CAST(i AS STRING), ':', CAST(p_partkey AS STRING))) & 8191"))
+          .join(broadcast(grid), Seq("i", "b"), "left")
+          .groupBy($"p_partkey")
+          .agg(min(coalesce($"c", lit(0L))).as("est_cnt"))
+        val exact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, est("p_partkey") === exact("l_partkey"), "left")
+          .select(
+            $"p_partkey",
+            coalesce($"exact_cnt", lit(0L)).as("exact_cnt"),
+            $"est_cnt",
+            ($"est_cnt" - coalesce($"exact_cnt", lit(0L))).as("overcount"),
+            ($"est_cnt" >= coalesce($"exact_cnt", lit(0L))).as("never_under"))
+      },
+      oracle = Some("""
+        WITH seeds AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+        grid AS (
+          SELECT i,
+                 CAST(md5_number_upper(concat('cms', CAST(i AS VARCHAR), ':',
+                   CAST(l_partkey AS VARCHAR))) & 8191 AS BIGINT) AS b,
+                 COUNT(*) AS c
+          FROM lineitem CROSS JOIN seeds
+          GROUP BY 1, 2),
+        probe AS (SELECT p_partkey FROM part WHERE p_size <= 2),
+        hashed AS (
+          SELECT p_partkey, i,
+                 CAST(md5_number_upper(concat('cms', CAST(i AS VARCHAR), ':',
+                   CAST(p_partkey AS VARCHAR))) & 8191 AS BIGINT) AS b
+          FROM probe CROSS JOIN seeds),
+        est AS (
+          SELECT p_partkey, MIN(COALESCE(c, 0)) AS est_cnt
+          FROM hashed LEFT JOIN grid USING (i, b)
+          GROUP BY p_partkey),
+        ex AS (SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1)
+        SELECT p_partkey,
+               COALESCE(exact_cnt, 0) AS exact_cnt,
+               est_cnt,
+               est_cnt - COALESCE(exact_cnt, 0) AS overcount,
+               est_cnt >= COALESCE(exact_cnt, 0) AS never_under
+        FROM est LEFT JOIN ex ON p_partkey = l_partkey"""))
+  )
+}

@@ -376,6 +376,128 @@ object Finance extends QueryModule {
                  / CAST(SUM(dt_us) AS DOUBLE) AS twap,
                COUNT(*) AS n_intervals
         FROM iv WHERE dt_us IS NOT NULL
-        GROUP BY user_id, day HAVING SUM(dt_us) > 0"""))
+        GROUP BY user_id, day HAVING SUM(dt_us) > 0""")),
+
+    // ------------------------------------------------------------------
+    // RSI-14 (Cutler's form — SMA of gains/losses, not Wilder's recursive
+    // EMA, precisely because an SMA is ONE rows-frame window: no
+    // order-sensitive recursion to replay). Deltas and the 14-row
+    // gain/loss sums accumulate in exact DECIMAL (the [[Exact]] contract),
+    // so the sums are bit-identical across partitionings and engines; the
+    // single 100 − 100/(1 + g/l) step runs in double with the zero-loss
+    // branch pinned to 100 on both sides (Spark's double x/0 is Inf,
+    // DuckDB's is NULL — the CASE keeps that divergence out of the plan).
+    // One window sort per event_type partition, O(1) state per row. The
+    // per-type partition is coarse; at 100 TB a single series parallelizes
+    // by time-range chunks with a 13-row halo per boundary (every frame
+    // here is bounded at 14 rows, so chunk outputs concatenate exactly) —
+    // the same recipe applies to ts_stochastic below.
+    "ts_rsi" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        val f14 = w.rowsBetween(-13, 0)
+        val zero = lit(0).cast(DecimalType(30, 6))
+        Tables.load(s, dir, "events")
+          .withColumn("delta",
+            $"value".cast(DecimalType(30, 6)) -
+              lag($"value", 1).over(w).cast(DecimalType(30, 6)))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("gsum",
+            sum(when($"delta" > 0, $"delta").otherwise(zero)).over(f14))
+          .withColumn("lsum",
+            sum(when($"delta" < 0, -$"delta").otherwise(zero)).over(f14))
+          .filter($"rn" >= 15)
+          .select($"event_type", $"event_id",
+            when($"lsum" === 0, lit(100.0))
+              .otherwise(lit(100.0) - lit(100.0) /
+                (lit(1.0) + $"gsum".cast("double") / $"lsum".cast("double")))
+              .as("rsi"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, event_id, ts,
+                 CAST(value AS DECIMAL(30,6)) -
+                   lag(CAST(value AS DECIMAL(30,6)), 1) OVER
+                     (PARTITION BY event_type ORDER BY ts, event_id) AS delta,
+                 row_number() OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events),
+        g AS (
+          SELECT event_type, event_id, rn,
+                 SUM(CASE WHEN delta > 0 THEN delta
+                          ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gsum,
+                 SUM(CASE WHEN delta < 0 THEN -delta
+                          ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lsum
+          FROM d)
+        SELECT event_type, event_id,
+               CASE WHEN lsum = 0 THEN CAST(100.0 AS DOUBLE)
+                    ELSE CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) /
+                      (CAST(1.0 AS DOUBLE) +
+                       CAST(gsum AS DOUBLE) / CAST(lsum AS DOUBLE)) END AS rsi
+        FROM g WHERE rn >= 15""")),
+
+    // ------------------------------------------------------------------
+    // Stochastic oscillator %K/%D-14: %K positions the current value inside
+    // the rolling 14-row low/high envelope (rolling MIN/MAX — exact on
+    // doubles, no accumulation drift possible), %D smooths %K as an
+    // EXPLICIT 3-term lag average rather than a 3-row window SUM: a
+    // window sum over doubles may tree-combine in engine-specific order,
+    // while (k + lag1) + lag2 pins the addition order on both sides. The
+    // flat-envelope branch (high = low) is pinned to 50 — Spark would give
+    // ±Inf/NaN, DuckDB NULL. Same single-window shape as ts_rsi.
+    "ts_stochastic" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+        val f14 = w.rowsBetween(-13, 0)
+        Tables.load(s, dir, "events")
+          .withColumn("lo", min($"value").over(f14))
+          .withColumn("hi", max($"value").over(f14))
+          .withColumn("rn", row_number().over(w))
+          // Divide BEFORE scaling: x/y with x ≤ y can never round above
+          // 1.0, so %K is exactly bounded by [0, 100]; the 100·x/y order
+          // can exceed 100 by an ulp (observed at sf0.001).
+          .withColumn("k",
+            when($"hi" === $"lo", lit(50.0))
+              .otherwise(($"value" - $"lo") / ($"hi" - $"lo") * lit(100.0)))
+          .withColumn("d",
+            ($"k" + lag($"k", 1).over(w) + lag($"k", 2).over(w)) / lit(3.0))
+          .filter($"rn" >= 16)
+          .select($"event_type", $"event_id", $"k", $"d")
+      },
+      oracle = Some("""
+        WITH env AS (
+          SELECT event_type, event_id, ts, value,
+                 MIN(value) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
+                 MAX(value) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi,
+                 row_number() OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events),
+        kk AS (
+          SELECT event_type, event_id, ts, rn,
+                 CASE WHEN hi = lo THEN CAST(50.0 AS DOUBLE)
+                      ELSE (value - lo) / (hi - lo) * CAST(100.0 AS DOUBLE)
+                 END AS k
+          FROM env),
+        dd AS (
+          -- %D in its own CTE: a WHERE in the same SELECT as the lag
+          -- windows would filter BEFORE they evaluate (SQL's WHERE runs
+          -- ahead of the select-list), emptying the first rows' lags.
+          SELECT event_type, event_id, rn, k,
+                 (k + lag(k, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                    + lag(k, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                   / CAST(3.0 AS DOUBLE) AS d
+          FROM kk)
+        SELECT event_type, event_id, k, d
+        FROM dd WHERE rn >= 16"""))
   )
 }

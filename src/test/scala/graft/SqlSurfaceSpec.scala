@@ -19,7 +19,7 @@ import org.apache.spark.sql.DataFrame
 class SqlSurfaceSpec extends SparkSpec {
 
   private def registerViews(): Unit = {
-    Seq("lineitem", "orders", "customer", "supplier", "nation",
+    Seq("lineitem", "orders", "customer", "supplier", "nation", "part",
       "documents", "events").foreach { t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     }
@@ -440,5 +440,33 @@ class SqlSurfaceSpec extends SparkSpec {
              est_sum - 1.96D * se AS ci_lo,
              est_sum + 1.96D * se AS ci_hi
       FROM s""")
+  }
+
+  test("rel_cms_freq through spark.sql (count-min sketch door)") {
+    checkSame("rel_cms_freq", """
+      WITH grid AS (
+        SELECT i,
+               md5_long(concat('cms', CAST(i AS STRING), ':',
+                 CAST(l_partkey AS STRING))) & 8191 AS b,
+               COUNT(*) AS c
+        FROM lineitem LATERAL VIEW explode(sequence(0, 3)) s AS i
+        GROUP BY 1, 2),
+      probe AS (SELECT p_partkey FROM part WHERE p_size <= 2),
+      hashed AS (
+        SELECT p_partkey, i,
+               md5_long(concat('cms', CAST(i AS STRING), ':',
+                 CAST(p_partkey AS STRING))) & 8191 AS b
+        FROM probe LATERAL VIEW explode(sequence(0, 3)) s AS i),
+      est AS (
+        SELECT p_partkey, MIN(COALESCE(c, 0L)) AS est_cnt
+        FROM hashed LEFT JOIN grid USING (i, b)
+        GROUP BY p_partkey),
+      ex AS (SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1)
+      SELECT p_partkey,
+             COALESCE(exact_cnt, 0L) AS exact_cnt,
+             est_cnt,
+             est_cnt - COALESCE(exact_cnt, 0L) AS overcount,
+             est_cnt >= COALESCE(exact_cnt, 0L) AS never_under
+      FROM est LEFT JOIN ex ON p_partkey = l_partkey""")
   }
 }
