@@ -61,6 +61,28 @@ object GraftSession {
       // of dedup keys no longer fit in memory at 100 TB/day.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit = append the batch's delta, not
+      // upload the store's full snapshot (snapshots move to background
+      // maintenance) — O(increment) commits are the only sane contract
+      // when state is 10^8 keys. Measured on the 151M-row medallion
+      // replay (STREAM_TUNE_36M.json / STREAM_THROUGHPUT.json, round 12):
+      // never slower, and the 36M point's silver stage drops 159 → 123 s
+      // combined with the row-tracking knob below.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      // RocksDB keeps numRowsTotal by doing a GET before every PUT; at one
+      // state row per input row that is a second point-lookup per record
+      // for a metric's sake. Off, progress reports numRowsTotal = -1
+      // (Metrics treats it as a gauge, nothing asserts it) and the silver
+      // dedup stage runs measurably faster at every scale point tried.
+      // Callers who want the gauge back: SPARK_GRAFT_EXTRA_CONF or
+      // builder().config(...). Bounded-memory tuning
+      // (boundedMemoryUsage/maxMemoryUsageMB/writeBufferSizeMB — worth a
+      // further 17% on the 151M replay: 652 → 556 s with 48 GiB budget
+      // and 256 MB write buffers) stays caller-set: a memory budget is a
+      // deployment fact, not a library default.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       .config("spark.ui.enabled", "false")
       // Reliable-checkpoint files (label propagation truncates lineage with
       // them) are reclaimed once their RDDs are GC'd — without this a
