@@ -44,6 +44,35 @@ class CountMinSpec extends SparkSpec {
       "CMS point estimate undercut the true frequency — impossible by construction")
   }
 
+  test("registered cms_sketch aggregator is bit-identical to the query spelling's grid") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+    // Aggregator-built flat sketch.
+    val cmsUdaf = udaf(graft.operators.CountMin.agg)
+    val sk = li.agg(cmsUdaf($"l_partkey".cast("string")).as("sk"))
+      .as[Seq[Long]].head()
+    // Query-spelling grid, pivoted into the same flat layout.
+    val seeds = expr("explode(sequence(0, 3))").as("i")
+    val flat = new Array[Long](graft.operators.CountMin.cells)
+    li.select($"l_partkey", seeds)
+      .select($"i", expr(
+        "md5_long(concat('cms', CAST(i AS STRING), ':', CAST(l_partkey AS STRING))) & 8191")
+        .as("b"))
+      .groupBy($"i", $"b").agg(count(lit(1)).as("c"))
+      .collect().foreach(r =>
+        flat(r.getInt(0) * graft.operators.CountMin.width + r.getLong(1).toInt) =
+          r.getLong(2))
+    assert(sk === flat.toSeq,
+      "aggregator sketch must equal the explode-spelling grid cell-for-cell")
+    // And the aggregator-path query is row-identical to the spelling.
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    assert(canon(SparkEntry.queries("rel_cms_agg")(s, sfDir)) ===
+      canon(SparkEntry.queries("rel_cms_freq")(s, sfDir)))
+  }
+
   test("rsi and stochastic stay inside their [0, 100] bands with full windows only") {
     val s = spark
     val rsi = SparkEntry.queries("ts_rsi")(s, sfDir)
