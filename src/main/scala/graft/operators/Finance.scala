@@ -37,6 +37,92 @@ object Finance extends QueryModule {
 
   import Exact.dsum
 
+  /** RSI-14 over a coarse series, parallelized by time-chunks with a
+    * 14-row halo — the implemented form of the scale path the `ts_rsi`
+    * doc promises. Every frame in the RSI plan is bounded (lag(1) + a
+    * 14-row SMA window), so a row's output depends on at most its 14
+    * predecessors: chunk the series by any time expression, copy each
+    * chunk's last 14 rows into the NEXT chunk as halo, run the identical
+    * window arithmetic per (series, chunk) partition, and drop the halo
+    * rows — the concatenation is EXACTLY the global window's output
+    * (spec-pinned bit-identical, sums in the same exact DECIMAL). The
+    * sort Spark pays is per-chunk instead of per-series: parallelism =
+    * series × chunks, and no task ever holds more than one chunk (+14
+    * rows) of history.
+    *
+    * Correctness precondition (checked, loud): every chunk except each
+    * series' first must hold ≥ 14 rows — a shorter chunk's halo could
+    * not cover its successor's frames (pick chunk granularity ≫ frame,
+    * e.g. days over a 14-row frame). Chunks are indexed per series by
+    * rank over the TINY (series, chunk) count table (a gap in the time
+    * value — an empty day — therefore cannot break halo adjacency).
+    *
+    * The global row-number gate (`rn >= 15`: only rows with a full
+    * 14-delta history emit) is reconstructed without any global sort:
+    * global rn = (sum of prior chunks' counts — from the same count
+    * table) + the row's home-rank within its chunk. */
+  def rsiChunked(
+      events: org.apache.spark.sql.DataFrame,
+      chunkExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val halo = 14
+    val base = events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("chunk", chunkExpr)
+    // The (series, chunk) directory: O(series × chunks) rows — indexed,
+    // cumulative-counted, and broadcast back onto the data.
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
+    val dir = base.groupBy(col("event_type"), col("chunk")).count()
+      .withColumn("idx", row_number().over(wIdx))
+      .withColumn("prior",
+        coalesce(sum(col("count")).over(
+          wIdx.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Precondition, precise form: only a chunk that FEEDS a successor must
+    // reach the halo width. A series' FIRST chunk may be short (its entire
+    // content rides the halo, and the global-rn gate already drops any
+    // successor row whose 14-row history would reach further back); its
+    // LAST chunk may be short (nothing consumes its halo).
+    val withMax = dir.withColumn("n_chunks",
+      count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val undersized = withMax.filter(
+      col("idx") > 1 && col("idx") < col("n_chunks") && col("count") < halo)
+    require(undersized.isEmpty,
+      s"rsiChunked: an interior chunk holds < $halo rows — its halo cannot " +
+        "cover the next chunk's frames; choose a coarser chunk expression")
+    val indexed = base.join(broadcast(dir), Seq("event_type", "chunk"))
+    // Home rows keep their chunk index; each chunk's last `halo` rows are
+    // additionally re-homed to idx + 1 as frame context.
+    val wTail = Window.partitionBy(col("event_type"), col("idx"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val home = indexed.withColumn("is_halo", lit(false))
+    val tail = indexed.withColumn("fe", row_number().over(wTail))
+      .filter(col("fe") <= halo).drop("fe")
+      .withColumn("idx", col("idx") + 1)
+      .withColumn("prior", lit(null).cast("long")) // halo never emits
+      .withColumn("is_halo", lit(true))
+    val w = Window.partitionBy(col("event_type"), col("idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val f14 = w.rowsBetween(-13, 0)
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(30, 6))
+    home.unionByName(tail)
+      .withColumn("delta",
+        col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)) -
+          lag(col("value"), 1).over(w)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+      .withColumn("home_rn",
+        sum(when(col("is_halo"), 0L).otherwise(1L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gsum",
+        sum(when(col("delta") > 0, col("delta")).otherwise(zero)).over(f14))
+      .withColumn("lsum",
+        sum(when(col("delta") < 0, -col("delta")).otherwise(zero)).over(f14))
+      .filter(!col("is_halo") && (col("prior") + col("home_rn")) >= 15)
+      .select(col("event_type"), col("event_id"),
+        when(col("lsum") === 0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("gsum").cast("double") / col("lsum").cast("double")))
+          .as("rsi"))
+  }
+
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
   /** The per-(type, hour) candlestick grid — ONE partial-aggregable hash
@@ -413,6 +499,49 @@ object Finance extends QueryModule {
               .otherwise(lit(100.0) - lit(100.0) /
                 (lit(1.0) + $"gsum".cast("double") / $"lsum".cast("double")))
               .as("rsi"))
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT event_type, event_id, ts,
+                 CAST(value AS DECIMAL(30,6)) -
+                   lag(CAST(value AS DECIMAL(30,6)), 1) OVER
+                     (PARTITION BY event_type ORDER BY ts, event_id) AS delta,
+                 row_number() OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events),
+        g AS (
+          SELECT event_type, event_id, rn,
+                 SUM(CASE WHEN delta > 0 THEN delta
+                          ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gsum,
+                 SUM(CASE WHEN delta < 0 THEN -delta
+                          ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lsum
+          FROM d)
+        SELECT event_type, event_id,
+               CASE WHEN lsum = 0 THEN CAST(100.0 AS DOUBLE)
+                    ELSE CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) /
+                      (CAST(1.0 AS DOUBLE) +
+                       CAST(gsum AS DOUBLE) / CAST(lsum AS DOUBLE)) END AS rsi
+        FROM g WHERE rn >= 15""")),
+
+    // ------------------------------------------------------------------
+    // The halo-chunked RSI as a first-class registry row, against the
+    // IDENTICAL DuckDB oracle as ts_rsi — the strongest possible claim
+    // for a parallelization: same answer, hash-exact, at every gate the
+    // driver runs. Chunk granularity adapts to the fixture: days when
+    // every interior (series, day) clears the 14-row halo, else months
+    // (the guard inside rsiChunked is the arbiter — correctness is
+    // checked, never assumed).
+    "ts_rsi_chunked" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        try rsiChunked(ev, date_trunc("day", col("ts")))
+        catch { case _: IllegalArgumentException =>
+          rsiChunked(ev, date_trunc("month", col("ts")))
+        }
       },
       oracle = Some("""
         WITH d AS (

@@ -185,4 +185,27 @@ class FinanceSpec extends SparkSpec {
     else boundary.foreach(b => assert(b < minFullRow.getLong(0)))
     sel.unpersist()
   }
+
+  test("halo-chunked RSI is bit-identical to the global window at every chunking") {
+    val s = spark
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    val global = canon(SparkEntry.queries("ts_rsi")(s, sfDir))
+    // Two different chunk granularities, both with every non-first chunk
+    // >= 14 rows on this fixture — concatenated chunk outputs must equal
+    // the global window EXACTLY (same DECIMAL sums, same doubles).
+    for (chunk <- Seq(date_trunc("month", col("ts")),
+                      date_trunc("week", col("ts")))) {
+      val chunked = canon(Finance.rsiChunked(ev, chunk))
+      assert(chunked === global,
+        s"chunked RSI diverged from the global window for chunk=$chunk")
+    }
+    // The correctness precondition is CHECKED, not assumed: day-chunking
+    // this small fixture leaves non-first chunks under the 14-row halo
+    // and must fail loudly instead of emitting wrong frames.
+    val e = intercept[IllegalArgumentException](
+      Finance.rsiChunked(ev, date_trunc("day", col("ts"))))
+    assert(e.getMessage.contains("halo"))
+  }
 }
