@@ -73,8 +73,9 @@ object GraftSession {
       // RocksDB keeps numRowsTotal by doing a GET before every PUT; at one
       // state row per input row that is a second point-lookup per record
       // for a metric's sake. Off, progress reports numRowsTotal = -1
-      // (Metrics treats it as a gauge, nothing asserts it) and the silver
-      // dedup stage runs measurably faster at every scale point tried.
+      // (Metrics maps it to its explicit StateUntracked sentinel instead
+      // of summing a negative gauge) and the silver dedup stage runs
+      // measurably faster at every scale point tried.
       // Callers who want the gauge back: SPARK_GRAFT_EXTRA_CONF or
       // builder().config(...). Bounded-memory tuning
       // (boundedMemoryUsage/maxMemoryUsageMB/writeBufferSizeMB — worth a
@@ -96,7 +97,10 @@ object GraftSession {
           s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"))
     // Measurement-sweep escape hatch: SPARK_GRAFT_EXTRA_CONF carries
     // semicolon-separated key=value pairs applied LAST (they win over the
-    // defaults above). Exists so tools like StreamThroughput can price one
+    // defaults above). Known format limits: a VALUE cannot contain ';'
+    // (it is unconditionally a pair separator — there is no escape), and
+    // the first '=' splits key from value, so keys cannot contain '='
+    // while values may. Keep values to plain conf tokens. Exists so tools like StreamThroughput can price one
     // config against another (RocksDB changelog checkpointing, bounded
     // state memory, ...) without a code change per experiment; production
     // callers configure through the builder as usual.

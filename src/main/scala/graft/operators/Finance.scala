@@ -38,89 +38,67 @@ object Finance extends QueryModule {
   import Exact.dsum
 
   /** RSI-14 over a coarse series, parallelized by time-chunks with a
-    * 14-row halo — the implemented form of the scale path the `ts_rsi`
-    * doc promises. Every frame in the RSI plan is bounded (lag(1) + a
-    * 14-row SMA window), so a row's output depends on at most its 14
-    * predecessors: chunk the series by any time expression, copy each
-    * chunk's last 14 rows into the NEXT chunk as halo, run the identical
-    * window arithmetic per (series, chunk) partition, and drop the halo
-    * rows — the concatenation is EXACTLY the global window's output
-    * (spec-pinned bit-identical, sums in the same exact DECIMAL). The
-    * sort Spark pays is per-chunk instead of per-series: parallelism =
-    * series × chunks, and no task ever holds more than one chunk (+14
-    * rows) of history.
-    *
-    * Correctness precondition (checked, loud): every chunk except each
-    * series' first must hold ≥ 14 rows — a shorter chunk's halo could
-    * not cover its successor's frames (pick chunk granularity ≫ frame,
-    * e.g. days over a 14-row frame). Chunks are indexed per series by
-    * rank over the TINY (series, chunk) count table (a gap in the time
-    * value — an empty day — therefore cannot break halo adjacency).
-    *
-    * The global row-number gate (`rn >= 15`: only rows with a full
-    * 14-delta history emit) is reconstructed without any global sort:
-    * global rn = (sum of prior chunks' counts — from the same count
-    * table) + the row's home-rank within its chunk. */
+    * 14-row halo via [[HaloChunk]] — the implemented form of the scale
+    * path the `ts_rsi` doc promises. Every frame in the RSI plan is
+    * bounded (lag(1) + a 14-row SMA window), so a row's output depends on
+    * at most its 14 predecessors; the chunk concatenation is EXACTLY the
+    * global window's output (spec-pinned bit-identical, sums in the same
+    * exact DECIMAL). Preconditions — interior chunks ≥ 14 rows, chunk
+    * order = time order — are checked loudly by [[HaloChunk.prepare]];
+    * the `rn >= 15` warm-up gate (only rows with a full 14-delta history
+    * emit) rides the reconstructed global row number. */
   def rsiChunked(
       events: org.apache.spark.sql.DataFrame,
       chunkExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    val halo = 14
-    val base = events
-      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
-      .withColumn("chunk", chunkExpr)
-    // The (series, chunk) directory: O(series × chunks) rows — indexed,
-    // cumulative-counted, and broadcast back onto the data.
-    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("chunk"))
-    val dir = base.groupBy(col("event_type"), col("chunk")).count()
-      .withColumn("idx", row_number().over(wIdx))
-      .withColumn("prior",
-        coalesce(sum(col("count")).over(
-          wIdx.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // Precondition, precise form: only a chunk that FEEDS a successor must
-    // reach the halo width. A series' FIRST chunk may be short (its entire
-    // content rides the halo, and the global-rn gate already drops any
-    // successor row whose 14-row history would reach further back); its
-    // LAST chunk may be short (nothing consumes its halo).
-    val withMax = dir.withColumn("n_chunks",
-      count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val undersized = withMax.filter(
-      col("idx") > 1 && col("idx") < col("n_chunks") && col("count") < halo)
-    require(undersized.isEmpty,
-      s"rsiChunked: an interior chunk holds < $halo rows — its halo cannot " +
-        "cover the next chunk's frames; choose a coarser chunk expression")
-    val indexed = base.join(broadcast(dir), Seq("event_type", "chunk"))
-    // Home rows keep their chunk index; each chunk's last `halo` rows are
-    // additionally re-homed to idx + 1 as frame context.
-    val wTail = Window.partitionBy(col("event_type"), col("idx"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val home = indexed.withColumn("is_halo", lit(false))
-    val tail = indexed.withColumn("fe", row_number().over(wTail))
-      .filter(col("fe") <= halo).drop("fe")
-      .withColumn("idx", col("idx") + 1)
-      .withColumn("prior", lit(null).cast("long")) // halo never emits
-      .withColumn("is_halo", lit(true))
-    val w = Window.partitionBy(col("event_type"), col("idx"))
-      .orderBy(col("ts"), col("event_id"))
+    val ch = HaloChunk.prepare(events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+      Seq("event_type"), chunkExpr, halo = 14)
+    val w = ch.w
     val f14 = w.rowsBetween(-13, 0)
-    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(30, 6))
-    home.unionByName(tail)
-      .withColumn("delta",
-        col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)) -
-          lag(col("value"), 1).over(w)
-            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
-      .withColumn("home_rn",
-        sum(when(col("is_halo"), 0L).otherwise(1L))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("gsum",
-        sum(when(col("delta") > 0, col("delta")).otherwise(zero)).over(f14))
-      .withColumn("lsum",
-        sum(when(col("delta") < 0, -col("delta")).otherwise(zero)).over(f14))
-      .filter(!col("is_halo") && (col("prior") + col("home_rn")) >= 15)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 6)
+    val zero = lit(0).cast(dec)
+    HaloChunk.finish(
+      ch.df
+        .withColumn("delta",
+          col("value").cast(dec) - lag(col("value"), 1).over(w).cast(dec))
+        .withColumn("gsum",
+          sum(when(col("delta") > 0, col("delta")).otherwise(zero)).over(f14))
+        .withColumn("lsum",
+          sum(when(col("delta") < 0, -col("delta")).otherwise(zero)).over(f14)),
+      minGlobalRn = 15)
       .select(col("event_type"), col("event_id"),
         when(col("lsum") === 0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) /
             (lit(1.0) + col("gsum").cast("double") / col("lsum").cast("double")))
           .as("rsi"))
+  }
+
+  /** Stochastic %K/%D-14 chunked by the same halo recipe. The deepest
+    * dependency is 15 rows: %D lags %K by up to 2, and each %K looks 13
+    * rows back for its low/high envelope — so halo = 15 and the warm-up
+    * gate is `rn >= 16`, matching `ts_stochastic`'s global plan exactly.
+    * All arithmetic is the global spelling verbatim (rolling MIN/MAX are
+    * exact on doubles; %D is the pinned 3-term lag average), so chunk
+    * outputs concatenate bit-identically. */
+  def stochasticChunked(
+      events: org.apache.spark.sql.DataFrame,
+      chunkExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val ch = HaloChunk.prepare(events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+      Seq("event_type"), chunkExpr, halo = 15)
+    val w = ch.w
+    val f14 = w.rowsBetween(-13, 0)
+    HaloChunk.finish(
+      ch.df
+        .withColumn("lo", min(col("value")).over(f14))
+        .withColumn("hi", max(col("value")).over(f14))
+        .withColumn("k",
+          when(col("hi") === col("lo"), lit(50.0))
+            .otherwise((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(100.0)))
+        .withColumn("d",
+          (col("k") + lag(col("k"), 1).over(w) + lag(col("k"), 2).over(w)) / lit(3.0)),
+      minGlobalRn = 16)
+      .select(col("event_type"), col("event_id"), col("k"), col("d"))
   }
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
@@ -538,8 +516,11 @@ object Finance extends QueryModule {
     "ts_rsi_chunked" -> QuerySpec(
       fn = (s, dir) => {
         val ev = Tables.load(s, dir, "events")
+        // Catch ONLY the halo guard's dedicated type: an unrelated
+        // IllegalArgumentException from Spark analysis must surface, not
+        // be misread as "halo too small" and silently retried coarser.
         try rsiChunked(ev, date_trunc("day", col("ts")))
-        catch { case _: IllegalArgumentException =>
+        catch { case _: HaloChunk.HaloTooSmallException =>
           rsiChunked(ev, date_trunc("month", col("ts")))
         }
       },
@@ -621,6 +602,52 @@ object Finance extends QueryModule {
           -- %D in its own CTE: a WHERE in the same SELECT as the lag
           -- windows would filter BEFORE they evaluate (SQL's WHERE runs
           -- ahead of the select-list), emptying the first rows' lags.
+          SELECT event_type, event_id, rn, k,
+                 (k + lag(k, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                    + lag(k, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+                   / CAST(3.0 AS DOUBLE) AS d
+          FROM kk)
+        SELECT event_type, event_id, k, d
+        FROM dd WHERE rn >= 16""")),
+
+    // ------------------------------------------------------------------
+    // The halo-chunked stochastic oscillator as a first-class registry
+    // row against the IDENTICAL oracle as ts_stochastic — same claim as
+    // ts_rsi_chunked: the parallelized plan hash-matches the global
+    // window at every gate the driver runs. Day chunks when every
+    // interior (series, day) clears the 15-row halo, else months (the
+    // HaloChunk guard is the arbiter — correctness checked, not assumed).
+    // ts_rolling_beta/corr's 24-row frames are NOT worth chunking: they
+    // run over the hourly grid, which is calendar-bounded (≤ 8,760
+    // rows/series/year regardless of data volume) — the raw-event window
+    // here is the one whose sort grows with the data.
+    "ts_stochastic_chunked" -> QuerySpec(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        try stochasticChunked(ev, date_trunc("day", col("ts")))
+        catch { case _: HaloChunk.HaloTooSmallException =>
+          stochasticChunked(ev, date_trunc("month", col("ts")))
+        }
+      },
+      oracle = Some("""
+        WITH env AS (
+          SELECT event_type, event_id, ts, value,
+                 MIN(value) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo,
+                 MAX(value) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi,
+                 row_number() OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events),
+        kk AS (
+          SELECT event_type, event_id, ts, rn,
+                 CASE WHEN hi = lo THEN CAST(50.0 AS DOUBLE)
+                      ELSE (value - lo) / (hi - lo) * CAST(100.0 AS DOUBLE)
+                 END AS k
+          FROM env),
+        dd AS (
           SELECT event_type, event_id, rn, k,
                  (k + lag(k, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
                     + lag(k, 2) OVER (PARTITION BY event_type ORDER BY ts, event_id))

@@ -12,6 +12,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object Metrics {
 
+  /** Sentinel for `stateRows` when the store does not track row counts
+    * (RocksDB with `trackTotalNumberOfRows=false` — the [[graft.GraftSession]]
+    * default — reports numRowsTotal = -1 per operator). Kept as an explicit
+    * "untracked" marker rather than summed: summing would report -N and a
+    * consumer could misread a negative gauge as data. */
+  val StateUntracked: Long = -1L
+
   final case class QueryMetrics(
       batches: Long,
       inputRows: Long,
@@ -29,7 +36,11 @@ object Metrics {
       val p = e.progress
       val name = Option(p.name).getOrElse(p.id.toString)
       val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
-      val state = p.stateOperators.map(_.numRowsTotal).sum
+      // Any operator reporting -1 means row tracking is off for the store
+      // (the engine's RocksDB default): the whole gauge is untracked, not
+      // a partial sum — see [[StateUntracked]].
+      val rawState = p.stateOperators.map(_.numRowsTotal)
+      val state = if (rawState.exists(_ < 0)) StateUntracked else rawState.sum
       metrics.merge(
         name,
         QueryMetrics(1L, p.numInputRows, dropped, state),

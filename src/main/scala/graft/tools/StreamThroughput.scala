@@ -112,10 +112,19 @@ object StreamThroughput {
     val totalSec = bronzeSec + silverSec + goldSec
     // Record the knobs that distinguish this point from its neighbors so
     // the artifact is a config-by-config ledger, not a bag of numbers.
-    val confDesc = (
+    // Full JSON string escaping (backslash FIRST, then quote, then control
+    // chars): a backslash or newline in SPARK_GRAFT_EXTRA_CONF must not
+    // produce an unparseable artifact line.
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val confDesc = jsonEscape((
       Seq(s"shuffle=${spark.conf.get("spark.sql.shuffle.partitions")}") ++
         sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-    ).mkString("; ").replace("\"", "'")
+    ).mkString("; "))
     val json =
       s"""{"conf":"$confDesc","rows_in":${gen.totalRows},"gen_sec":${f"$genSec%.1f"},""" +
         s""""bronze_sec":${f"$bronzeSec%.1f"},"bronze_batches":$bronzeBatches,"quarantine_batches":$quarBatches,""" +

@@ -203,9 +203,38 @@ class FinanceSpec extends SparkSpec {
     }
     // The correctness precondition is CHECKED, not assumed: day-chunking
     // this small fixture leaves non-first chunks under the 14-row halo
-    // and must fail loudly instead of emitting wrong frames.
-    val e = intercept[IllegalArgumentException](
+    // and must fail loudly — with the DEDICATED retryable type, so the
+    // registry's day→month fallback cannot swallow unrelated IAEs.
+    val e = intercept[graft.operators.HaloChunk.HaloTooSmallException](
       Finance.rsiChunked(ev, date_trunc("day", col("ts"))))
     assert(e.getMessage.contains("halo"))
+  }
+
+  test("halo-chunked stochastic is bit-identical to the global window at every chunking") {
+    val s = spark
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString(",")).toSeq
+    val global = canon(SparkEntry.queries("ts_stochastic")(s, sfDir))
+    for (chunk <- Seq(date_trunc("month", col("ts")),
+                      date_trunc("week", col("ts")))) {
+      val chunked = canon(Finance.stochasticChunked(ev, chunk))
+      assert(chunked === global,
+        s"chunked stochastic diverged from the global window for chunk=$chunk")
+    }
+  }
+
+  test("non-monotone chunk expression is rejected loudly, not retried") {
+    val s = spark
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+    // hour(ts) repeats across days: chunk order != time order, so the
+    // halo rows would not sort before the next chunk's home rows. This
+    // must throw a PLAIN IllegalArgumentException naming the problem —
+    // NOT HaloTooSmallException (a coarser chunking cannot fix it, so the
+    // registry's fallback must not catch it).
+    val e = intercept[IllegalArgumentException](
+      Finance.rsiChunked(ev, hour(col("ts"))))
+    assert(!e.isInstanceOf[graft.operators.HaloChunk.HaloTooSmallException])
+    assert(e.getMessage.contains("monotone"))
   }
 }
