@@ -312,14 +312,20 @@ object Dedup extends QueryModule {
     * the scale soak can run it on replicated corpora. */
   def passagePairs(corpus: DataFrame): DataFrame = {
     val L = 40
-    val wins = corpus
+    passagePairsFromWins(corpus
       .filter(length(col("text")) > L)
       .select(col("doc_id"), explode(expr(
         s"""transform(
               filter(sequence(1, length(text) - $L),
                      i -> substring(text, i, 1) = ' '),
               i -> md5_long(substring(text, i + 1, $L)))""")).as("w"))
-      .distinct()
+      .distinct())
+  }
+
+  /** [[passagePairs]] body over an already-derived (doc_id, w) window-key
+    * table — `w` distinct per document (the [[TextFeatures]] `wins`
+    * column explodes to exactly this). */
+  def passagePairsFromWins(wins: DataFrame): DataFrame = {
     val shared = wins.groupBy(col("w")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, 50)).select(col("w"))
     // MERGE hints: both join sides here are WINDOW-scale (every ≥2-doc
@@ -365,9 +371,17 @@ object Dedup extends QueryModule {
     * shingle scan + df aggregate (~17 s at sf10). The curve is
     * nonmonotonic BY SEMANTICS on this fixture, not by plan defect; an
     * open-vocabulary corpus keeps a proportionate rare tail at any size. */
-  def containmentPairs(corpus: DataFrame): DataFrame = {
-    val sh = shingles(corpus)
-      .select(col("doc_id"), expr("md5_long(shingle)").as("shingle"))
+  def containmentPairs(corpus: DataFrame): DataFrame =
+    containmentPairsFromKeys(
+      shingles(corpus)
+        .select(col("doc_id"), expr("md5_long(shingle)").as("shingle")),
+      corpus)
+
+  /** [[containmentPairs]] body over already-derived (doc_id, md5-shingle)
+    * rows (the [[TextFeatures]] `shm` column explodes to exactly this);
+    * `docCounted` supplies the corpus row count for the relative rarity
+    * threshold (any one-row-per-document frame works). */
+  def containmentPairsFromKeys(sh: DataFrame, docCounted: DataFrame): DataFrame = {
     // RELATIVE rarity threshold: max(500, |docs| / 2000). A fixed absolute
     // df cut degenerates when the vocabulary saturates — at sf30 (~4.5M
     // near-corpus docs over the fixture's 31-word vocab) mean shingle df
@@ -377,7 +391,7 @@ object Dedup extends QueryModule {
     // with the corpus keeps the rare tail proportionate at any size; at
     // every gate scale |docs|/2000 < 500, so results are bit-identical to
     // the historical fixed-500 semantics. Integer division both sides.
-    val thr = corpus.agg(
+    val thr = docCounted.agg(
       greatest(lit(500L), (count(lit(1)) / lit(2000L)).cast("long")).as("thr"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(thr))
@@ -453,6 +467,39 @@ object Dedup extends QueryModule {
   }
 
   def minhashPairs(corpus: DataFrame): DataFrame = lshJaccardPairs(corpus)
+
+  // ------------------------------------------------------------------
+  // Shingle-once variants: same plans, but candidate bands slice the
+  // STORED 256-perm signature and verification reads the STORED shingle
+  // keys — zero re-derivation per query (see [[TextFeatures]]). Each is
+  // bit-identical to its from-text twin (band prefix property + identical
+  // key hashes), so the unchanged oracles keep checking them.
+
+  /** The near-corpus feature table for `dir` (built once per JVM). */
+  private def nearFeat(s: SparkSession, dir: String): DataFrame =
+    TextFeatures.features(s, dir, "near")
+
+  /** The lowercased-documents feature table (curation/split corpus). */
+  private def plainFeat(s: SparkSession, dir: String): DataFrame =
+    TextFeatures.features(s, dir, "plain")
+
+  /** [[lshJaccardPairs]] over a [[TextFeatures]] table: candidates from
+    * stored-signature bands, verification against stored shingle keys.
+    * Same MERGE discipline — the band table still sits behind a
+    * posexplode, and the set side is corpus-scale. */
+  def lshJaccardPairsFeat(feat: DataFrame, tau: Double = 0.8, r: Int = 4,
+      b: Int = 32): DataFrame = {
+    val bands = TextFeatures.bands(feat, r, b)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .hint("merge")
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cand, feat.select(col("doc_id"), col("sh"), col("n")), tau)
+  }
+
+  def minhashPairsFeat(feat: DataFrame): DataFrame = lshJaccardPairsFeat(feat)
 
   /** INCREMENTAL near-dup: match a new-document batch against an existing
     * index without touching the existing corpus's pairs — the operational
@@ -606,11 +653,16 @@ object Dedup extends QueryModule {
     * fingerprints — bit-identical to the DuckDB oracle's reconstruction —
     * and the [[simhashBucketCap]] guard on the chunk join. */
   def simhashMd5Pairs(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val sims = corpus
+    simhashPairsFromHashes(corpus
       .withColumn("toks", split(col("text"), "\\s+"))
-      .select(col("doc_id"), expr("simhash_md5(toks)").as("simhash"))
+      .select(col("doc_id"), expr("simhash_md5(toks)").as("simhash")))
+  }
+
+  /** [[simhashMd5Pairs]] body over already-computed (doc_id, simhash)
+    * fingerprints (the [[TextFeatures]] `simhash` column). */
+  def simhashPairsFromHashes(sims: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = sims.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> (shiftright(simhash, k * 16) & 65535))")))
@@ -842,7 +894,8 @@ object Dedup extends QueryModule {
     // form is STILL oracle-exact (a collision would be the identical
     // collision on both engines).
     "llm_dedup_passage" -> QuerySpec(
-      fn = (s, dir) => passagePairs(nearCorpus(s, dir)),
+      fn = (s, dir) => passagePairsFromWins(
+        nearFeat(s, dir).select(col("doc_id"), explode(col("wins")).as("w"))),
       oracle = Some(s"""
         WITH $nearCorpusSql,
         wins AS (
@@ -868,7 +921,11 @@ object Dedup extends QueryModule {
     // semantics, not an approximation. All inputs to the division are
     // exact integers — thresholding is bit-stable across engines.
     "llm_dedup_containment" -> QuerySpec(
-      fn = (s, dir) => containmentPairs(nearCorpus(s, dir)),
+      fn = (s, dir) => {
+        val f = nearFeat(s, dir)
+        containmentPairsFromKeys(
+          f.select(col("doc_id"), explode(col("shm")).as("shingle")), f)
+      },
       oracle = Some(s"""
         WITH $nearCorpusSql, $shinglesSql,
         shh AS (SELECT doc_id, md5_number_upper(shingle) AS shingle FROM sh),
@@ -902,7 +959,7 @@ object Dedup extends QueryModule {
     // PPJoin plan remains available as the non-declared audit API
     // [[exactJaccardPairs]] for bounded forensic runs.
     "llm_dedup_jaccard" -> QuerySpec(
-      fn = (s, dir) => lshJaccardPairs(nearCorpus(s, dir), tau = 0.8, r = 4, b = 64),
+      fn = (s, dir) => lshJaccardPairsFeat(nearFeat(s, dir), tau = 0.8, r = 4, b = 64),
       oracle = Some(jaccardOracle)),
 
     // Threshold calibration sweep: pair counts at several Jaccard cut
@@ -918,7 +975,7 @@ object Dedup extends QueryModule {
     // (1570 s at sf10); LSH candidates stay linear (61 s, e≈0.94/decade).
     "llm_dedup_threshold_sweep" -> QuerySpec(
       fn = (s, dir) => {
-        val pairs = lshJaccardPairs(nearCorpus(s, dir), tau = 0.7, r = 3, b = 42)
+        val pairs = lshJaccardPairsFeat(nearFeat(s, dir), tau = 0.7, r = 3, b = 42)
         pairs.agg(
           sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).cast("long").as("ge_070"),
           sum(when(col("jaccard") >= 0.8, 1).otherwise(0)).cast("long").as("ge_080"),
@@ -936,7 +993,7 @@ object Dedup extends QueryModule {
 
     // MinHash-LSH near-dup: must reproduce the exact-Jaccard pair set.
     "llm_dedup_minhash" -> QuerySpec(
-      fn = (s, dir) => minhashPairs(nearCorpus(s, dir)),
+      fn = (s, dir) => minhashPairsFeat(nearFeat(s, dir)),
       oracle = Some(jaccardOracle),
       bench = true),
 
@@ -954,7 +1011,8 @@ object Dedup extends QueryModule {
     // bucket is exact-dup territory, handled by `llm_dedup_exact` first.
     // The cap is mirrored in the oracle (QUALIFY) and guarded by DedupSpec.
     "llm_dedup_simhash" -> QuerySpec(
-      fn = (s, dir) => simhashMd5Pairs(nearCorpus(s, dir)),
+      fn = (s, dir) => simhashPairsFromHashes(
+        nearFeat(s, dir).select("doc_id", "simhash")),
       oracle = Some(s"""
         WITH $nearCorpusSql, $simhashCtes
         SELECT doc_a, doc_b, hamming FROM scand WHERE hamming <= 6""")),
@@ -969,10 +1027,10 @@ object Dedup extends QueryModule {
     // double — bit-identical across engines.
     "llm_dedup_eval" -> QuerySpec(
       fn = (s, dir) => {
-        val corpus = nearCorpus(s, dir)
-        val cand = simhashMd5Pairs(corpus)
+        val f = nearFeat(s, dir)
+        val cand = simhashPairsFromHashes(f.select("doc_id", "simhash"))
           .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
-        val truth = lshJaccardPairs(corpus, tau = 0.8)
+        val truth = lshJaccardPairsFeat(f, tau = 0.8)
           .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
         cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
           .agg(
@@ -1007,7 +1065,7 @@ object Dedup extends QueryModule {
     // member list is serialized to a CSV string on both engines (the
     // differential gate cannot canonicalize array cells).
     "llm_dedup_clusters" -> QuerySpec(
-      fn = (s, dir) => clusters(minhashPairs(nearCorpus(s, dir)))
+      fn = (s, dir) => clusters(minhashPairsFeat(nearFeat(s, dir)))
         .select(col("cluster_id"), col("n_members"),
           array_join(expr("transform(members, x -> CAST(x AS STRING))"), ",")
             .as("members")),
@@ -1021,8 +1079,8 @@ object Dedup extends QueryModule {
     // clustering (cluster representative = min id; singletons all kept).
     "llm_dedup_keep" -> QuerySpec(
       fn = (s, dir) => {
-        val corpus = nearCorpus(s, dir)
-        keepSet(corpus, minhashPairs(corpus))
+        val f = nearFeat(s, dir)
+        keepSet(f, minhashPairsFeat(f))
       },
       oracle = Some(s"""
         WITH RECURSIVE $jaccardPairsCtes, $closureCtes
@@ -1037,8 +1095,8 @@ object Dedup extends QueryModule {
     "llm_curate_e2e" -> QuerySpec(
       fn = (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        val corpus = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
-        val survivors = keepSet(corpus, minhashPairs(corpus))
+        val f = plainFeat(s, dir)
+        val survivors = keepSet(f, minhashPairsFeat(f))
         docs(s, dir)
           .filter(col("lang").isin("en", "fr", "es") &&
             col("n_chars").between(100, 500))
@@ -1183,8 +1241,7 @@ object Dedup extends QueryModule {
       fn = (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val d = Tables.load(s, dir, "documents")
-        val corpus = d.select(col("doc_id"), lower(col("text")).as("text"))
-        val pairs = lshJaccardPairs(corpus, tau = 0.8, r = 4, b = 64)
+        val pairs = lshJaccardPairsFeat(plainFeat(s, dir), tau = 0.8, r = 4, b = 64)
           .select("doc_a", "doc_b")
         val splits = d.select(col("doc_id"),
           when(expr("md5_long(concat('split:', CAST(doc_id AS STRING))) & 1023")

@@ -26,10 +26,15 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
   * never change results (no false negatives by construction — the index
   * records every key fingerprint present in a file).
   *
-  * The driver-side index is O(files × distinct 16-bit fingerprints) —
-  * the same order as the planner's own file listing — and is consulted
-  * once per optimization, not per row. Registration must be refreshed
-  * after a table rewrite (new file names), like any skipping index.
+  * The driver-side index is O(files) with a HARD ≤ 8 KB-per-file cap
+  * (sparse fingerprint array below 2,048 entries, dense 65,536-bit
+  * bitmap above — [[graft.sources.SkippingIndex.FileFps]]): worst case
+  * ~8 GB at 1M files, typically far less, vs the planner's own file
+  * listing at ~100 bytes/file (measured both regimes:
+  * `tools/SkipIndexResidency` → SKIP_INDEX_RESIDENCY.json). It is
+  * consulted once per optimization, not per row. Registration must be
+  * refreshed after a table rewrite (new file names), like any skipping
+  * index.
   */
 case class ConsultSkippingIndex(spark: SparkSession) extends Rule[LogicalPlan] {
 

@@ -33,12 +33,50 @@ object SkippingIndex {
   private def fp(key: Column): Column =
     (xxhash64(key).bitwiseAND(lit(65535L))).cast("int")
 
+  /** One file's membership summary with a HARD 8 KB residency cap:
+    * a sorted fingerprint array while sparse (< 2,048 entries → < 8 KB),
+    * a dense 65,536-bit bitmap (1,024 longs = 8 KB flat) beyond. The
+    * uncapped `Array[Int]` form reached 256 KB for a fingerprint-saturated
+    * file — at ~1M files (the 100 TB order) that is driver-state measured
+    * in hundreds of GB; the cap bounds it at ≤ 8 KB/file ≈ 8 GB at 1M
+    * files worst-case, and far less on real tables (sparse files store
+    * 4 bytes/fingerprint). `tools/SkipIndexResidency` measures both
+    * regimes at a synthetic 100k-file registration. */
+  sealed trait FileFps {
+    def contains(f: Int): Boolean
+    /** Approximate resident bytes (payload + object header). */
+    def sizeBytes: Long
+  }
+  final case class SparseFps(fps: Array[Int]) extends FileFps {
+    def contains(f: Int): Boolean = java.util.Arrays.binarySearch(fps, f) >= 0
+    def sizeBytes: Long = 16L + 4L * fps.length
+  }
+  final case class DenseFps(bits: Array[Long]) extends FileFps {
+    def contains(f: Int): Boolean = (bits(f >>> 6) & (1L << f)) != 0L
+    def sizeBytes: Long = 16L + 8L * bits.length
+  }
+  object FileFps {
+    /** Sparse→dense switchover: past this count the bitmap is smaller. */
+    val DenseCutoff = 2048
+    def of(sorted: Array[Int]): FileFps =
+      if (sorted.length < DenseCutoff) SparseFps(sorted)
+      else {
+        val bits = new Array[Long](1024)
+        sorted.foreach(f => bits(f >>> 6) |= 1L << f)
+        DenseFps(bits)
+      }
+  }
+
   /** Driver-resident auto-prune state for one registered table: per-file
-    * SORTED fingerprint arrays (binary-searchable), keyed by canonical
-    * file path. */
+    * capped membership summaries ([[FileFps]]), keyed by canonical file
+    * path. */
   final case class AutoIndex(keyCol: String,
-      fileFps: Map[String, Array[Int]]) {
+      fileFps: Map[String, FileFps]) {
     def nFiles: Int = fileFps.size
+    /** Total resident bytes of the summaries + path strings — the number
+      * a capacity plan reads (bounded by files × (8 KB + path)). */
+    def residentBytes: Long =
+      fileFps.iterator.map { case (p, s) => 40L + 2L * p.length + s.sizeBytes }.sum
     /** Canonical paths of files that may contain `value` — same
       * fingerprint function as [[build]], evaluated on the literal via
       * the identical catalyst XxHash64, so driver and executor agree
@@ -48,9 +86,7 @@ object SkippingIndex {
         org.apache.spark.sql.catalyst.expressions.Literal(value, dt)))
         .eval(null).asInstanceOf[Long]
       val f = (h & 65535L).toInt
-      fileFps.collect {
-        case (path, fps) if java.util.Arrays.binarySearch(fps, f) >= 0 => path
-      }.toSet
+      fileFps.collect { case (path, fps) if fps.contains(f) => path }.toSet
     }
   }
 
@@ -68,7 +104,7 @@ object SkippingIndex {
       keyCol: String): Int = {
     val entries = build(spark, tableDir, keyCol).collect().map { r =>
       canonDir(new org.apache.hadoop.fs.Path(r.getString(0))) ->
-        r.getSeq[Int](1).toArray
+        FileFps.of(r.getSeq[Int](1).toArray)
     }.toMap
     autoIndexes.put(
       canonDir(new org.apache.hadoop.fs.Path(tableDir)),
