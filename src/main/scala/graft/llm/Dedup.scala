@@ -1060,6 +1060,48 @@ object Dedup extends QueryModule {
                  CAST(SUM(CASE WHEN NOT in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
           FROM conf)""")),
 
+    // LSH-candidate recall scored against the exact PPJoin ground truth —
+    // the eval a curator reads before trusting banded LSH as the declared
+    // jaccard plan (llm_dedup_eval grades SimHash only; this grades the
+    // OTHER cheap detector). Truth leg: the prefix-filtered exact
+    // similarity join ([[exactJaccardPairs]], its only declared-query
+    // appearance); candidate leg: banded LSH at the audit parameters
+    // (r=4/b=64, analytic per-pair miss ≈ 4e-15). A true pair among the
+    // candidates always survives exact verification, so verified-pair
+    // recall EQUALS candidate recall w.r.t. the truth set. Both legs
+    // reduce to the naive-join pair set when correct, so the oracle pins
+    // the confusion row at tp=|pairs|, fn=fp=0 — one lost or invented
+    // pair on EITHER leg and the counts hash-diverge. The gated sf1 soak
+    // (DedupSpec) re-scores recall on a corpus whose vocabulary is
+    // non-vacuous at 600k docs.
+    "llm_dedup_eval_lsh" -> QuerySpec(
+      fn = (s, dir) => {
+        val cand = lshJaccardPairsFeat(nearFeat(s, dir), tau = 0.8, r = 4, b = 64)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+        val truth = exactJaccardPairs(nearCorpus(s, dir), tau = 0.8)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+        cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            sum(when(col("c").isNotNull && col("t").isNotNull, 1).otherwise(0))
+              .cast("long").as("tp"),
+            sum(when(col("c").isNotNull && col("t").isNull, 1).otherwise(0))
+              .cast("long").as("fp"),
+            sum(when(col("c").isNull && col("t").isNotNull, 1).otherwise(0))
+              .cast("long").as("fn"))
+          .select(col("tp"), col("fp"), col("fn"),
+            (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+            (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+      },
+      oracle = Some(s"""
+        WITH $jaccardPairsCtes
+        SELECT tp, fp, fn,
+               CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+               CAST(tp AS DOUBLE) / (tp + fn) AS recall
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tp,
+                     CAST(0 AS BIGINT) AS fp,
+                     CAST(0 AS BIGINT) AS fn
+              FROM pairs)""")),
+
     // Near-dup clusters: connected components over the LSH-found pair set,
     // checked against a recursive-CTE transitive closure in DuckDB. The
     // member list is serialized to a CSV string on both engines (the

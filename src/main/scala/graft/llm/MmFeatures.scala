@@ -205,6 +205,21 @@ object MmFeatures {
     val root = new Path(featuresDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0)
+    // Single-maintainer guard (see graft.sources.MaintenanceLease): two
+    // live compactions would race the same tmp dir and root manifest.
+    val lease = graft.sources.MaintenanceLease.acquire(
+      fs, root, "MmFeatures.compactBatches")
+    try compactBatchesLocked(spark, featuresDir, keepLast)
+    finally graft.sources.MaintenanceLease.release(fs, lease)
+  }
+
+  private def compactBatchesLocked(
+      spark: SparkSession,
+      featuresDir: String,
+      keepLast: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(featuresDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(root, ".compact_tmp_batches")
     val manifest = new Path(root, ".compact_manifest")
 

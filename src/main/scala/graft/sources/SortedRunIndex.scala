@@ -189,6 +189,19 @@ object SortedRunIndex {
     * there was nothing to fold. */
   def compact(spark: SparkSession, root: String, keyCol: String,
       rowsPerFile: Int, keepLast: Int = 1): (Int, Int) = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    if (!fs.exists(rootP)) return (0, 0)
+    // Single-maintainer guard: a second live compaction refuses loudly
+    // instead of racing this one's tmp/manifest (crash recovery of a DEAD
+    // maintainer stays automatic — see MaintenanceLease).
+    val lease = MaintenanceLease.acquire(fs, rootP, "SortedRunIndex.compact")
+    try compactLocked(spark, root, keyCol, rowsPerFile, keepLast)
+    finally MaintenanceLease.release(fs, lease)
+  }
+
+  private def compactLocked(spark: SparkSession, root: String, keyCol: String,
+      rowsPerFile: Int, keepLast: Int): (Int, Int) = {
     recover(spark, root)
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)

@@ -88,6 +88,34 @@ class TextFeaturesSpec extends SparkSpec {
       canon(Dedup.containmentPairs(near)))
   }
 
+  test("sf1 soak: LSH candidate recall equals the exact PPJoin ground truth") {
+    assume(sys.env.get("GRAFT_SOAK").contains("1"),
+      "soak disabled (set GRAFT_SOAK=1)")
+    // The non-vacuous corpus the declared llm_dedup_eval_lsh row cannot
+    // reach at gate scale: ~1.2M near-corpus docs, df-saturated 31-word
+    // vocabulary — the regime where banded-LSH candidate generation and
+    // prefix-filtered exact search genuinely diverge in shape.
+    val dir = tempDir("eval_lsh_sf1")
+    graft.tools.GenData.generate(spark, dir, 1.0)
+    val truth = Dedup.exactJaccardPairs(Dedup.nearCorpus(spark, dir), tau = 0.8)
+      .select("doc_a", "doc_b").persist()
+    val lsh = Dedup.lshJaccardPairsFeat(
+      TextFeatures.features(spark, dir, "near"), tau = 0.8, r = 4, b = 64)
+      .select("doc_a", "doc_b")
+    val nTruth = truth.count()
+    val fn = truth.except(lsh).count()
+    val fp = lsh.except(truth).count()
+    info(s"sf1 truth pairs=$nTruth, fn=$fn, fp=$fp")
+    assert(nTruth > 0, "vacuous ground truth — fixture regression")
+    assert(fp === 0L, "exact verification admitted a non-true pair")
+    // Analytic bound: per-true-pair miss (1 − 0.8⁴)⁶⁴ ≈ 4e-15 ⇒ expected
+    // misses over nTruth pairs ≪ 1 — any observed miss is a band bug,
+    // not LSH variance.
+    assert(fn === 0L, s"LSH candidates missed $fn of $nTruth true pairs")
+    truth.unpersist()
+    ()
+  }
+
   test("feature build is incremental: batches partition the corpus") {
     // Three id-sliced batch dirs must union to exactly one row per corpus
     // document — the same doc never derived twice, no doc missed.
