@@ -469,4 +469,111 @@ class SqlSurfaceSpec extends SparkSpec {
              est_cnt >= COALESCE(exact_cnt, 0L) AS never_under
       FROM est LEFT JOIN ex ON p_partkey = l_partkey""")
   }
+
+  test("llm_sft_tokens through spark.sql (SFT loss-mask door)") {
+    // Reuses the library's own dialect-neutral transcript fragment and
+    // Spark-side turn parser verbatim — the SQL door to the loss-mask
+    // accounting is the same program a user would type, not a
+    // re-derivation. (llm_sft_parse / llm_sft_report doors exist above.)
+    checkSame("llm_sft_tokens", s"""
+      WITH base AS (
+        SELECT doc_id, ${graft.llm.SftOps.sftWrapSql("doc_id", "text")} AS convo
+        FROM documents),
+      t AS (SELECT doc_id, ${graft.llm.SftOps.turnsExpr} AS turns FROM base),
+      d AS (
+        SELECT doc_id,
+               CAST(size(turns) AS INT) AS n_turns,
+               aggregate(turns, CAST(0 AS BIGINT), (acc, t) -> acc +
+                 CASE WHEN t.role = 'assistant'
+                   THEN CAST(size(filter(split(t.content, ' '), w -> w <> ''))
+                        AS BIGINT)
+                   ELSE 0L END) AS assistant_tokens,
+               aggregate(turns, CAST(0 AS BIGINT), (acc, t) -> acc +
+                 CAST(size(filter(split(t.content, ' '), w -> w <> ''))
+                      AS BIGINT)) AS total_tokens
+        FROM t)
+      SELECT doc_id, n_turns,
+             total_tokens - assistant_tokens AS prompt_tokens,
+             assistant_tokens, total_tokens,
+             CAST(assistant_tokens AS DOUBLE) / total_tokens AS loss_mask_ratio
+      FROM d""")
+  }
+
+  test("llm_mm_meta through spark.sql (multimodal-meta family door)") {
+    checkSame("llm_mm_meta", """
+      SELECT doc_id AS asset_id,
+             length(encode(text, 'UTF-8')) AS n_bytes,
+             md5(encode(text, 'UTF-8')) AS digest,
+             hex(encode(substring(text, 1, 4), 'UTF-8')) AS magic
+      FROM documents""")
+  }
+
+  test("llm_gopher_gate through spark.sql (web-curation family door)") {
+    checkSame("llm_gopher_gate", """
+      WITH t0 AS (
+        SELECT doc_id, split(lower(text), '\\s+') AS toks0 FROM documents),
+      t1 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN slice(toks0, 1, 5)
+                    ELSE toks0 END AS toks1
+        FROM t0),
+      t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN concat(toks1,
+                 array('###', '$$$', '%%%', '@@@', '!!!', '^^^', '&&&', '***'))
+                    ELSE toks1 END AS toks
+        FROM t1),
+      m AS (
+        SELECT doc_id,
+               size(toks) AS n_words,
+               aggregate(toks, 0, (acc, t) -> acc + length(t)) AS sum_len,
+               size(filter(toks, t -> t rlike '^[^a-z0-9]+$')) AS n_sym,
+               size(filter(toks, t -> t rlike '[a-z]')) AS n_alpha,
+               size(array_intersect(array_distinct(toks),
+                 array('the', 'a', 'and', 'to', 'of', 'in', 'is', 'that')))
+                 AS n_stop
+        FROM t)
+      SELECT doc_id, n_words,
+             CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+             CAST(n_sym AS DOUBLE) / n_words AS symbol_frac,
+             CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+             n_stop,
+             n_words BETWEEN 10 AND 5000 AS f_words,
+             CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0D AND 10.0D AS f_mwl,
+             CAST(n_sym AS DOUBLE) / n_words <= 0.1D AS f_symbol,
+             CAST(n_alpha AS DOUBLE) / n_words >= 0.8D AS f_alpha,
+             n_stop >= 2 AS f_stop,
+             n_words BETWEEN 10 AND 5000
+               AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 2.0D AND 10.0D
+               AND CAST(n_sym AS DOUBLE) / n_words <= 0.1D
+               AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8D
+               AND n_stop >= 2 AS keep
+      FROM m""")
+  }
+
+  test("rel_merge_upsert through spark.sql (merge/diff family door)") {
+    checkSame("rel_merge_upsert", """
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey FROM customer),
+      src AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_mktsegment,
+               c_nationkey, 'upsert' AS op
+        FROM cust WHERE c_nationkey < 10
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, c_nationkey, 'delete'
+        FROM cust WHERE c_nationkey >= 20 AND c_mktsegment = 'AUTOMOBILE'
+        UNION ALL
+        SELECT c_custkey + 10000000L, CAST(0.0 AS DOUBLE), 'NEW', 5L, 'upsert'
+        FROM cust WHERE c_nationkey = 5)
+      SELECT t.c_custkey, t.c_acctbal, t.c_mktsegment, t.c_nationkey
+      FROM cust t LEFT ANTI JOIN src s ON t.c_custkey = s.c_custkey
+      UNION ALL
+      SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment, s.c_nationkey
+      FROM cust t JOIN src s ON t.c_custkey = s.c_custkey
+      WHERE s.op <> 'delete'
+      UNION ALL
+      SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment, s.c_nationkey
+      FROM src s LEFT ANTI JOIN cust t ON s.c_custkey = t.c_custkey
+      WHERE s.op <> 'delete'""")
+  }
 }
