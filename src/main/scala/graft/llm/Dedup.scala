@@ -1060,6 +1060,52 @@ object Dedup extends QueryModule {
                  CAST(SUM(CASE WHEN NOT in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
           FROM conf)""")),
 
+    // The persisted [[TextFeatures]] table ITSELF, differentially checked:
+    // per document the shingle count, the full sorted md5 shingle-key set
+    // (md5_long ≡ DuckDB md5_number_upper bit-for-bit), and the sorted
+    // passage window-key set — rebuilt from raw text by the oracle. The
+    // xxhash64-keyed sh/sig columns have no DuckDB twin; their equality to
+    // the from-text derivation is pinned per column by TextFeaturesSpec,
+    // and every query consuming them is oracle-checked downstream.
+    "llm_text_features" -> QuerySpec(
+      fn = (s, dir) => nearFeat(s, dir).select(
+        col("doc_id"), col("n"),
+        array_join(expr("transform(array_sort(shm), x -> CAST(x AS STRING))"),
+          ",").as("shm"),
+        array_join(expr("transform(array_sort(wins), x -> CAST(x AS STRING))"),
+          ",").as("wins")),
+      oracle = Some(s"""
+        WITH $nearCorpusSql, $shinglesSql,
+        f AS (
+          -- md5_number_upper is UNSIGNED; the engine's md5_long is the
+          -- SIGNED reinterpretation of the same 64 bits (equality-joins in
+          -- the other oracles never see the difference; emitted values
+          -- do). Wrap ≥ 2⁶³ down by 2⁶⁴ in HUGEINT, THEN sort, so value
+          -- and order both match the signed column.
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n,
+                 array_to_string(list_sort(list(
+                   CAST(CAST(md5_number_upper(shingle) AS HUGEINT) -
+                     CASE WHEN md5_number_upper(shingle)
+                               >= CAST(9223372036854775808 AS HUGEINT)
+                          THEN CAST(18446744073709551616 AS HUGEINT)
+                          ELSE CAST(0 AS HUGEINT) END AS BIGINT))), ',')
+                   AS shm
+          FROM sh GROUP BY doc_id),
+        wn AS (
+          SELECT DISTINCT doc_id,
+                 CAST(CAST(md5_number_upper(substr(text, i + 1, 40)) AS HUGEINT) -
+                   CASE WHEN md5_number_upper(substr(text, i + 1, 40))
+                             >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN CAST(18446744073709551616 AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS w
+          FROM corpus, LATERAL unnest(range(1, len(text) - 39)) AS t(i)
+          WHERE substr(text, i, 1) = ' '),
+        wl AS (
+          SELECT doc_id, array_to_string(list_sort(list(w)), ',') AS wins
+          FROM wn GROUP BY doc_id)
+        SELECT f.doc_id, f.n, f.shm, COALESCE(wl.wins, '') AS wins
+        FROM f LEFT JOIN wl ON f.doc_id = wl.doc_id""")),
+
     // LSH-candidate recall scored against the exact PPJoin ground truth —
     // the eval a curator reads before trusting banded LSH as the declared
     // jaccard plan (llm_dedup_eval grades SimHash only; this grades the
