@@ -545,4 +545,27 @@ class PlanAssertSpec extends SparkSpec {
         s"$n serializes through one partition:\n$p")
     }
   }
+
+  test("feature-fed dedup: each feature scan prunes to its stage's columns") {
+    // The shingle-once economics only hold if downstream plans read the
+    // NARROW slices of the persisted feature table: the band derivation
+    // needs (doc_id, sig), verification needs (doc_id, sh, n) — neither
+    // may drag the md5 twin set, the simhash, or the window keys through
+    // its scan. Two scans of the table, each pruned, is the right shape.
+    val p = plan("llm_dedup_minhash")
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema"))
+      .filter(r => r.contains("sig") || r.contains("sh")).toSeq
+    assert(reads.nonEmpty, s"no feature-table scans found:\n$p")
+    reads.foreach { r =>
+      assert(!r.contains("shm") && !r.contains("wins") && !r.contains("simhash"),
+        s"feature scan reads columns its stage never uses: $r")
+    }
+    // The passage spelling must likewise read ONLY (doc_id, wins).
+    val pw = plan("llm_dedup_passage")
+    val readsW = pw.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    readsW.foreach { r =>
+      assert(!r.contains("shm") && !r.contains("sig") && !r.contains("simhash"),
+        s"passage feature scan reads unused columns: $r")
+    }
+  }
 }
