@@ -139,16 +139,40 @@ object TextFeatures {
 
   /** Shingle-once features for `(dir, kind)`: built on first use via three
     * id-sliced [[appendBatch]] increments, then served from parquet for
-    * every downstream query in this JVM. */
+    * every downstream query in this JVM.
+    *
+    * By default the table lives in a per-JVM scratch dir (fresh sessions
+    * rebuild it — correct, self-contained, what the gates exercise). Set
+    * `SPARK_GRAFT_TEXTFEAT_DIR` to a base path to persist it ACROSS JVMs
+    * instead — `<base>/<kind>` is built once and reused by any later
+    * process, which is the production shape (on a real cluster the
+    * feature table lives on shared storage next to the warehouse; one
+    * nightly build serves every downstream job). The base must be
+    * per-corpus — pointing two different corpora at one base would serve
+    * the first corpus's features to the second, like any table path. */
   def features(spark: SparkSession, dir: String, kind: String): DataFrame = {
-    val fdir = built.computeIfAbsent(s"$kind|$dir", _ => {
-      val out = Scratch.dir(s"text_features_$kind")
-      val corpus = corpusOf(spark, dir, kind)
-      (0L to 2L).foreach { b =>
-        appendBatch(out, b, corpus.filter(pmod(col("doc_id"), lit(3)) === b))
-      }
-      out
-    })
+    val fdir = built.computeIfAbsent(s"$kind|$dir", _ =>
+      sys.env.get("SPARK_GRAFT_TEXTFEAT_DIR") match {
+        case Some(base) =>
+          val out = s"$base/$kind"
+          val p = new org.apache.hadoop.fs.Path(out)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(out, "batch=2")))
+            buildBatches(spark, dir, kind, out)
+          out
+        case None =>
+          val out = Scratch.dir(s"text_features_$kind")
+          buildBatches(spark, dir, kind, out)
+          out
+      })
     read(spark, fdir)
+  }
+
+  private def buildBatches(spark: SparkSession, dir: String, kind: String,
+      out: String): Unit = {
+    val corpus = corpusOf(spark, dir, kind)
+    (0L to 2L).foreach { b =>
+      appendBatch(out, b, corpus.filter(pmod(col("doc_id"), lit(3)) === b))
+    }
   }
 }

@@ -25,22 +25,26 @@ object TextFamilyBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // The near-corpus build feeds the nine near-dup queries; the plain
-    // build feeds curate_e2e / dataset_split. Timed separately.
-    val (_, nearBuildSec) = timed {
-      TextFeatures.features(spark, dir, "near")
-        .write.format("noop").mode("overwrite").save()
-    }
-    val (_, plainBuildSec) = timed {
-      TextFeatures.features(spark, dir, "plain")
-        .write.format("noop").mode("overwrite").save()
-    }
-
     val defaultQs = Seq(
       "llm_dedup_minhash", "llm_dedup_jaccard", "llm_dedup_clusters",
       "llm_dedup_keep", "llm_dedup_passage", "llm_dedup_simhash",
       "llm_dedup_containment", "llm_curate_e2e")
     val names = if (args.length > 1) args.drop(1).toSeq else defaultQs
+
+    // The near-corpus build feeds the near-dup queries; the plain build
+    // feeds curate_e2e / dataset_split. Timed separately, and only the
+    // tables the requested queries actually read are built — a targeted
+    // run must not pay (or require the corpus for) the other table.
+    def buildSec(kind: String): Double = timed {
+      TextFeatures.features(spark, dir, kind)
+        .write.format("noop").mode("overwrite").save()
+    }._2
+    val needsPlain = names.exists(n =>
+      n == "llm_curate_e2e" || n == "llm_dataset_split")
+    val needsNear = names.exists(n =>
+      n != "llm_curate_e2e" && n != "llm_dataset_split")
+    val nearBuildSec = if (needsNear) buildSec("near") else 0.0
+    val plainBuildSec = if (needsPlain) buildSec("plain") else 0.0
     val qs = Dedup.queries
     val perQuery = names.map { n =>
       val (_, s) = timed {
