@@ -148,6 +148,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered with SkippingIndex.enableAutoPrune read only candidate
     // files (see graft.plans.ConsultSkippingIndex).
     extensions.injectOptimizerRule(graft.plans.ConsultSkippingIndex)
+    // Materialized-view rollup rewrite: subsumed aggregates over a
+    // registered fact table re-point at its partial-aggregate rollup
+    // (see graft.plans.MaterializedView).
+    extensions.injectOptimizerRule(graft.plans.RewriteToMv)
     // Whole-operator extension: native sort-merge as-of join
     // (see graft.plans.AsofJoin).
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.api.{QueryModule, QuerySpec, Scratch}
+import graft.api.Exact.{davg, dsum, sqlAvg, sqlSum}
+import graft.plans.MaterializedView
+import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The declared queries of the materialized-view rewrite
+  * ([[graft.plans.MaterializedView]], rule [[graft.plans.RewriteToMv]]).
+  *
+  * Every query here is written as a PLAIN aggregate over the fact table —
+  * the MV never appears at the query site. The injected rule re-points
+  * the plan at the registered rollup, and the DuckDB oracle runs the
+  * direct aggregation over the fact table: a hash match therefore proves
+  * the rewritten plan computes exactly what the unrewritten one would
+  * (the strongest form of the "optimization, never a semantics change"
+  * contract). `MaterializedViewSpec` separately pins that the rewrite
+  * actually FIRED (the physical plan scans the MV path, not
+  * lineitem.parquet) — without that, these rows would pass vacuously.
+  *
+  * The lineitem rollup groups by (l_returnflag, l_linestatus,
+  * l_linenumber): ~3·2·7 ≈ 40 rows whatever the fact table's size — the
+  * 100 TB economics (a dashboard's repeated aggregates read ~kilobytes;
+  * the fact scan happens once per maintenance run, not once per query).
+  */
+object MvQueries extends QueryModule {
+
+  /** The declared lineitem rollup. Sums accumulate in exact decimal
+    * ([[MaterializedView.SumDec]] — the [[graft.api.Exact]] discipline),
+    * so batch partitions and coarser groupings re-aggregate to the
+    * bit-identical value. */
+  private def lineitemDef(path: String) = MvDef(
+    groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+    aggs = Seq(MvSum("l_quantity"), MvSum("l_extendedprice"), MvCountStar,
+      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice")),
+    mvPath = path)
+
+  // dir -> registered, once per JVM (the TextFeatures build-once shape).
+  private val registered = new ConcurrentHashMap[String, String]()
+
+  private def ensureRegistered(s: SparkSession, dir: String): Unit = {
+    registered.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_lineitem")
+      MaterializedView.register(s, s"$dir/lineitem.parquet", lineitemDef(mv))
+      mv
+    }); ()
+  }
+
+  // Incremental fixture: a scratch COPY of lineitem built as an
+  // append-only fact table — register on the first ~70%, then land the
+  // rest as new files and fold them in with ONE delta rollup.
+  private val incremental = new ConcurrentHashMap[String, String]()
+
+  private def ensureIncremental(s: SparkSession, dir: String): String =
+    incremental.computeIfAbsent(dir, _ => {
+      val fact = Scratch.dir("mv_fact") + "/lineitem_fact"
+      val mv = Scratch.dir("mv_fact_rollup")
+      val li = Tables.load(s, dir, "lineitem")
+      val head = li.filter(pmod(col("l_orderkey"), lit(10)) < 7)
+      val tail = li.filter(pmod(col("l_orderkey"), lit(10)) >= 7)
+      head.write.parquet(fact)
+      MaterializedView.register(s, fact, lineitemDef(mv))
+      tail.write.mode("append").parquet(fact) // the table GROWS —
+      // the stale fingerprint now disables the rewrite...
+      MaterializedView.appendDelta(s, fact, tail) // ...until the
+      // maintainer folds exactly the appended rows in (cost ∝ delta)
+      // and re-fingerprints.
+      fact
+    })
+
+  def queries: Map[String, QuerySpec] = Map(
+    // ------------------------------------------------------------------
+    // Coarser-than-MV grouping: the re-aggregation that merges batch
+    // partitions is the same one that rolls 3 grouping keys up to 1.
+    // avg derives structurally as sum-partial / count-partial.
+    "rel_mv_rollup" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_price"),
+            davg($"l_quantity").as("avg_qty"),
+            count(lit(1)).as("n"),
+            min($"l_extendedprice").as("min_price"),
+            max($"l_extendedprice").as("max_price"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               ${sqlSum("l_extendedprice")} AS sum_price,
+               ${sqlAvg("l_quantity")} AS avg_qty,
+               COUNT(*) AS n,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag"""),
+      doc = "Subsumed rollup answered from the MV (plan pinned by spec)."),
+
+    // ------------------------------------------------------------------
+    // A predicate on MV grouping columns rides along: it re-binds onto
+    // the rollup's own columns and prunes ~50 rows instead of the fact.
+    "rel_mv_filtered" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_linenumber".isin(1, 2, 3) && $"l_returnflag" =!= "N")
+          .groupBy($"l_linenumber", $"l_linestatus")
+          .agg(
+            dsum($"l_extendedprice").as("sum_price"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT l_linenumber, l_linestatus,
+               ${sqlSum("l_extendedprice")} AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_linenumber IN (1, 2, 3) AND l_returnflag <> 'N'
+        GROUP BY l_linenumber, l_linestatus"""),
+      doc = "Grouping-column predicate re-bound onto the MV scan."),
+
+    // ------------------------------------------------------------------
+    // Incremental maintenance end-to-end: fact table grows by new files,
+    // ONE delta rollup (cost ∝ delta) folds them in as a new batch
+    // partition, and the global aggregate over the grown table — served
+    // by re-aggregating the batches — matches DuckDB aggregating the
+    // equivalent complete table directly.
+    "rel_mv_incremental" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val fact = ensureIncremental(s, dir)
+        s.read.parquet(fact)
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            min($"l_extendedprice").as("min_price"),
+            max($"l_extendedprice").as("max_price"))
+      },
+      oracle = Some(s"""
+        SELECT ${sqlSum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem"""),
+      doc = "Append-only growth + one delta rollup; global agg from batches."))
+}

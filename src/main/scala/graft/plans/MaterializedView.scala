@@ -1,0 +1,362 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+
+/** Materialized-view rollup rewrite — the aggregate twin of
+  * [[JoinElimination]] (which deletes work a declaration proves
+  * redundant) and [[ConsultSkippingIndex]] (which narrows a scan an
+  * index proves prunable): once a rollup over a fact table is
+  * registered, ANY subsumed aggregate query over that table is
+  * transparently re-pointed at the tiny partial-aggregate table,
+  * with no change at the query site.
+  *
+  * At 100 TB this is the difference between a dashboard refresh that
+  * rescans the fact table and one that reads kilobytes: a grouped
+  * SUM/COUNT/MIN/MAX over coarse keys touches every fact row on every
+  * run, yet the answer is a pure function of one small rollup that a
+  * nightly (or streaming) maintainer keeps current. Production
+  * warehouses ship exactly this (Snowflake/BigQuery materialized
+  * views, Calcite's `MaterializedViewRule`); core Spark has no MV
+  * catalog, so the declaration + rule live here.
+  *
+  * '''The MV is an LSM of partial aggregates, not a finished answer.'''
+  * Each maintenance step appends one `batch=<n>` partition holding the
+  * increment's partial rollup ([[MaterializedView.refresh]] writes
+  * batch 0; [[MaterializedView.appendDelta]] adds one batch per
+  * append-only delta, cost proportional to the delta). The rewritten
+  * plan ALWAYS re-aggregates over MV rows, so batches need no
+  * read-time merge protocol and a coarser grouping than the MV's is
+  * answered by the same re-aggregation that combines batches —
+  * SUM-of-sums, MIN-of-mins, SUM-of-counts. Compaction = re-refresh.
+  *
+  * Matched shape: `Aggregate(G, aggs, [Filter(p)] → [Project(attrs)] →
+  * scan(fact))` where the scan's canonical root path is registered,
+  * `G` and every column `p` references are subsets of the MV's
+  * grouping columns, and every aggregate is derivable from the MV's
+  * declared partials:
+  *
+  *   - `sum(x)` (x integral/decimal) and the engine's exact spelling
+  *     `sum(cast(x as decimal(30,6)))` ([[graft.api.Exact.dsum]]) →
+  *     `sum(sum_x)` over the decimal partial. A BARE float sum is
+  *     NEVER rewritten: re-associated double addition drifts in the
+  *     low bits, and results must be bit-identical to the unrewritten
+  *     plan. Arbitrary arithmetic AROUND aggregate calls
+  *     (`dsum(x).cast("double")`, `dsum(x)/count(x)` — avg) is kept
+  *     verbatim and re-derived structurally.
+  *   - `count(*)`/`count(1)` → `coalesce(sum(cnt_star), 0)` (the
+  *     coalesce preserves `count`'s never-null contract when a global
+  *     aggregate runs over an empty fact table)
+  *   - `count(x)` → `coalesce(sum(cnt_x), 0)`
+  *   - `min(x)`/`max(x)` → `min(min_x)`/`max(max_x)`
+  *
+  * Anything else — avg (its decimal division re-types), DISTINCT,
+  * FILTER clauses, expressions over grouping columns, a predicate on a
+  * non-grouping column — leaves the plan untouched: the rewrite is an
+  * optimization, never a semantics change, and falling through always
+  * yields the correct (just slower) scan-the-fact plan.
+  *
+  * '''Staleness can disable the rewrite but never corrupt a result.'''
+  * Registration fingerprints the fact scan's file listing (path, size,
+  * mtime per file — the same listing the planner already holds in its
+  * [[org.apache.spark.sql.execution.datasources.FileIndex]], so the
+  * check costs no extra I/O at plan time). A query whose scan listing
+  * differs from the fingerprint is NOT rewritten — a compacted,
+  * overwritten, or grown fact table silently falls back to the direct
+  * plan until the maintainer runs ([[MaterializedView.appendDelta]]
+  * re-fingerprints after folding the delta in). What the fingerprint
+  * cannot see is a registration built from a strict subset of the
+  * rows in those same files — `register` reads the source path itself
+  * to make that misdeclaration impossible.
+  *
+  * Injected via `SparkSessionExtensions.injectOptimizerRule`
+  * ([[graft.functions.GraftExtensions]]); per-session kill switch
+  * `spark.graft.mv.rewrite=false`. `MaterializedViewSpec` pins the
+  * plan shape (MV scanned, fact not), the fall-through shapes, and
+  * bit-equality against the unrewritten plan; `rel_mv_rollup` /
+  * `rel_mv_filtered` / `rel_mv_incremental` hash-check the rewritten
+  * plans against DuckDB running the direct aggregation.
+  */
+object MaterializedView {
+
+  /** One derivable partial. `col` is the fact column; the MV column it
+    * materializes is `named` (e.g. `sum_l_quantity`). */
+  sealed trait MvAgg { def col: String; def named: String }
+  final case class MvSum(col: String) extends MvAgg { def named = s"sum_$col" }
+  final case class MvMin(col: String) extends MvAgg { def named = s"min_$col" }
+  final case class MvMax(col: String) extends MvAgg { def named = s"max_$col" }
+  final case class MvCount(col: String) extends MvAgg { def named = s"cnt_$col" }
+  case object MvCountStar extends MvAgg { def col = "*"; def named = "cnt_star" }
+
+  /** A registered rollup: partial aggregates `aggs` grouped by
+    * `groupCols`, stored as batch partitions under `mvPath`. */
+  final case class MvDef(groupCols: Seq[String], aggs: Seq[MvAgg], mvPath: String)
+
+  /** One file of the fingerprinted source listing. */
+  private[plans] final case class FileSig(path: String, len: Long, mtime: Long)
+
+  private[plans] final case class Registered(dfn: MvDef,
+      @volatile var sig: Set[FileSig])
+
+  // canonical fact root path -> registration. Session-scoped state would
+  // need the rule to thread the session; like SkippingIndex's auto
+  // registry this is JVM-scoped, keyed by the canonical path so two
+  // sessions over the same warehouse share the declaration.
+  private val registry = new ConcurrentHashMap[String, Registered]()
+
+  private def canon(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toUri.getPath
+  }
+
+  private def listingOf(spark: SparkSession, path: String): Set[FileSig] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[FileSig]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
+        b += FileSig(s.getPath.toUri.getPath, s.getLen, s.getModificationTime)
+    }
+    b.result()
+  }
+
+  /** The decimal type every sum partial accumulates in — the engine's
+    * [[graft.api.Exact]] discipline: a re-associated double sum drifts in
+    * the low bits, an exact-decimal one re-adds to the same value under
+    * ANY partitioning, which is what lets batch partitions re-aggregate
+    * bit-exactly. */
+  val SumDec: DecimalType = DecimalType(30, 6)
+
+  /** The partial rollup of `rows` under `dfn` — the ONE aggregation both
+    * maintenance paths run (refresh over the full source, appendDelta
+    * over the increment). */
+  private def partial(rows: DataFrame, dfn: MvDef): DataFrame = {
+    val aggCols = dfn.aggs.map {
+      case MvSum(c)   => sum(col(c).cast(SumDec)).as(s"sum_$c")
+      case MvMin(c)   => min(col(c)).as(s"min_$c")
+      case MvMax(c)   => max(col(c)).as(s"max_$c")
+      case MvCount(c) => count(col(c)).as(s"cnt_$c")
+      case MvCountStar => count(lit(1)).as("cnt_star")
+    }
+    rows.groupBy(dfn.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def writeBatch(rows: DataFrame, dfn: MvDef, batch: Long): Unit =
+    partial(rows, dfn).write.mode("overwrite")
+      .parquet(s"${dfn.mvPath}/batch=$batch")
+
+  /** Build (or rebuild) the rollup from the COMPLETE source at
+    * `sourcePath` and register it for automatic rewrite. Reading the
+    * source path itself — rather than accepting a caller DataFrame —
+    * is what ties the fingerprint to the rows: a registration can
+    * never cover files whose rows it did not aggregate. */
+  def register(spark: SparkSession, sourcePath: String, dfn: MvDef): Unit = {
+    val sig = listingOf(spark, sourcePath) // listing BEFORE the read: a
+    // concurrent writer invalidates (sig mismatch) rather than covers.
+    writeBatch(spark.read.parquet(sourcePath), dfn, 0L)
+    registry.put(canon(spark, sourcePath), Registered(dfn, sig))
+  }
+
+  /** Fold an append-only delta in: ONE partial rollup of `deltaRows`
+    * (cost ∝ delta) appended as the next batch partition, then the
+    * fingerprint advances to the source's current listing. Caller
+    * contract (the same one every incremental maintainer here has —
+    * [[graft.streaming.Medallion]]'s layers, [[graft.llm.TextFeatures]]
+    * batches): `deltaRows` are exactly the rows of the files added
+    * since the last register/appendDelta, and the source is
+    * append-only between maintenance runs. */
+  def appendDelta(spark: SparkSession, sourcePath: String,
+      deltaRows: DataFrame): Unit = {
+    val key = canon(spark, sourcePath)
+    val reg = registry.get(key)
+    require(reg != null, s"no MV registered for $key")
+    val sig = listingOf(spark, sourcePath)
+    val fs = new Path(reg.dfn.mvPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(new Path(reg.dfn.mvPath))
+      .map(_.getPath.getName).collect {
+        case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
+      }.max + 1L
+    writeBatch(deltaRows, reg.dfn, next)
+    reg.sig = sig
+  }
+
+  def deregister(spark: SparkSession, sourcePath: String): Unit = {
+    registry.remove(canon(spark, sourcePath)); ()
+  }
+
+  /** The registration covering a scan rooted at `rootPath`, or None. */
+  private[plans] def lookup(rootPath: Path): Option[Registered] =
+    Option(registry.get(rootPath.toUri.getPath))
+
+  private[plans] def sigOf(files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]): Set[FileSig] =
+    files.map(f => FileSig(f.getPath.toUri.getPath, f.getLen,
+      f.getModificationTime)).toSet
+}
+
+/** The optimizer rule — see [[MaterializedView]]. */
+case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import MaterializedView._
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.mv.rewrite", "true") == "true"
+
+  /** Unwrap `[Filter] / [Project(attrs)]*` down to a single-root v1 file
+    * scan, conjoining filter predicates. Plain-attribute Projects are
+    * transparent (attribute identity is by exprId); anything else bails. */
+  private def unwrap(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(Seq[Expression], LogicalRelation, HadoopFsRelation)] =
+    p match {
+      case Filter(c, ch) => unwrap(ch, conds :+ c)
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(ch, conds)
+      case lr @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+          if r.location.rootPaths.length == 1 =>
+        Some((conds, lr, r))
+      case _ => None
+    }
+
+  /** A predicate safe to re-bind onto the MV: deterministic (a random
+    * filter selects fact ROWS; re-bound it would select GROUPS — a
+    * different computation) and subquery-free (a subquery's own plan
+    * is opaque to the remap). */
+  private def rebindable(e: Expression): Boolean =
+    e.deterministic && !e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        rewrite(agg, groupExprs, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      (conds, _, rel) <- unwrap(child, Nil)
+      reg <- lookup(rel.location.rootPaths.head)
+      dfn = reg.dfn
+      // Freshness: the scan's own (cached) listing must equal the
+      // fingerprint taken at the last maintenance run.
+      if sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == reg.sig
+      // Subsumption: grouping keys and every filtered column are MV
+      // grouping columns (bare stored attributes, not derived work).
+      groupAttrs <- seqOpt(groupExprs.map {
+        case a: AttributeReference if dfn.groupCols.contains(a.name) => Some(a)
+        case _ => None
+      })
+      if conds.forall(c => rebindable(c) &&
+        c.references.forall(a => dfn.groupCols.contains(a.name)))
+      mvScan = spark.read.parquet(dfn.mvPath).queryExecution.analyzed
+      mvAttr = mvScan.output.collect {
+        case a: AttributeReference => a.name -> a
+      }.toMap
+      newAggs <- seqOpt(aggExprs.map(deriveNamed(_, dfn, mvAttr)))
+    } yield {
+      val filtered = conds
+        .reduceOption(And)
+        .map(c => Filter(c.transform {
+          case a: AttributeReference => mvAttr(a.name)
+        }, mvScan))
+        .getOrElse(mvScan)
+      Aggregate(groupAttrs.map(a => mvAttr(a.name)), newAggs, filtered)
+    }
+
+  private def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** Exact under re-association: integral and decimal sums re-add to the
+    * same bits; a BARE float sum does not and is never rewritten. The
+    * engine's own sum spelling ([[graft.api.Exact.dsum]]) casts to
+    * decimal(30,6) first — that shape is exact for any source type and
+    * is what the MV's partials store. */
+  private def exactSum(a: AttributeReference): Boolean = a.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** The declared fact column a rewriteable sum child reads, if its
+    * accumulation is exact: either `cast(x as decimal(30,6))` (the
+    * [[graft.api.Exact.dsum]] spelling — matches the stored partial's
+    * own cast, so re-adding partials is value-identical for ANY source
+    * type) or a bare integral/decimal attribute. */
+  private def sumSource(child: Expression): Option[String] = child match {
+    case Cast(a: AttributeReference, dt, _, _) if dt == MaterializedView.SumDec =>
+      Some(a.name)
+    case a: AttributeReference if exactSum(a) => Some(a.name)
+    case _ => None
+  }
+
+  /** One output column of the original Aggregate, re-derived over the MV
+    * with the ORIGINAL name, exprId, and data type (parents resolve
+    * against all three). The column may be ANY expression over aggregate
+    * calls and grouping attributes (`dsum(x).cast("double")`,
+    * `dsum(x) / count(x)`, …): aggregate calls re-derive from the MV's
+    * partials, grouping references re-bind to the MV's columns, and the
+    * surrounding arithmetic is kept verbatim. */
+  private def deriveNamed(ne: NamedExpression, dfn: MvDef,
+      mvAttr: Map[String, AttributeReference]): Option[NamedExpression] = {
+    def derived(f: PartialFunction[MvAgg, MvAgg]): Option[AttributeReference] =
+      dfn.aggs.collectFirst(f).flatMap(a => mvAttr.get(a.named))
+    def rederive(fn: Expression): Option[Expression] = fn match {
+      case Sum(child, _) =>
+        sumSource(child).flatMap { src =>
+          derived { case m @ MvSum(c) if c == src => m }
+        }.map(mv => Sum(mv).toAggregateExpression())
+      case Min(a: AttributeReference) =>
+        derived { case m @ MvMin(c) if c == a.name => m }
+          .map(mv => Min(mv).toAggregateExpression())
+      case Max(a: AttributeReference) =>
+        derived { case m @ MvMax(c) if c == a.name => m }
+          .map(mv => Max(mv).toAggregateExpression())
+      case Count(Seq(Literal(v, _))) if v != null => // count(*) ≡ count(1)
+        dfn.aggs.collectFirst { case MvCountStar => MvCountStar }
+          .flatMap(a => mvAttr.get(a.named))
+          .map(mv => Coalesce(Seq(Sum(mv).toAggregateExpression(), Literal(0L))))
+      case Count(Seq(a: AttributeReference)) =>
+        derived { case m @ MvCount(c) if c == a.name => m }
+          .map(mv => Coalesce(Seq(Sum(mv).toAggregateExpression(), Literal(0L))))
+      case _ => None
+    }
+    // Structural remap: aggregate calls and grouping references swap to
+    // their MV derivations; every other node must reconstruct over
+    // successfully-remapped children or the whole column (and with it
+    // the whole rewrite) bails.
+    def remap(e: Expression): Option[Expression] = e match {
+      case ae @ AggregateExpression(fn, _, false, None, _) =>
+        rederive(fn).map { x =>
+          if (x.dataType == ae.dataType) x else Cast(x, ae.dataType)
+        }
+      case _: AggregateExpression => None // DISTINCT / FILTER clause
+      case a: AttributeReference =>
+        if (dfn.groupCols.contains(a.name)) mvAttr.get(a.name) else None
+      case other if other.deterministic &&
+          !other.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]] =>
+        seqOpt(other.children.map(remap)).map(other.withNewChildren)
+      case _ => None
+    }
+    ne match {
+      case a: AttributeReference if dfn.groupCols.contains(a.name) =>
+        Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+      case al @ Alias(e, n) =>
+        remap(e).map(x => Alias(x, n)(exprId = al.exprId))
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,189 @@
+package graft
+
+import graft.api.Exact.dsum
+import graft.plans.MaterializedView
+import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The materialized-view rollup rewrite: fires only in the subsumed
+  * shape, is bit-identical to the unrewritten plan, falls through on
+  * every non-derivable or stale shape, and maintains incrementally. */
+class MaterializedViewSpec extends SparkSpec {
+
+  private def li = Tables.load(spark, sfDir, "lineitem")
+
+  private def scans(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** A fresh registered copy of lineitem (so registrations here never
+    * interfere with MvQueries' JVM-wide registration of the fixture
+    * path itself). */
+  private def freshFact(aggs: Seq[MaterializedView.MvAgg] = defaultAggs)
+      : (String, String) = {
+    val fact = tempDir("mv_spec_fact") + "/fact"
+    li.write.parquet(fact)
+    val mv = tempDir("mv_spec_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag", "l_linestatus", "l_linenumber"), aggs, mv))
+    (fact, mv)
+  }
+
+  private val defaultAggs = Seq(MvSum("l_quantity"), MvCountStar,
+    MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice"))
+
+  private def query(fact: String): DataFrame = {
+    spark.read.parquet(fact)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+  }
+
+  private def withRewriteOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try body finally spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  test("subsumed aggregate scans the MV, not the fact table") {
+    val (fact, mv) = freshFact()
+    val p = scans(query(fact))
+    assert(p.contains(mv), s"MV not scanned:\n$p")
+    assert(!p.contains(fact), s"fact table still scanned:\n$p")
+  }
+
+  test("rewritten result is bit-identical to the unrewritten plan") {
+    val (fact, _) = freshFact()
+    val on  = query(fact).collect().map(_.toString).sorted
+    val off = withRewriteOff(query(fact).collect().map(_.toString).sorted)
+    assert(on.sameElements(off))
+    // Schema (names, types, nullability-insensitive) preserved too.
+    assert(query(fact).schema.map(f => (f.name, f.dataType)) ==
+      withRewriteOff(query(fact).schema.map(f => (f.name, f.dataType))))
+  }
+
+  test("grouping-column filter re-binds onto the MV") {
+    val (fact, mv) = freshFact()
+    val df = spark.read.parquet(fact)
+      .filter(col("l_linenumber").isin(1, 2, 3))
+      .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+    val p = scans(df)
+    assert(p.contains(mv) && !p.contains(fact), s"filtered agg not rewritten:\n$p")
+    val off = withRewriteOff(df.collect().map(_.toString).sorted)
+    assert(df.collect().map(_.toString).sorted.sameElements(off))
+  }
+
+  test("global (ungrouped) aggregate rewrites; count survives an empty MV") {
+    val (fact, mv) = freshFact()
+    val df = spark.read.parquet(fact)
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("s"))
+    assert(scans(df).contains(mv))
+    assert(df.collect()(0).getLong(0) == li.count())
+
+    // Empty fact table: count(*) must be 0 (not null) through the
+    // coalesce'd sum-of-counts.
+    val emptyFact = tempDir("mv_spec_empty") + "/fact"
+    li.filter(lit(false)).write.parquet(emptyFact)
+    val emptyMv = tempDir("mv_spec_empty_rollup")
+    MaterializedView.register(spark, emptyFact,
+      MvDef(Seq("l_returnflag"), Seq(MvCountStar, MvSum("l_quantity")), emptyMv))
+    val g = spark.read.parquet(emptyFact)
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("s"))
+    assert(scans(g).contains(emptyMv))
+    val row = g.collect()(0)
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
+  test("never fires: non-derivable aggregate (countDistinct, bare double sum)") {
+    val (fact, mv) = freshFact()
+    val cd = spark.read.parquet(fact)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_linenumber")).as("n"))
+    assert(!scans(cd).contains(mv), "DISTINCT wrongly served from MV")
+    // sum over a raw double re-associates — must NOT be rewritten even
+    // though sum_l_quantity is declared.
+    val raw = spark.read.parquet(fact)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(!scans(raw).contains(mv), "bare double sum wrongly served from MV")
+  }
+
+  test("never fires: filter on a non-grouping column") {
+    val (fact, mv) = freshFact()
+    val df = spark.read.parquet(fact)
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(!scans(df).contains(mv), "non-grouping predicate wrongly re-bound")
+  }
+
+  test("never fires: grouping key outside the MV's grouping set") {
+    val (fact, mv) = freshFact()
+    val df = spark.read.parquet(fact)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    assert(!scans(df).contains(mv), "finer grouping wrongly served from MV")
+  }
+
+  test("stale source disables the rewrite until the maintainer runs") {
+    val (fact, mv) = freshFact()
+    assert(scans(query(fact)).contains(mv))
+    // The fact table grows: new files → fingerprint mismatch → direct plan.
+    val delta = li.filter(col("l_orderkey") % 2 === 0).limit(50)
+    delta.write.mode("append").parquet(fact)
+    val grown = query(fact)
+    assert(!scans(grown).contains(mv), "stale MV wrongly served after growth")
+    // Results are correct (just slower) while stale.
+    val direct = withRewriteOff(grown.collect().map(_.toString).sorted)
+    assert(grown.collect().map(_.toString).sorted.sameElements(direct))
+    // Maintainer folds the delta in → rewrite resumes, bit-identical.
+    MaterializedView.appendDelta(spark, fact, delta)
+    val served = query(fact)
+    assert(scans(served).contains(mv), "rewrite did not resume after appendDelta")
+    assert(served.collect().map(_.toString).sorted.sameElements(direct))
+  }
+
+  test("declared rel_mv_* queries are actually MV-served (not vacuous)") {
+    // The oracle gate proves VALUES; this pins that the declared query's
+    // physical plan reads the rollup, not the fixture's lineitem.parquet.
+    val rollup = SparkEntry.specs("rel_mv_rollup").fn(spark, sfDir)
+    val p = scans(rollup)
+    assert(!p.contains("lineitem.parquet"), s"rel_mv_rollup reads the fact:\n$p")
+    val filtered = SparkEntry.specs("rel_mv_filtered").fn(spark, sfDir)
+    assert(!scans(filtered).contains("lineitem.parquet"))
+    val inc = SparkEntry.specs("rel_mv_incremental").fn(spark, sfDir)
+    assert(!scans(inc).contains("lineitem_fact"), "incremental not MV-served")
+  }
+
+  test("incremental batches re-aggregate to the full-refresh rollup") {
+    val (fact, _) = freshFact()
+    // Reference: one-shot refresh over the same rows.
+    val fullMv = tempDir("mv_spec_full")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag", "l_linestatus", "l_linenumber"), defaultAggs, fullMv))
+    // Rebuild the same fact in three appends on a second copy.
+    val fact2 = tempDir("mv_spec_fact2") + "/fact"
+    val incMv = tempDir("mv_spec_inc")
+    val full = spark.read.parquet(fact)
+    full.filter(pmod(col("l_orderkey"), lit(3)) === 0).write.parquet(fact2)
+    MaterializedView.register(spark, fact2,
+      MvDef(Seq("l_returnflag", "l_linestatus", "l_linenumber"), defaultAggs, incMv))
+    (1L to 2L).foreach { k =>
+      val d = full.filter(pmod(col("l_orderkey"), lit(3)) === k)
+      d.write.mode("append").parquet(fact2)
+      MaterializedView.appendDelta(spark, fact2, d)
+    }
+    // The LSM of three batch partials answers identically to one batch.
+    def agg(path: String) = spark.read.parquet(path)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(
+        dsum(col("l_quantity")).as("s"),
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      .collect().map(_.toString).sorted
+    assert(agg(fact2).sameElements(agg(fact)))
+    val p = scans(spark.read.parquet(fact2).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")))
+    assert(p.contains(incMv), "incremental MV not consulted")
+  }
+}
