@@ -198,6 +198,36 @@ object MaterializedView {
     registry.remove(canon(spark, sourcePath)); ()
   }
 
+  // ---- streamed maintenance ([[graft.streaming.MvStream]]) ----------
+
+  /** An opaque point-in-time listing of a source directory. Take it
+    * BEFORE a streaming drain starts: files that land DURING the drain
+    * are then outside the fingerprint, so a query after [[adopt]] falls
+    * back to the direct plan instead of reading an MV that never saw
+    * them. */
+  final class SourceSnapshot private[plans] (private[plans] val sig: Set[FileSig])
+
+  def snapshot(spark: SparkSession, sourcePath: String): SourceSnapshot =
+    new SourceSnapshot(listingOf(spark, sourcePath))
+
+  /** One micro-batch's partial rollup, keyed by the STREAMING batch id:
+    * a replayed batch overwrites its own `batch=` dir — exactly-once
+    * without a transaction log (the [[graft.streaming.CdfStream]]
+    * discipline). The stream's ids and [[appendDelta]]'s max+1 ids share
+    * one sequence, so batch maintenance can continue a drained stream. */
+  def streamBatch(rows: DataFrame, dfn: MvDef, batchId: Long): Unit =
+    writeBatch(rows, dfn, batchId)
+
+  /** Register an MV whose batches were written by a streamed maintainer
+    * (no rebuild — the drain already did the work). `snap` must be the
+    * [[snapshot]] taken before the drain started: the declaration is
+    * "every row of these files is in some batch", which AvailableNow's
+    * frozen listing guarantees for exactly the files in the snapshot. */
+  def adopt(spark: SparkSession, sourcePath: String, dfn: MvDef,
+      snap: SourceSnapshot): Unit = {
+    registry.put(canon(spark, sourcePath), Registered(dfn, snap.sig)); ()
+  }
+
   /** The registration covering a scan rooted at `rootPath`, or None. */
   private[plans] def lookup(rootPath: Path): Option[Registered] =
     Option(registry.get(rootPath.toUri.getPath))

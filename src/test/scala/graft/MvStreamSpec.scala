@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.Exact.dsum
+import graft.plans.MaterializedView.{MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import graft.sources.Tables
+import graft.streaming.MvStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streamed MV maintenance: per-run cost ∝ new files, replay-idempotent
+  * batches, rewrite flips on exactly at adopt time and answers
+  * bit-identically to the direct plan. */
+class MvStreamSpec extends SparkSpec {
+
+  private def li = Tables.load(spark, sfDir, "lineitem")
+
+  private def scans(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withRewriteOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try body finally spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  test("drain → adopt → rewrite; growth stales; second drain covers only new files") {
+    val landing = tempDir("mv_stream_landing") + "/fact"
+    val mv = tempDir("mv_stream_rollup")
+    val ckpt = tempDir("mv_stream_ckpt")
+    val dfn = MvDef(Seq("l_returnflag", "l_linestatus"),
+      Seq(MvSum("l_quantity"), MvCountStar, MvMin("l_extendedprice"),
+        MvMax("l_extendedprice")), mv)
+
+    def query = spark.read.parquet(landing)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+
+    // Wave 1 lands; the maintainer drains and adopts.
+    li.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+      .repartition(3).write.mode("append").parquet(landing)
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    assert(scans(query).contains(mv), "MV not serving after first drain")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+    val batchesAfterFirst = new java.io.File(mv).list().count(_.startsWith("batch="))
+    assert(batchesAfterFirst >= 3, "maxFilesPerTrigger=1 should give one batch per file")
+
+    // Wave 2 lands: fingerprint mismatch → direct plan (correct, slower).
+    li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
+      .repartition(2).write.mode("append").parquet(landing)
+    assert(!scans(query).contains(mv), "stale MV wrongly served after growth")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+
+    // Second drain: checkpoint resumes — only wave-2 files roll up —
+    // and the adopted snapshot covers everything.
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    assert(scans(query).contains(mv), "MV not serving after second drain")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+    val batchesAfterSecond = new java.io.File(mv).list().count(_.startsWith("batch="))
+    assert(batchesAfterSecond > batchesAfterFirst &&
+      batchesAfterSecond - batchesAfterFirst <= 2,
+      s"second drain should add only wave-2 batches " +
+        s"($batchesAfterFirst -> $batchesAfterSecond)")
+  }
+}

@@ -576,4 +576,25 @@ class SqlSurfaceSpec extends SparkSpec {
       FROM src s LEFT ANTI JOIN cust t ON s.c_custkey = t.c_custkey
       WHERE s.op <> 'delete'""")
   }
+
+  test("rel_mv_rollup through spark.sql (MV family door — and the SQL text is MV-served)") {
+    checkSame("rel_mv_rollup", """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+             COUNT(*) AS n,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag""")
+    // The optimizer rule sees the VIEW's plan exactly as it sees the
+    // DataFrame's (same LogicalRelation under the alias), so the SQL
+    // spelling is served from the rollup too — checkSame above already
+    // ran rel_mv_rollup's fn, which registered the fixture's MV.
+    val p = spark.sql(
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem.parquet"),
+      s"SQL aggregate not MV-served:\n$p")
+  }
 }
