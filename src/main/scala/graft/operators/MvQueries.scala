@@ -51,6 +51,28 @@ object MvQueries extends QueryModule {
     }); ()
   }
 
+  /** The time-bucketed rollup every metrics dashboard wants: events by
+    * (event_type, hour). The bucket is a DERIVED grouping column — the
+    * declaration carries its SQL, the rule matches the query's own
+    * spelling of `date_trunc('hour', ts)` semantically, and the value
+    * partial accumulates in exact decimal so the rewrite stays
+    * bit-identical. */
+  private def eventsDef(path: String) = MvDef(
+    groupCols = Seq("event_type"),
+    aggs = Seq(MvSum("value"), MvCountStar, MvMin("value"), MvMax("value")),
+    mvPath = path,
+    derived = Seq("bucket" -> "date_trunc('hour', ts)"))
+
+  private val registeredEvents = new ConcurrentHashMap[String, String]()
+
+  private def ensureEventsRegistered(s: SparkSession, dir: String): Unit = {
+    registeredEvents.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_events")
+      MaterializedView.register(s, s"$dir/events.parquet", eventsDef(mv))
+      mv
+    }); ()
+  }
+
   // Incremental fixture: a scratch COPY of lineitem built as an
   // append-only fact table — register on the first ~70%, then land the
   // rest as new files and fold them in with ONE delta rollup.
@@ -149,5 +171,39 @@ object MvQueries extends QueryModule {
                MIN(l_extendedprice) AS min_price,
                MAX(l_extendedprice) AS max_price
         FROM lineitem"""),
-      doc = "Append-only growth + one delta rollup; global agg from batches."))
+      doc = "Append-only growth + one delta rollup; global agg from batches."),
+
+    // ------------------------------------------------------------------
+    // Derived (time-bucketed) grouping: the query groups by its OWN
+    // spelling of date_trunc('hour', ts); the rule resolves the declared
+    // bucket SQL against the query's scan and matches it semantically, so
+    // the hourly dashboard aggregate reads the ~|types|·|hours| rollup
+    // instead of the fact table. A predicate over the bucket re-binds too.
+    "rel_mv_time_bucket" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureEventsRegistered(s, dir)
+        Tables.load(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("b"))
+          .agg(
+            dsum($"value").as("sum_value"),
+            count(lit(1)).as("n"),
+            min($"value").as("min_value"),
+            max($"value").as("max_value"))
+          // String bucket for the oracle hash (tz-aware parquet timestamps
+          // repr-differ between engines); the format rides ABOVE the
+          // rewritten Aggregate, over the MV's own grouping column.
+          .select($"event_type",
+            date_format($"b", "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            $"sum_value", $"n", $"min_value", $"max_value")
+      },
+      oracle = Some(s"""
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               ${sqlSum("value")} AS sum_value,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY 1, 2"""),
+      doc = "Hourly rollup served from a derived-grouping MV (plan pinned by spec)."))
 }

@@ -98,8 +98,16 @@ object MaterializedView {
   case object MvCountStar extends MvAgg { def col = "*"; def named = "cnt_star" }
 
   /** A registered rollup: partial aggregates `aggs` grouped by
-    * `groupCols`, stored as batch partitions under `mvPath`. */
-  final case class MvDef(groupCols: Seq[String], aggs: Seq[MvAgg], mvPath: String)
+    * `groupCols` (stored fact columns) plus `derived` grouping columns —
+    * (mv column name, SQL expression over fact columns), e.g.
+    * `("hour", "date_trunc('HOUR', ts)")` for the time-bucketed rollup
+    * every metrics dashboard wants. Derived expressions are matched
+    * SEMANTICALLY at rewrite time (the declared SQL is resolved against
+    * the query's own scan, analyzer-normalized timezone and all, then
+    * compared by `semanticEquals`), so the query spells the bucket
+    * however it likes. Stored as batch partitions under `mvPath`. */
+  final case class MvDef(groupCols: Seq[String], aggs: Seq[MvAgg],
+      mvPath: String, derived: Seq[(String, String)] = Nil)
 
   /** One file of the fingerprinted source listing. */
   private[plans] final case class FileSig(path: String, len: Long, mtime: Long)
@@ -151,7 +159,11 @@ object MaterializedView {
       case MvCount(c) => count(col(c)).as(s"cnt_$c")
       case MvCountStar => count(lit(1)).as("cnt_star")
     }
-    rows.groupBy(dfn.groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val withDerived = dfn.derived.foldLeft(rows) {
+      case (df, (n, sql)) => df.withColumn(n, expr(sql))
+    }
+    val keys = dfn.groupCols.map(col) ++ dfn.derived.map { case (n, _) => col(n) }
+    withDerived.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
   private def writeBatch(rows: DataFrame, dfn: MvDef, batch: Long): Unit =
@@ -245,20 +257,47 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.get("spark.graft.mv.rewrite", "true") == "true"
 
-  /** Unwrap `[Filter] / [Project(attrs)]*` down to a single-root v1 file
-    * scan, conjoining filter predicates. Plain-attribute Projects are
-    * transparent (attribute identity is by exprId); anything else bails. */
-  private def unwrap(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Seq[Expression], LogicalRelation, HadoopFsRelation)] =
+  /** Unwrap `[Filter] / [Project]*` down to a single-root v1 file scan,
+    * conjoining filter predicates and collecting project lists top-down.
+    * Projects may carry deterministic Alias entries — the optimizer's own
+    * `PullOutGroupingExpressions` rewrites `GROUP BY f(x)` into exactly
+    * that shape (`Project [.., f(x) AS _groupingexpression]`) before this
+    * rule runs, and user `withColumn` spellings produce it too. The
+    * collected aliases are inlined back by [[inliner]] so matching always
+    * happens over the scan's own attributes. */
+  private def unwrap(p: LogicalPlan, conds: Seq[Expression],
+      projects: Seq[Seq[NamedExpression]]): Option[(Seq[Expression],
+      Seq[Seq[NamedExpression]], LogicalRelation, HadoopFsRelation)] =
     p match {
-      case Filter(c, ch) => unwrap(ch, conds :+ c)
-      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(ch, conds)
+      case Filter(c, ch) => unwrap(ch, conds :+ c, projects)
+      case Project(pl, ch) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => rebindable(al.child)
+          case _ => false
+        } => unwrap(ch, conds, projects :+ pl)
       case lr @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
           if r.location.rootPaths.length == 1 =>
-        Some((conds, lr, r))
+        Some((conds, projects, lr, r))
       case _ => None
     }
+
+  /** Substitutes every alias the unwrapped Projects defined by its
+    * defining expression, fully resolved down to scan attributes (lower
+    * projects first, so upper aliases over lower aliases inline through). */
+  private def inliner(projects: Seq[Seq[NamedExpression]])
+      : Expression => Expression = {
+    val m = projects.reverse.foldLeft(
+        Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]) {
+      (acc, pl) => acc ++ pl.collect { case al: Alias =>
+        al.exprId -> al.child.transformUp {
+          case a: AttributeReference if acc.contains(a.exprId) => acc(a.exprId)
+        }
+      }
+    }
+    e => e.transformUp {
+      case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+    }
+  }
 
   /** A predicate safe to re-bind onto the MV: deterministic (a random
     * filter selects fact ROWS; re-bound it would select GROUPS — a
@@ -276,36 +315,71 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** The declared derived grouping expressions, resolved against the
+    * query's OWN relation (same attribute exprIds, analyzer-normalized
+    * timezone), so `semanticEquals` against query expressions is exact.
+    * None when any declaration fails to resolve — no rewrite. */
+  private def bindDerived(lr: LogicalRelation, dfn: MvDef)
+      : Option[Seq[(String, Expression)]] =
+    seqOpt(dfn.derived.map { case (n, sql) =>
+      scala.util.Try {
+        val analyzed = org.apache.spark.sql.GraftSqlBridge
+          .ofRows(spark, lr).selectExpr(s"($sql) AS __mv_derived")
+          .queryExecution.analyzed
+        analyzed.expressions.collectFirst {
+          case al: Alias if al.name == "__mv_derived" => n -> al.child
+        }
+      }.toOption.flatten
+    })
+
   private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
     for {
-      (conds, _, rel) <- unwrap(child, Nil)
+      (conds0, projects, lr, rel) <- unwrap(child, Nil, Nil)
       reg <- lookup(rel.location.rootPaths.head)
       dfn = reg.dfn
       // Freshness: the scan's own (cached) listing must equal the
       // fingerprint taken at the last maintenance run.
       if sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == reg.sig
-      // Subsumption: grouping keys and every filtered column are MV
-      // grouping columns (bare stored attributes, not derived work).
-      groupAttrs <- seqOpt(groupExprs.map {
-        case a: AttributeReference if dfn.groupCols.contains(a.name) => Some(a)
-        case _ => None
-      })
-      if conds.forall(c => rebindable(c) &&
-        c.references.forall(a => dfn.groupCols.contains(a.name)))
+      derived <- bindDerived(lr, dfn)
+      inline = inliner(projects)
+      conds = conds0.map(inline)
       mvScan = spark.read.parquet(dfn.mvPath).queryExecution.analyzed
       mvAttr = mvScan.output.collect {
         case a: AttributeReference => a.name -> a
       }.toMap
-      newAggs <- seqOpt(aggExprs.map(deriveNamed(_, dfn, mvAttr)))
+      // One query-side expression's MV grouping column, if any: a bare
+      // stored grouping attribute, or anything semantically equal to a
+      // declared derived expression.
+      groupTarget = (e: Expression) => e match {
+        case a: AttributeReference if dfn.groupCols.contains(a.name) =>
+          mvAttr.get(a.name)
+        case e0 => derived.collectFirst {
+          case (n, be) if be.semanticEquals(e0) => n
+        }.flatMap(mvAttr.get)
+      }
+      // Subsumption: every grouping key lands on an MV grouping column.
+      newGroup <- seqOpt(groupExprs.map(e => groupTarget(inline(e))))
+      // Predicates re-bind if, after swapping derived-expression
+      // occurrences for their MV columns, they reference only MV
+      // grouping columns.
+      newConds <- seqOpt(conds.map { c =>
+        if (!rebindable(c)) None
+        else {
+          val mvIds = mvAttr.values.map(_.exprId).toSet
+          val swapped = c.transformDown {
+            case e if groupTarget(e).isDefined => groupTarget(e).get
+          }
+          if (swapped.references.forall(a => mvIds.contains(a.exprId)))
+            Some(swapped)
+          else None
+        }
+      })
+      newAggs <- seqOpt(aggExprs.map(deriveNamed(_, dfn, mvAttr, groupTarget, inline)))
     } yield {
-      val filtered = conds
-        .reduceOption(And)
-        .map(c => Filter(c.transform {
-          case a: AttributeReference => mvAttr(a.name)
-        }, mvScan))
-        .getOrElse(mvScan)
-      Aggregate(groupAttrs.map(a => mvAttr(a.name)), newAggs, filtered)
+      val filtered = newConds.reduceOption(And)
+        .map(c => Filter(c, mvScan)).getOrElse(mvScan)
+      Aggregate(newGroup, newAggs, filtered)
     }
 
   private def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
@@ -341,7 +415,10 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     * partials, grouping references re-bind to the MV's columns, and the
     * surrounding arithmetic is kept verbatim. */
   private def deriveNamed(ne: NamedExpression, dfn: MvDef,
-      mvAttr: Map[String, AttributeReference]): Option[NamedExpression] = {
+      mvAttr: Map[String, AttributeReference],
+      groupTarget: Expression => Option[AttributeReference],
+      inline: Expression => Expression)
+      : Option[NamedExpression] = {
     def derived(f: PartialFunction[MvAgg, MvAgg]): Option[AttributeReference] =
       dfn.aggs.collectFirst(f).flatMap(a => mvAttr.get(a.named))
     def rederive(fn: Expression): Option[Expression] = fn match {
@@ -364,28 +441,28 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(mv => Coalesce(Seq(Sum(mv).toAggregateExpression(), Literal(0L))))
       case _ => None
     }
-    // Structural remap: aggregate calls and grouping references swap to
-    // their MV derivations; every other node must reconstruct over
-    // successfully-remapped children or the whole column (and with it
-    // the whole rewrite) bails.
+    // Structural remap: aggregate calls and grouping expressions (stored
+    // or derived) swap to their MV derivations; every other node must
+    // reconstruct over successfully-remapped children or the whole
+    // column (and with it the whole rewrite) bails.
     def remap(e: Expression): Option[Expression] = e match {
       case ae @ AggregateExpression(fn, _, false, None, _) =>
         rederive(fn).map { x =>
           if (x.dataType == ae.dataType) x else Cast(x, ae.dataType)
         }
       case _: AggregateExpression => None // DISTINCT / FILTER clause
-      case a: AttributeReference =>
-        if (dfn.groupCols.contains(a.name)) mvAttr.get(a.name) else None
+      case e0 if groupTarget(e0).isDefined => groupTarget(e0)
+      case _: AttributeReference => None // non-grouping stored column
       case other if other.deterministic &&
           !other.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]] =>
         seqOpt(other.children.map(remap)).map(other.withNewChildren)
       case _ => None
     }
     ne match {
-      case a: AttributeReference if dfn.groupCols.contains(a.name) =>
-        Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+      case a: AttributeReference =>
+        groupTarget(inline(a)).map(mv => Alias(mv, a.name)(exprId = a.exprId))
       case al @ Alias(e, n) =>
-        remap(e).map(x => Alias(x, n)(exprId = al.exprId))
+        remap(inline(e)).map(x => Alias(x, n)(exprId = al.exprId))
       case _ => None
     }
   }

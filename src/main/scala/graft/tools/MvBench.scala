@@ -1,0 +1,104 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.api.Exact.dsum
+import graft.plans.MaterializedView
+import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the materialized-view rewrite's economics — the claim under
+  * test: a subsumed aggregate over a fact table costs O(rollup) ≈
+  * constant once the MV exists, the one-time build costs one fact scan,
+  * and incremental maintenance costs O(delta), so at 100 TB a dashboard's
+  * repeated aggregates never pay the fact scan again.
+  *
+  * Protocol per scale: register (timed: one full scan + ~40-row write),
+  * run the rollup query direct (rewrite disabled) and MV-served, two
+  * timed runs each (min reported); then append a ~1% delta to the fact
+  * and time `appendDelta` (one delta rollup) vs what a full refresh
+  * would pay (re-register). Results must match between modes — asserted
+  * on canonicalized rows, not assumed.
+  *
+  * Usage: `runMain graft.tools.MvBench <sfDir> [<sfDir> ...]`
+  * Prints one JSON line per dir; append to MV_BENCH.json to commit.
+  */
+object MvBench {
+
+  private def dfn(mvPath: String) = MvDef(
+    groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+    aggs = Seq(MvSum("l_quantity"), MvSum("l_extendedprice"), MvCountStar,
+      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice")),
+    mvPath = mvPath)
+
+  private def rollupQuery(spark: SparkSession, fact: String): DataFrame =
+    spark.read.parquet(fact)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  private def timed[A](body: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = body
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder("graft-mv-bench", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toSeq.foreach { dir =>
+      // A scratch COPY of lineitem is the fact (the delta step appends).
+      val scratch = graft.api.Scratch.dir("mvbench")
+      val fact = s"$scratch/fact"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      li.write.parquet(fact)
+      val nRows = spark.read.parquet(fact).count()
+
+      val (buildSec, _) =
+        timed(MaterializedView.register(spark, fact, dfn(s"$scratch/mv")))
+
+      def canon(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      def run(rewrite: Boolean): (Double, Seq[String]) = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        try {
+          val times = (1 to 2).map(_ => timed(canon(rollupQuery(spark, fact))))
+          (times.map(_._1).min, times.head._2)
+        } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (directSec, directRows) = run(rewrite = false)
+      val (servedSec, servedRows) = run(rewrite = true)
+      require(directRows == servedRows, "MV-served rows != direct rows")
+
+      // ~1% delta lands as new files; maintenance = one delta rollup.
+      val delta = li.filter(pmod(col("l_orderkey"), lit(100)) === 7)
+      val nDelta = delta.count()
+      delta.write.mode("append").parquet(fact)
+      val (deltaSec, _) =
+        timed(MaterializedView.appendDelta(spark, fact, delta))
+      // What a full refresh would pay instead (rebuild over grown fact).
+      val (refreshSec, _) =
+        timed(MaterializedView.register(spark, fact, dfn(s"$scratch/mv2")))
+      val (servedSec2, served2) = run(rewrite = true)
+      val (directSec2, direct2) = run(rewrite = false)
+      require(served2 == direct2, "post-delta MV-served rows != direct rows")
+
+      println(
+        s"""{"metric":"mv_bench","sf":"$dir","fact_rows":$nRows,""" +
+        s""""build_sec":${f"$buildSec%.2f"},"direct_sec":${f"$directSec%.2f"},""" +
+        s""""mv_served_sec":${f"$servedSec%.2f"},""" +
+        s""""speedup":${f"${directSec / servedSec}%.1f"},""" +
+        s""""delta_rows":$nDelta,"append_delta_sec":${f"$deltaSec%.2f"},""" +
+        s""""full_refresh_sec":${f"$refreshSec%.2f"},""" +
+        s""""post_delta_served_sec":${f"$servedSec2%.2f"},""" +
+        s""""post_delta_direct_sec":${f"$directSec2%.2f"}}""")
+    }
+    spark.stop()
+  }
+}

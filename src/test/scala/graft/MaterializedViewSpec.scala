@@ -154,6 +154,60 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!scans(inc).contains("lineitem_fact"), "incremental not MV-served")
   }
 
+  test("derived time-bucket grouping rewrites; wrong bucket / finer key fall through") {
+    val fact = tempDir("mv_spec_ev") + "/fact"
+    Tables.load(spark, sfDir, "events").write.parquet(fact)
+    val mv = tempDir("mv_spec_ev_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("event_type"), Seq(MvSum("value"), MvCountStar, MvMax("value")),
+        mv, derived = Seq("bucket" -> "date_trunc('hour', ts)")))
+
+    // The query spells the bucket ITSELF (no reference to the MV or its
+    // column name) — matched semantically, served from the rollup,
+    // bit-identical to the unrewritten plan.
+    val df = spark.read.parquet(fact)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(dsum(col("value")).as("sv"), count(lit(1)).as("n"),
+        max(col("value")).as("mx"))
+    val p = scans(df)
+    assert(p.contains(mv) && !p.contains(fact), s"bucketed agg not rewritten:\n$p")
+    val off = withRewriteOff(df.collect().map(_.toString).sorted)
+    assert(df.collect().map(_.toString).sorted.sameElements(off))
+
+    // Coarser than the MV (drop the bucket) re-aggregates the partials.
+    val coarse = spark.read.parquet(fact)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(scans(coarse).contains(mv))
+
+    // A predicate over the derived expression re-binds onto the MV column.
+    val cutoff = spark.read.parquet(fact)
+      .select(date_trunc("hour", col("ts")).as("h")).agg(max(col("h"))).collect()(0)
+      .getTimestamp(0)
+    val filtered = spark.read.parquet(fact)
+      .filter(date_trunc("hour", col("ts")) < lit(cutoff))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val fp = scans(filtered)
+    assert(fp.contains(mv) && !fp.contains(fact), s"bucket predicate not re-bound:\n$fp")
+    val foff = withRewriteOff(filtered.collect().map(_.toString).sorted)
+    assert(filtered.collect().map(_.toString).sorted.sameElements(foff))
+
+    // A DIFFERENT bucket (day ≠ hour) is not semantically equal → direct.
+    val day = spark.read.parquet(fact)
+      .groupBy(date_trunc("day", col("ts")).as("b")).agg(count(lit(1)).as("n"))
+    assert(!scans(day).contains(mv), "day bucket wrongly served from hour MV")
+
+    // Grouping by the raw timestamp is finer than the bucket → direct.
+    val bare = spark.read.parquet(fact)
+      .groupBy(col("ts")).agg(count(lit(1)).as("n"))
+    assert(!scans(bare).contains(mv), "raw-ts grouping wrongly served from MV")
+  }
+
+  test("declared rel_mv_time_bucket is actually MV-served (not vacuous)") {
+    val df = SparkEntry.specs("rel_mv_time_bucket").fn(spark, sfDir)
+    val p = scans(df)
+    assert(!p.contains("events.parquet"), s"rel_mv_time_bucket reads the fact:\n$p")
+  }
+
   test("incremental batches re-aggregate to the full-refresh rollup") {
     val (fact, _) = freshFact()
     // Reference: one-shot refresh over the same rows.
