@@ -73,6 +73,29 @@ object MvQueries extends QueryModule {
     }); ()
   }
 
+  /** The star rollup: lineitem ⋈ orders by order priority — the MV's
+    * source relation is the fact⋈dim join, so the dashboard's join
+    * aggregate reads a 5-row table instead of joining 60M×15M rows.
+    * Coexists with the plain lineitem rollup on the SAME fact path; the
+    * rule picks whichever registration matches the query's shape. */
+  private def starDef(dir: String, path: String) = MvDef(
+    groupCols = Seq("o_orderpriority"),
+    aggs = Seq(MvSum("l_extendedprice"), MvSum("l_quantity"), MvCountStar,
+      MvMax("l_extendedprice")),
+    mvPath = path,
+    join = Some(MaterializedView.MvJoin(
+      s"$dir/orders.parquet", "l_orderkey", "o_orderkey")))
+
+  private val registeredStar = new ConcurrentHashMap[String, String]()
+
+  private def ensureStarRegistered(s: SparkSession, dir: String): Unit = {
+    registeredStar.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_star")
+      MaterializedView.register(s, s"$dir/lineitem.parquet", starDef(dir, mv))
+      mv
+    }); ()
+  }
+
   // Incremental fixture: a scratch COPY of lineitem built as an
   // append-only fact table — register on the first ~70%, then land the
   // rest as new files and fold them in with ONE delta rollup.
@@ -205,5 +228,37 @@ object MvQueries extends QueryModule {
                MIN(value) AS min_value,
                MAX(value) AS max_value
         FROM events GROUP BY 1, 2"""),
-      doc = "Hourly rollup served from a derived-grouping MV (plan pinned by spec)."))
+      doc = "Hourly rollup served from a derived-grouping MV (plan pinned by spec)."),
+
+    // ------------------------------------------------------------------
+    // Star-schema rollup: the query writes its own lineitem⋈orders inner
+    // equi-join and aggregates by a DIMENSION attribute; the rule matches
+    // the declared key pair (both scans fingerprint-fresh) and re-points
+    // the whole join+aggregate at the ~5-row rollup. A dim-attribute
+    // predicate rides along onto the MV's grouping column.
+    "rel_mv_star" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureStarRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+          .groupBy($"o_orderpriority")
+          .agg(
+            dsum($"l_extendedprice").as("sum_price"),
+            dsum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            max($"l_extendedprice").as("max_price"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+               ${sqlSum("l_extendedprice")} AS sum_price,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY o_orderpriority"""),
+      doc = "Fact⋈dim rollup served from a star MV (plan pinned by spec)."))
 }

@@ -4,9 +4,10 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -97,31 +98,55 @@ object MaterializedView {
   final case class MvCount(col: String) extends MvAgg { def named = s"cnt_$col" }
   case object MvCountStar extends MvAgg { def col = "*"; def named = "cnt_star" }
 
+  /** The star-schema extension: the MV's source relation is
+    * `fact INNER JOIN parquet(dimPath) ON fact.factKey = dim.dimKey`,
+    * and `groupCols`/`derived` may then name DIMENSION columns — the
+    * Calcite-`MaterializedViewRule` shape (rollup by order priority,
+    * by customer nation, …) that answers a dashboard's fact⋈dim
+    * aggregate without touching either table. The rewrite matches the
+    * query's OWN inner equi-join on the same key pair; the dimension is
+    * fingerprinted alongside the fact, and a changed dimension refuses
+    * incremental maintenance (a delta folded under a different dim
+    * version would be inconsistent) — rebuild with [[register]]. */
+  final case class MvJoin(dimPath: String, factKey: String, dimKey: String)
+
   /** A registered rollup: partial aggregates `aggs` grouped by
-    * `groupCols` (stored fact columns) plus `derived` grouping columns —
-    * (mv column name, SQL expression over fact columns), e.g.
+    * `groupCols` (stored source columns) plus `derived` grouping columns —
+    * (mv column name, SQL expression over source columns), e.g.
     * `("hour", "date_trunc('HOUR', ts)")` for the time-bucketed rollup
     * every metrics dashboard wants. Derived expressions are matched
     * SEMANTICALLY at rewrite time (the declared SQL is resolved against
     * the query's own scan, analyzer-normalized timezone and all, then
     * compared by `semanticEquals`), so the query spells the bucket
-    * however it likes. Stored as batch partitions under `mvPath`. */
+    * however it likes. With `join` set the source relation is the
+    * fact⋈dim star join ([[MvJoin]]). Stored as batch partitions under
+    * `mvPath`. */
   final case class MvDef(groupCols: Seq[String], aggs: Seq[MvAgg],
-      mvPath: String, derived: Seq[(String, String)] = Nil)
+      mvPath: String, derived: Seq[(String, String)] = Nil,
+      join: Option[MvJoin] = None)
 
   /** One file of the fingerprinted source listing. */
   private[plans] final case class FileSig(path: String, len: Long, mtime: Long)
 
   private[plans] final case class Registered(dfn: MvDef,
-      @volatile var sig: Set[FileSig])
+      @volatile var sig: Set[FileSig],
+      @volatile var dimSig: Option[Set[FileSig]])
 
-  // canonical fact root path -> registration. Session-scoped state would
-  // need the rule to thread the session; like SkippingIndex's auto
-  // registry this is JVM-scoped, keyed by the canonical path so two
-  // sessions over the same warehouse share the declaration.
-  private val registry = new ConcurrentHashMap[String, Registered]()
+  // canonical fact root path -> registrations (a fact table can carry
+  // several rollups — plain, time-bucketed, star — and one appendDelta
+  // maintains them all). Session-scoped state would need the rule to
+  // thread the session; like SkippingIndex's auto registry this is
+  // JVM-scoped, keyed by the canonical path so two sessions over the
+  // same warehouse share the declaration.
+  private val registry = new ConcurrentHashMap[String, List[Registered]]()
 
-  private def canon(spark: SparkSession, path: String): String = {
+  private def put(key: String, reg: Registered): Unit = {
+    registry.compute(key, (_, old) =>
+      reg :: Option(old).getOrElse(Nil).filterNot(_.dfn.mvPath == reg.dfn.mvPath))
+    ()
+  }
+
+  private[plans] def canon(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.makeQualified(p).toUri.getPath
@@ -152,6 +177,16 @@ object MaterializedView {
     * maintenance paths run (refresh over the full source, appendDelta
     * over the increment). */
   private def partial(rows: DataFrame, dfn: MvDef): DataFrame = {
+    // Star MV: the source relation is the fact⋈dim join. Aliases keep the
+    // key equality unambiguous; every other referenced column must be
+    // unambiguous by name across the two schemas or this build fails
+    // loudly at register time (which is what makes name-keyed matching
+    // in the rewrite safe: an ambiguous declaration cannot register).
+    val src = dfn.join.fold(rows) { j =>
+      val dim = rows.sparkSession.read.parquet(j.dimPath).alias("__mv_dim")
+      rows.alias("__mv_fact").join(dim,
+        col(s"__mv_fact.${j.factKey}") === col(s"__mv_dim.${j.dimKey}"), "inner")
+    }
     val aggCols = dfn.aggs.map {
       case MvSum(c)   => sum(col(c).cast(SumDec)).as(s"sum_$c")
       case MvMin(c)   => min(col(c)).as(s"min_$c")
@@ -159,7 +194,7 @@ object MaterializedView {
       case MvCount(c) => count(col(c)).as(s"cnt_$c")
       case MvCountStar => count(lit(1)).as("cnt_star")
     }
-    val withDerived = dfn.derived.foldLeft(rows) {
+    val withDerived = dfn.derived.foldLeft(src) {
       case (df, (n, sql)) => df.withColumn(n, expr(sql))
     }
     val keys = dfn.groupCols.map(col) ++ dfn.derived.map { case (n, _) => col(n) }
@@ -178,8 +213,9 @@ object MaterializedView {
   def register(spark: SparkSession, sourcePath: String, dfn: MvDef): Unit = {
     val sig = listingOf(spark, sourcePath) // listing BEFORE the read: a
     // concurrent writer invalidates (sig mismatch) rather than covers.
+    val dimSig = dfn.join.map(j => listingOf(spark, j.dimPath))
     writeBatch(spark.read.parquet(sourcePath), dfn, 0L)
-    registry.put(canon(spark, sourcePath), Registered(dfn, sig))
+    put(canon(spark, sourcePath), Registered(dfn, sig, dimSig))
   }
 
   /** Fold an append-only delta in: ONE partial rollup of `deltaRows`
@@ -193,17 +229,28 @@ object MaterializedView {
   def appendDelta(spark: SparkSession, sourcePath: String,
       deltaRows: DataFrame): Unit = {
     val key = canon(spark, sourcePath)
-    val reg = registry.get(key)
-    require(reg != null, s"no MV registered for $key")
+    val regs = registry.get(key)
+    require(regs != null && regs.nonEmpty, s"no MV registered for $key")
     val sig = listingOf(spark, sourcePath)
-    val fs = new Path(reg.dfn.mvPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(new Path(reg.dfn.mvPath))
-      .map(_.getPath.getName).collect {
-        case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
-      }.max + 1L
-    writeBatch(deltaRows, reg.dfn, next)
-    reg.sig = sig
+    regs.foreach { reg =>
+      // A star MV's delta rollup joins the CURRENT dimension; folding it
+      // under a dim version the earlier batches never saw would mix the
+      // two silently. Refuse loudly — a changed dim needs register().
+      reg.dfn.join.foreach { j =>
+        require(reg.dimSig.contains(listingOf(spark, j.dimPath)),
+          s"dimension ${j.dimPath} changed since registration of " +
+          s"${reg.dfn.mvPath}; incremental maintenance would mix dim " +
+          "versions — rebuild with register()")
+      }
+      val fs = new Path(reg.dfn.mvPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val next = fs.listStatus(new Path(reg.dfn.mvPath))
+        .map(_.getPath.getName).collect {
+          case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong
+        }.max + 1L
+      writeBatch(deltaRows, reg.dfn, next)
+      reg.sig = sig
+    }
   }
 
   def deregister(spark: SparkSession, sourcePath: String): Unit = {
@@ -236,13 +283,13 @@ object MaterializedView {
     * "every row of these files is in some batch", which AvailableNow's
     * frozen listing guarantees for exactly the files in the snapshot. */
   def adopt(spark: SparkSession, sourcePath: String, dfn: MvDef,
-      snap: SourceSnapshot): Unit = {
-    registry.put(canon(spark, sourcePath), Registered(dfn, snap.sig)); ()
-  }
+      snap: SourceSnapshot): Unit =
+    put(canon(spark, sourcePath),
+      Registered(dfn, snap.sig, dfn.join.map(j => listingOf(spark, j.dimPath))))
 
-  /** The registration covering a scan rooted at `rootPath`, or None. */
-  private[plans] def lookup(rootPath: Path): Option[Registered] =
-    Option(registry.get(rootPath.toUri.getPath))
+  /** The registrations covering a scan rooted at `rootPath`. */
+  private[plans] def lookup(rootPath: Path): List[Registered] =
+    Option(registry.get(rootPath.toUri.getPath)).getOrElse(Nil)
 
   private[plans] def sigOf(files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]): Set[FileSig] =
     files.map(f => FileSig(f.getPath.toUri.getPath, f.getLen,
@@ -316,33 +363,115 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The declared derived grouping expressions, resolved against the
-    * query's OWN relation (same attribute exprIds, analyzer-normalized
+    * query's OWN relation(s) (same attribute exprIds, analyzer-normalized
     * timezone), so `semanticEquals` against query expressions is exact.
-    * None when any declaration fails to resolve — no rewrite. */
-  private def bindDerived(lr: LogicalRelation, dfn: MvDef)
-      : Option[Seq[(String, Expression)]] =
+    * None when any declaration fails to resolve — no rewrite. For star
+    * MVs `rel` is a bare fact⋈dim Join over the query's two scans and the
+    * resolved attributes may land on branch-level aliases — `inline`
+    * reduces both sides to scan attributes before comparison. */
+  private def bindDerived(rel: LogicalPlan, dfn: MvDef,
+      inline: Expression => Expression): Option[Seq[(String, Expression)]] =
     seqOpt(dfn.derived.map { case (n, sql) =>
       scala.util.Try {
         val analyzed = org.apache.spark.sql.GraftSqlBridge
-          .ofRows(spark, lr).selectExpr(s"($sql) AS __mv_derived")
+          .ofRows(spark, rel).selectExpr(s"($sql) AS __mv_derived")
           .queryExecution.analyzed
         analyzed.expressions.collectFirst {
-          case al: Alias if al.name == "__mv_derived" => n -> al.child
+          case al: Alias if al.name == "__mv_derived" => n -> inline(al.child)
         }
       }.toOption.flatten
     })
 
-  private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
-      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+  /** Is the scan's CURRENT listing (already cached by the planner's own
+    * FileIndex) exactly the fingerprint of the last maintenance run? */
+  private def fresh(rel: HadoopFsRelation, sig: Set[FileSig]): Boolean =
+    sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == sig
+
+  /** Unwrap `[Filter]/[Project]*` down to a JOIN node (the star shape —
+    * grouping-pullout Projects and HAVING-ish Filters ride above it). */
+  private def unwrapToJoin(p: LogicalPlan, conds: Seq[Expression],
+      projects: Seq[Seq[NamedExpression]])
+      : Option[(Seq[Expression], Seq[Seq[NamedExpression]], Join)] =
+    p match {
+      case Filter(c, ch) => unwrapToJoin(ch, conds :+ c, projects)
+      case Project(pl, ch) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => rebindable(al.child)
+          case _ => false
+        } => unwrapToJoin(ch, conds, projects :+ pl)
+      case j: Join => Some((conds, projects, j))
+      case _ => None
+    }
+
+  /** Exactly the declared key equality `fact.factKey = dim.dimKey`
+    * (either operand order), between the two scans' own attributes. */
+  private def isKeyEquality(c: Expression, factLr: LogicalRelation,
+      dimLr: LogicalRelation, mj: MvJoin): Boolean = {
+    val fIds = factLr.output.map(_.exprId).toSet
+    val dIds = dimLr.output.map(_.exprId).toSet
+    c match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name == mj.factKey && fIds(a.exprId) &&
+          b.name == mj.dimKey && dIds(b.exprId)) ||
+        (b.name == mj.factKey && fIds(b.exprId) &&
+          a.name == mj.dimKey && dIds(a.exprId))
+      case _ => false
+    }
+  }
+
+  /** One rewrite candidate: the conjoined residual predicates, the
+    * collected project lists, the relation `derived` declarations resolve
+    * against, and the fresh registration to serve from. */
+  private type Candidate =
+    (Seq[Expression], Seq[Seq[NamedExpression]], LogicalPlan, Registered)
+
+  /** Star-shape candidates: `Aggregate → …(Join(fact, dim))` where the
+    * join is the registered INNER equi-join on the declared key pair (in
+    * either child order), both scans' listings match their fingerprints,
+    * and residual predicates from above the join and both branches are
+    * pooled for grouping-column re-binding. */
+  private def starCandidates(child: LogicalPlan): Seq[Candidate] =
     for {
-      (conds0, projects, lr, rel) <- unwrap(child, Nil, Nil)
-      reg <- lookup(rel.location.rootPaths.head)
-      dfn = reg.dfn
-      // Freshness: the scan's own (cached) listing must equal the
-      // fingerprint taken at the last maintenance run.
-      if sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == reg.sig
-      derived <- bindDerived(lr, dfn)
+      (condsT, projT, j) <- unwrapToJoin(child, Nil, Nil).toSeq
+      if j.joinType == Inner
+      (condsL, projL, lrL, relL) <- unwrap(j.left, Nil, Nil).toSeq
+      (condsR, projR, lrR, relR) <- unwrap(j.right, Nil, Nil).toSeq
+      (factLr, factRel, dimLr, dimRel) <- Seq(
+        (lrL, relL, lrR, relR), (lrR, relR, lrL, relL))
+      reg <- lookup(factRel.location.rootPaths.head)
+      mj <- reg.dfn.join.toSeq
+      if dimRel.location.rootPaths.head.toUri.getPath ==
+        MaterializedView.canon(spark, mj.dimPath)
+      if fresh(factRel, reg.sig)
+      if reg.dimSig.exists(s => fresh(dimRel, s))
+      inline = inliner(projT ++ projL ++ projR)
+      cond <- j.condition.toSeq
+      if isKeyEquality(inline(cond), factLr, dimLr, mj)
+    } yield (condsT ++ condsL ++ condsR, projT ++ projL ++ projR,
+      Join(factLr, dimLr, Inner, None, JoinHint.NONE): LogicalPlan, reg)
+
+  private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val candidates: Seq[Candidate] = unwrap(child, Nil, Nil) match {
+      case Some((conds, projects, lr, rel)) =>
+        lookup(rel.location.rootPaths.head)
+          .filter(r => r.dfn.join.isEmpty && fresh(rel, r.sig))
+          .map(r => (conds, projects, lr: LogicalPlan, r))
+      case None => starCandidates(child)
+    }
+    candidates.view
+      .flatMap(c => rewriteOver(c._1, c._2, c._3, c._4, groupExprs, aggExprs))
+      .headOption
+  }
+
+  private def rewriteOver(conds0: Seq[Expression],
+      projects: Seq[Seq[NamedExpression]], rel: LogicalPlan, reg: Registered,
+      groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression])
+      : Option[LogicalPlan] =
+    for {
+      dfn <- Some(reg.dfn)
       inline = inliner(projects)
+      derived <- bindDerived(rel, dfn, inline)
       conds = conds0.map(inline)
       mvScan = spark.read.parquet(dfn.mvPath).queryExecution.analyzed
       mvAttr = mvScan.output.collect {

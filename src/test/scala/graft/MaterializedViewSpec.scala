@@ -208,6 +208,116 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!p.contains("events.parquet"), s"rel_mv_time_bucket reads the fact:\n$p")
   }
 
+  test("star fact⋈dim rollup rewrites; wrong join shape falls through") {
+    val fact = tempDir("mv_star_fact") + "/fact"
+    val dim = tempDir("mv_star_dim") + "/dim"
+    li.write.parquet(fact)
+    Tables.load(spark, sfDir, "orders").write.parquet(dim)
+    val mv = tempDir("mv_star_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("o_orderpriority"),
+        Seq(MvSum("l_extendedprice"), MvCountStar, MvMin("l_extendedprice")),
+        mv, join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+
+    def q(left: String, right: String) = spark.read.parquet(left)
+      .join(spark.read.parquet(right), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("sp"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"))
+
+    // The query writes its own join; served from the rollup, neither
+    // table scanned, bit-identical to the unrewritten join+aggregate.
+    val df = q(fact, dim)
+    val p = scans(df)
+    assert(p.contains(mv) && !p.contains(fact) && !p.contains(dim),
+      s"star agg not rewritten:\n$p")
+    val off = withRewriteOff(q(fact, dim).collect().map(_.toString).sorted)
+    assert(df.collect().map(_.toString).sorted.sameElements(off))
+
+    // Swapped child order (dim ⋈ fact) serves too.
+    assert(scans(q(dim, fact)).contains(mv), "swapped join order not served")
+
+    // A dim-attribute predicate re-binds onto the MV.
+    val filtered = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val fp = scans(filtered)
+    assert(fp.contains(mv) && !fp.contains(fact), s"dim predicate not re-bound:\n$fp")
+    val foff = withRewriteOff(filtered.collect().map(_.toString).sorted)
+    assert(filtered.collect().map(_.toString).sorted.sameElements(foff))
+
+    // LEFT join is a different relation (unmatched fact rows survive) →
+    // direct plan.
+    val lj = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scans(lj).contains(mv), "left join wrongly served from inner-join MV")
+
+    // A different key pair → direct plan.
+    val wrongKey = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_partkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scans(wrongKey).contains(mv), "wrong join key wrongly served")
+
+    // Grouping by a fact column the MV doesn't carry → direct plan.
+    val byFact = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linenumber")).agg(count(lit(1)).as("n"))
+    assert(!scans(byFact).contains(mv), "undeclared grouping wrongly served")
+  }
+
+  test("star MV: growth stales, delta re-enables, changed dim refuses maintenance") {
+    val fact = tempDir("mv_star2_fact") + "/fact"
+    val dim = tempDir("mv_star2_dim") + "/dim"
+    val full = li
+    full.filter(pmod(col("l_orderkey"), lit(10)) < 7).write.parquet(fact)
+    Tables.load(spark, sfDir, "orders").write.parquet(dim)
+    val mv = tempDir("mv_star2_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("o_orderpriority"), Seq(MvSum("l_quantity"), MvCountStar),
+        mv, join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+
+    def q() = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+
+    assert(scans(q()).contains(mv))
+    // Fact grows → stale → direct (correct) until the delta folds in.
+    val delta = full.filter(pmod(col("l_orderkey"), lit(10)) >= 7)
+    delta.write.mode("append").parquet(fact)
+    assert(!scans(q()).contains(mv), "stale star MV wrongly served")
+    MaterializedView.appendDelta(spark, fact, delta)
+    assert(scans(q()).contains(mv), "rewrite did not resume after star delta")
+    val off = withRewriteOff(q().collect().map(_.toString).sorted)
+    assert(q().collect().map(_.toString).sorted.sameElements(off))
+
+    // The dimension changes: maintenance refuses loudly (folding a delta
+    // joined against dim-v2 under batches built on dim-v1 would be
+    // silently wrong), and the rewrite no longer fires.
+    spark.read.parquet(dim).limit(1).write.mode("append").parquet(dim)
+    val d2 = full.limit(10)
+    d2.write.mode("append").parquet(fact)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.appendDelta(spark, fact, d2)
+    }
+    assert(e.getMessage.contains("dim"), s"wrong refusal: ${e.getMessage}")
+    assert(!scans(q()).contains(mv), "dim-stale star MV wrongly served")
+  }
+
+  test("plain and star MVs coexist on one fact path; each query picks its own") {
+    // The fixture path carries MvQueries' plain lineitem rollup AND the
+    // star registration made by rel_mv_star — a single-table aggregate
+    // must serve from the plain one, the join aggregate from the star.
+    val star = SparkEntry.specs("rel_mv_star").fn(spark, sfDir)
+    val ps = scans(star)
+    assert(!ps.contains("lineitem.parquet") && !ps.contains("orders.parquet"),
+      s"rel_mv_star reads a base table:\n$ps")
+    val plain = SparkEntry.specs("rel_mv_rollup").fn(spark, sfDir)
+    assert(!scans(plain).contains("lineitem.parquet"))
+  }
+
   test("incremental batches re-aggregate to the full-refresh rollup") {
     val (fact, _) = freshFact()
     // Reference: one-shot refresh over the same rows.
