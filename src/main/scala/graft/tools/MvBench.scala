@@ -96,6 +96,35 @@ object MvBench {
       val (directSec2, direct2) = run(rewrite = false)
       require(served2 == direct2, "post-delta MV-served rows != direct rows")
 
+      // Star rollup: the fact joined to the orders dimension, grouped by
+      // a dim attribute — the shape where the MV's economics dominate
+      // (the direct plan pays a fact⋈dim shuffle join every run).
+      val dimSrc = s"$dir/orders.parquet"
+      val starDfn = MvDef(
+        groupCols = Seq("o_orderpriority"),
+        aggs = Seq(MvSum("l_extendedprice"), MvCountStar),
+        mvPath = s"$scratch/mv_star",
+        join = Some(MaterializedView.MvJoin(dimSrc, "l_orderkey", "o_orderkey")))
+      def starQuery(): DataFrame = spark.read.parquet(fact)
+        .join(spark.read.parquet(dimSrc), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      def runStar(rewrite: Boolean): (Double, Seq[String]) = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        try {
+          val times = (1 to 2).map(_ => timed(canon(starQuery())))
+          (times.map(_._1).min, times.head._2)
+        } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (starBuildSec, _) = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try timed(MaterializedView.register(spark, fact, starDfn))
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (starDirectSec, starDirectRows) = runStar(rewrite = false)
+      val (starServedSec, starServedRows) = runStar(rewrite = true)
+      require(starDirectRows == starServedRows, "star MV rows != direct rows")
+
       println(
         s"""{"metric":"mv_bench","sf":"$dir","fact_rows":$nRows,""" +
         s""""build_sec":${f"$buildSec%.2f"},"direct_sec":${f"$directSec%.2f"},""" +
@@ -104,7 +133,11 @@ object MvBench {
         s""""delta_rows":$nDelta,"append_delta_sec":${f"$deltaSec%.2f"},""" +
         s""""full_refresh_sec":${f"$refreshSec%.2f"},""" +
         s""""post_delta_served_sec":${f"$servedSec2%.2f"},""" +
-        s""""post_delta_direct_sec":${f"$directSec2%.2f"}}""")
+        s""""post_delta_direct_sec":${f"$directSec2%.2f"},""" +
+        s""""star_build_sec":${f"$starBuildSec%.2f"},""" +
+        s""""star_direct_sec":${f"$starDirectSec%.2f"},""" +
+        s""""star_served_sec":${f"$starServedSec%.2f"},""" +
+        s""""star_speedup":${f"${starDirectSec / starServedSec}%.1f"}}""")
     }
     spark.stop()
   }

@@ -597,4 +597,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!p.contains("lineitem.parquet"),
       s"SQL aggregate not MV-served:\n$p")
   }
+
+  test("rel_mv_star through spark.sql (star join+aggregate is MV-served)") {
+    checkSame("rel_mv_star", """
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY o_orderpriority""")
+    // checkSame ran rel_mv_star's fn → the star MV is registered; the
+    // SQL text's own join+aggregate plan must then be rollup-served.
+    val p = spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority""").queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
+      s"SQL star aggregate not MV-served:\n$p")
+  }
 }
