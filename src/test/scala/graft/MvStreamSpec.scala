@@ -64,4 +64,30 @@ class MvStreamSpec extends SparkSpec {
       s"second drain should add only wave-2 batches " +
         s"($batchesAfterFirst -> $batchesAfterSecond)")
   }
+
+  test("streamed STAR maintenance: each batch's partial joins the dim; join query served") {
+    val landing = tempDir("mv_sstar_landing") + "/fact"
+    val dim = tempDir("mv_sstar_dim") + "/dim"
+    val mv = tempDir("mv_sstar_rollup")
+    val ckpt = tempDir("mv_sstar_ckpt")
+    Tables.load(spark, sfDir, "orders").write.parquet(dim)
+    val dfn = MvDef(Seq("o_orderpriority"),
+      Seq(MvSum("l_extendedprice"), MvCountStar), mv,
+      join = Some(graft.plans.MaterializedView.MvJoin(
+        dim, "l_orderkey", "o_orderkey")))
+
+    def query = spark.read.parquet(landing)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("sp"), count(lit(1)).as("n"))
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+
+    li.repartition(3).write.mode("append").parquet(landing)
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 2)
+    val p = scans(query)
+    assert(p.contains(mv) && !p.contains(landing) && !p.contains(dim),
+      s"star join query not MV-served after drain:\n$p")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+  }
 }
