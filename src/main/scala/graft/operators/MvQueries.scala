@@ -96,6 +96,27 @@ object MvQueries extends QueryModule {
     }); ()
   }
 
+  /** Star × derived composed: monthly revenue by order priority — a dim
+    * grouping attribute AND a time bucket computed from a fact column,
+    * over the fact⋈dim join. Third registration on the same fact path. */
+  private def starMonthDef(dir: String, path: String) = MvDef(
+    groupCols = Seq("o_orderpriority"),
+    aggs = Seq(MvSum("l_extendedprice"), MvCountStar),
+    mvPath = path,
+    derived = Seq("ship_month" -> "date_trunc('month', l_shipdate)"),
+    join = Some(MaterializedView.MvJoin(
+      s"$dir/orders.parquet", "l_orderkey", "o_orderkey")))
+
+  private val registeredStarMonth = new ConcurrentHashMap[String, String]()
+
+  private def ensureStarMonthRegistered(s: SparkSession, dir: String): Unit = {
+    registeredStarMonth.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_star_month")
+      MaterializedView.register(s, s"$dir/lineitem.parquet", starMonthDef(dir, mv))
+      mv
+    }); ()
+  }
+
   // Incremental fixture: a scratch COPY of lineitem built as an
   // append-only fact table — register on the first ~70%, then land the
   // rest as new files and fold them in with ONE delta rollup.
@@ -260,5 +281,34 @@ object MvQueries extends QueryModule {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderpriority <> '4-NOT SPECIFIED'
         GROUP BY o_orderpriority"""),
-      doc = "Fact⋈dim rollup served from a star MV (plan pinned by spec)."))
+      doc = "Fact⋈dim rollup served from a star MV (plan pinned by spec)."),
+
+    // ------------------------------------------------------------------
+    // Star × derived composed: the query joins fact⋈dim AND buckets a
+    // fact timestamp — monthly revenue by priority, the classic finance
+    // dashboard — served from a rollup of ~|priorities|·|months| rows.
+    "rel_mv_star_month" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureStarMonthRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority",
+            date_trunc("month", $"l_shipdate").as("m"))
+          .agg(
+            dsum($"l_extendedprice").as("revenue"),
+            count(lit(1)).as("n"))
+          .select($"o_orderpriority",
+            date_format($"m", "yyyy-MM").as("ship_month"),
+            $"revenue", $"n")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+               ${sqlSum("l_extendedprice")} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2"""),
+      doc = "Star join x time-bucket rollup served from one composed MV."))
 }

@@ -316,6 +316,11 @@ class MaterializedViewSpec extends SparkSpec {
       s"rel_mv_star reads a base table:\n$ps")
     val plain = SparkEntry.specs("rel_mv_rollup").fn(spark, sfDir)
     assert(!scans(plain).contains("lineitem.parquet"))
+    // Star × derived composed (join + month bucket) is served too.
+    val month = SparkEntry.specs("rel_mv_star_month").fn(spark, sfDir)
+    val pm = scans(month)
+    assert(!pm.contains("lineitem.parquet") && !pm.contains("orders.parquet"),
+      s"rel_mv_star_month reads a base table:\n$pm")
   }
 
   test("incremental batches re-aggregate to the full-refresh rollup") {
