@@ -40,11 +40,17 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * answered by the same re-aggregation that combines batches —
   * SUM-of-sums, MIN-of-mins, SUM-of-counts. Compaction = re-refresh.
   *
-  * Matched shape: `Aggregate(G, aggs, [Filter(p)] → [Project(attrs)] →
-  * scan(fact))` where the scan's canonical root path is registered,
-  * `G` and every column `p` references are subsets of the MV's
-  * grouping columns, and every aggregate is derivable from the MV's
-  * declared partials:
+  * Matched shapes: `Aggregate(G, aggs, [Filter]/[Project]* → scan(fact))`
+  * and — for a star registration ([[MaterializedView.MvJoin]]) —
+  * `Aggregate(G, aggs, …(Join_inner(scan(fact), scan(dim)) ON fk = dk))`
+  * in either child order, where the fact scan's canonical root path is
+  * registered. Projects may carry deterministic aliases (the optimizer's
+  * own `PullOutGroupingExpressions` shape, `withColumn` spellings); their
+  * definitions are inlined back to scan attributes before matching.
+  * Every element of `G` and every predicate column must land on an MV
+  * grouping column — a bare stored attribute (fact or dim side) or an
+  * expression semantically equal to a declared `derived` bucket — and
+  * every aggregate must be derivable from the MV's declared partials:
   *
   *   - `sum(x)` (x integral/decimal) and the engine's exact spelling
   *     `sum(cast(x as decimal(30,6)))` ([[graft.api.Exact.dsum]]) →
