@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.Baskets,
     graft.operators.Finance,
     graft.operators.CountMin,
+    graft.operators.KmvSketch,
     graft.operators.MvQueries,
     graft.operators.Geo,
     graft.pipeline.PipelineQueries,

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.KmvSketch
+import graft.operators.KmvSketch.k
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketch: set-function purity (order/duplicate/partitioning
+  * insensitive), exactness below k, merge = union, estimator accuracy at
+  * the analytic bound, and the set-algebra (union/intersection) closure
+  * the contamination estimate builds on. */
+class KmvSketchSpec extends SparkSpec {
+
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+
+  private lazy val sk: UserDefinedFunction = udaf(KmvSketch.agg)
+
+  private def hashed(ids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    ids.selectExpr(s"${KmvSketch.hashExpr("id")} AS h")
+  }
+
+  private def sketchOf(ids: DataFrame, parts: Int): Array[Long] = {
+    hashed(ids).repartition(parts).agg(sk(col("h"))).collect()(0)
+      .getSeq[Long](0).toArray
+  }
+
+  test("below k the sketch IS the distinct hash set; estimate exact") {
+    val ids = spark.range(0, 500).toDF("id")
+    val s = sketchOf(ids, 4)
+    assert(s.length == 500 && s.sameElements(s.sorted.distinct))
+    val est = hashed(ids).agg(sk(col("h")).as("s"))
+      .select(KmvSketch.estDistinct(col("s"))).collect()(0).getDouble(0)
+    assert(est == 500.0)
+  }
+
+  test("set function: partitioning, row order and duplicates do not change the bits") {
+    val ids = spark.range(0, 100000).toDF("id")
+    val one = sketchOf(ids, 1)
+    val many = sketchOf(ids, 23)
+    assert(one.sameElements(many), "partitioning changed the sketch")
+    val tripled = sketchOf(ids.union(ids).union(ids.orderBy(desc("id"))), 7)
+    assert(one.sameElements(tripled), "duplicates/order changed the sketch")
+    assert(one.length == k && one.sameElements(one.sorted.distinct))
+  }
+
+  test("two shards' sketches merge into the corpus sketch exactly") {
+    val all = spark.range(0, 100000).toDF("id")
+    val whole = sketchOf(all, 8)
+    // Shard by parity, sketch separately, merge via the UNION-sketch
+    // column algebra — bit-identical to sketching the whole corpus.
+    val sa = hashed(all.filter(col("id") % 2 === 0)).agg(sk(col("h")).as("sa"))
+    val sb = hashed(all.filter(col("id") % 2 === 1)).agg(sk(col("h")).as("sb"))
+    val merged = sa.crossJoin(sb)
+      .select(KmvSketch.unionSketch(col("sa"), col("sb")).as("u"))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(whole.sameElements(merged), "shard merge != whole-corpus sketch")
+  }
+
+  test("estimator lands inside the analytic error envelope (~3/sqrt(k))") {
+    val n = 200000
+    val est = hashed(spark.range(0, n).toDF("id")).agg(sk(col("h")).as("s"))
+      .select(KmvSketch.estDistinct(col("s"))).collect()(0).getDouble(0)
+    val relErr = math.abs(est - n) / n
+    assert(relErr < 3.0 / math.sqrt(k.toDouble),
+      s"est $est vs $n: rel err $relErr outside 3/sqrt(k)")
+  }
+
+  test("overlap estimate from two sketches tracks a known 1/3 Jaccard") {
+    // A = [0, 100k), B = [50k, 150k): |A∩B| = 50k, |A∪B| = 150k, J = 1/3.
+    val a = hashed(spark.range(0, 100000).toDF("id")).agg(sk(col("h")).as("sa"))
+    val b = hashed(spark.range(50000, 150000).toDF("id")).agg(sk(col("h")).as("sb"))
+    val u = KmvSketch.unionSketch(col("sa"), col("sb"))
+    val row = a.crossJoin(b).select(
+      (KmvSketch.interCount(u, col("sa"), col("sb")).cast("double")
+        / size(u).cast("double")).as("j"),
+      ((KmvSketch.interCount(u, col("sa"), col("sb")).cast("double")
+        / size(u).cast("double")) * KmvSketch.estDistinct(u)).as("inter"))
+      .collect()(0)
+    assert(math.abs(row.getDouble(0) - 1.0 / 3.0) < 0.06,
+      s"jaccard ${row.getDouble(0)} far from 1/3")
+    assert(math.abs(row.getDouble(1) - 50000.0) / 50000.0 < 0.15,
+      s"overlap ${row.getDouble(1)} far from 50k")
+  }
+
+  test("SQL door: kmv_sketch(h) via spark.sql matches the DataFrame path") {
+    KmvSketch.register(spark)
+    val ids = spark.range(0, 5000).toDF("id")
+    hashed(ids).createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql("SELECT kmv_sketch(h) AS s FROM kmv_in")
+      .collect()(0).getSeq[Long](0).toArray
+    assert(viaSql.sameElements(sketchOf(ids, 5)))
+  }
+}
