@@ -145,31 +145,7 @@ object KmvSketch extends QueryModule {
             (abs($"est_distinct" - $"exact_distinct".cast("double"))
               / $"exact_distinct".cast("double")).as("rel_err"))
       },
-      oracle = Some(s"""
-        WITH h AS (
-          SELECT DISTINCT event_type,
-                 md5_number_upper(CAST(user_id AS VARCHAR))
-                   & 9223372036854775807 AS h
-          FROM events),
-        r AS (
-          SELECT event_type, h,
-                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
-          FROM h),
-        kk AS (
-          SELECT event_type, COUNT(*) AS nk, MAX(h) AS hk
-          FROM r WHERE rn <= $k GROUP BY event_type),
-        est AS (
-          SELECT event_type, CAST(nk AS BIGINT) AS sketch_size,
-                 CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
-                      ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
-                           / CAST(hk AS DOUBLE) END AS est_distinct
-          FROM kk),
-        e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-              FROM events GROUP BY event_type)
-        SELECT est.event_type, sketch_size, est_distinct, exact_distinct,
-               abs(est_distinct - CAST(exact_distinct AS DOUBLE))
-                 / CAST(exact_distinct AS DOUBLE) AS rel_err
-        FROM est JOIN e ON est.event_type = e.event_type"""),
+      oracle = distinctOracleSql,
       doc = "Per-group bottom-k distinct estimate vs exact, oracle-exact."),
 
     // ------------------------------------------------------------------
@@ -253,5 +229,71 @@ object KmvSketch extends QueryModule {
             - CAST(exact_overlap AS DOUBLE))
             / CAST(exact_overlap AS DOUBLE) AS rel_err
         FROM m"""),
-      doc = "Join-free corpus-overlap (contamination) estimate from two KMV sketches."))
+      doc = "Join-free corpus-overlap (contamination) estimate from two KMV sketches."),
+
+    // ------------------------------------------------------------------
+    // The streamed maintainer end-to-end: three waves of events land and
+    // drain ([[graft.streaming.KmvStream]] — per-batch bottom-k deltas,
+    // checkpointed AvailableNow), the accumulated sketch folds from the
+    // deltas alone, and the estimates hash-match the SAME oracle as the
+    // batch spelling — streamed == batch, differentially proven.
+    "rel_kmv_stream" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.streaming.KmvStream
+        graft.functions.GraftFunctions.register(s)
+        val landing = graft.api.Scratch.dir("kmv_landing")
+        val state = graft.api.Scratch.dir("kmv_state")
+        val cp = graft.api.Scratch.dir("kmv_cp")
+        val ev = Tables.load(s, dir, "events")
+        val obs = ev.select($"event_type".as("g"),
+          expr(hashExpr("user_id")).as("h"), $"event_id")
+        (0 to 2).foreach { wave =>
+          obs.filter(pmod($"event_id", lit(3)) === wave).select("g", "h")
+            .coalesce(2).write.mode("append").parquet(landing)
+          KmvStream.runAvailableNow(s, landing, state, cp,
+            maxFilesPerTrigger = 2)
+        }
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("exact_distinct"))
+        KmvStream.sketches(s, state)
+          .select($"g".as("event_type"),
+            size($"s").cast("long").as("sketch_size"),
+            estDistinct($"s").as("est_distinct"))
+          .join(exact, "event_type")
+          .select($"event_type", $"sketch_size", $"est_distinct",
+            $"exact_distinct",
+            (abs($"est_distinct" - $"exact_distinct".cast("double"))
+              / $"exact_distinct".cast("double")).as("rel_err"))
+      },
+      oracle = distinctOracleSql,
+      doc = "Streamed KMV maintenance == batch sketch, same oracle."))
+
+  /** Shared verbatim by `rel_kmv_distinct` and `rel_kmv_stream`: streamed
+    * maintenance is proven by hash-matching the batch oracle. */
+  private val distinctOracleSql: Option[String] = Some(s"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 md5_number_upper(CAST(user_id AS VARCHAR))
+                   & 9223372036854775807 AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+        kk AS (
+          SELECT event_type, COUNT(*) AS nk, MAX(h) AS hk
+          FROM r WHERE rn <= $k GROUP BY event_type),
+        est AS (
+          SELECT event_type, CAST(nk AS BIGINT) AS sketch_size,
+                 CASE WHEN nk < $k THEN CAST(nk AS DOUBLE)
+                      ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
+                           / CAST(hk AS DOUBLE) END AS est_distinct
+          FROM kk),
+        e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY event_type)
+        SELECT est.event_type, sketch_size, est_distinct, exact_distinct,
+               abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE) AS rel_err
+        FROM est JOIN e ON est.event_type = e.event_type""")
 }

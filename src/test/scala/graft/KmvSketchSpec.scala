@@ -83,6 +83,38 @@ class KmvSketchSpec extends SparkSpec {
       s"overlap ${row.getDouble(1)} far from 50k")
   }
 
+  test("streamed deltas re-sketch to the batch sketch exactly, across a resumed drain") {
+    import graft.streaming.KmvStream
+    val landing = tempDir("kmv_landing") + "/obs"
+    val state = tempDir("kmv_state")
+    val cp = tempDir("kmv_cp")
+    val all = spark.range(0, 60000).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+    def obs(df: DataFrame) = {
+      graft.functions.GraftFunctions.register(spark)
+      df.selectExpr("g", s"${KmvSketch.hashExpr("id")} AS h")
+    }
+    // Wave 1 drains; wave 2 lands later and a SECOND drain resumes from
+    // the checkpoint (only new files roll up).
+    obs(all.filter(col("id") % 2 === 0)).coalesce(3)
+      .write.mode("append").parquet(landing)
+    KmvStream.runAvailableNow(spark, landing, state, cp, maxFilesPerTrigger = 1)
+    obs(all.filter(col("id") % 2 === 1)).coalesce(2)
+      .write.mode("append").parquet(landing)
+    KmvStream.runAvailableNow(spark, landing, state, cp, maxFilesPerTrigger = 1)
+
+    val streamed = KmvStream.sketches(spark, state).orderBy(col("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+    val batch = obs(all).groupBy(col("g")).agg(sk(col("h")).as("s"))
+      .orderBy(col("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case ((g1, s1), (g2, s2)) =>
+      assert(g1 == g2 && s1.sameElements(s2),
+        s"group $g1: streamed sketch != batch sketch")
+    }
+  }
+
   test("SQL door: kmv_sketch(h) via spark.sql matches the DataFrame path") {
     KmvSketch.register(spark)
     val ids = spark.range(0, 5000).toDF("id")
