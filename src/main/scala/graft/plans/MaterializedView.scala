@@ -207,9 +207,39 @@ object MaterializedView {
     withDerived.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  private def writeBatch(rows: DataFrame, dfn: MvDef, batch: Long): Unit =
+  private def writeBatch(rows: DataFrame, dfn: MvDef, batch: Long): Unit = {
     partial(rows, dfn).write.mode("overwrite")
       .parquet(s"${dfn.mvPath}/batch=$batch")
+    mvGen.merge(dfn.mvPath, 1L, (a, b) => a + b); ()
+  }
+
+  // ---- plan-time MV-scan cache ---------------------------------------
+  // The rule needs the MV table's analyzed relation to re-derive columns.
+  // Optimizer batches run to fixed point (the rule fires several times per
+  // query), so reading the parquet footer per invocation would tax every
+  // served query. Cache the relation per mvPath, invalidated by a
+  // generation counter every writeBatch bumps; each USE gets newInstance()
+  // (fresh exprIds) so two aggregates served in one plan tree never share
+  // attribute ids.
+  private val mvGen = new ConcurrentHashMap[String, java.lang.Long]()
+  private val mvScanCache =
+    new ConcurrentHashMap[String, (Long, org.apache.spark.sql.execution.datasources.LogicalRelation)]()
+
+  private[plans] def scanOf(spark: SparkSession, mvPath: String)
+      : org.apache.spark.sql.execution.datasources.LogicalRelation = {
+    val gen: Long = mvGen.getOrDefault(mvPath, 0L)
+    val hit = mvScanCache.get(mvPath)
+    val base = if (hit != null && hit._1 == gen) hit._2 else {
+      val lr = spark.read.parquet(mvPath).queryExecution.analyzed
+        .collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.getOrElse(throw new IllegalStateException(
+          s"MV at $mvPath did not analyze to a file relation"))
+      mvScanCache.put(mvPath, (gen, lr))
+      lr
+    }
+    base.newInstance()
+  }
 
   /** Build (or rebuild) the rollup from the COMPLETE source at
     * `sourcePath` and register it for automatic rewrite. Reading the
@@ -427,15 +457,18 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** One rewrite candidate: the conjoined residual predicates, the
     * collected project lists, the relation `derived` declarations resolve
-    * against, and the fresh registration to serve from. */
-  private type Candidate =
-    (Seq[Expression], Seq[Seq[NamedExpression]], LogicalPlan, Registered)
+    * against, the registration to serve from, and a DEFERRED freshness
+    * check (file-listing compares run only after the cheap name gates
+    * pass — the rule fires on every Aggregate in every optimizer
+    * fixed-point iteration, so everything costly is gated or cached). */
+  private final case class Candidate(conds: Seq[Expression],
+      projects: Seq[Seq[NamedExpression]], resolveRel: LogicalPlan,
+      reg: Registered, isFresh: () => Boolean)
 
   /** Star-shape candidates: `Aggregate → …(Join(fact, dim))` where the
     * join is the registered INNER equi-join on the declared key pair (in
-    * either child order), both scans' listings match their fingerprints,
-    * and residual predicates from above the join and both branches are
-    * pooled for grouping-column re-binding. */
+    * either child order) and residual predicates from above the join and
+    * both branches are pooled for grouping-column re-binding. */
   private def starCandidates(child: LogicalPlan): Seq[Candidate] =
     for {
       (condsT, projT, j) <- unwrapToJoin(child, Nil, Nil).toSeq
@@ -448,38 +481,92 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       mj <- reg.dfn.join.toSeq
       if dimRel.location.rootPaths.head.toUri.getPath ==
         MaterializedView.canon(spark, mj.dimPath)
-      if fresh(factRel, reg.sig)
-      if reg.dimSig.exists(s => fresh(dimRel, s))
       inline = inliner(projT ++ projL ++ projR)
       cond <- j.condition.toSeq
       if isKeyEquality(inline(cond), factLr, dimLr, mj)
-    } yield (condsT ++ condsL ++ condsR, projT ++ projL ++ projR,
-      Join(factLr, dimLr, Inner, None, JoinHint.NONE): LogicalPlan, reg)
+    } yield Candidate(condsT ++ condsL ++ condsR, projT ++ projL ++ projR,
+      Join(factLr, dimLr, Inner, None, JoinHint.NONE), reg,
+      () => fresh(factRel, reg.sig) && reg.dimSig.exists(s => fresh(dimRel, s)))
 
   private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
     val candidates: Seq[Candidate] = unwrap(child, Nil, Nil) match {
       case Some((conds, projects, lr, rel)) =>
         lookup(rel.location.rootPaths.head)
-          .filter(r => r.dfn.join.isEmpty && fresh(rel, r.sig))
-          .map(r => (conds, projects, lr: LogicalPlan, r))
+          .filter(_.dfn.join.isEmpty)
+          .map(r => Candidate(conds, projects, lr, r, () => fresh(rel, r.sig)))
       case None => starCandidates(child)
     }
     candidates.view
-      .flatMap(c => rewriteOver(c._1, c._2, c._3, c._4, groupExprs, aggExprs))
+      .flatMap(c => rewriteOver(c, groupExprs, aggExprs))
       .headOption
   }
 
-  private def rewriteOver(conds0: Seq[Expression],
-      projects: Seq[Seq[NamedExpression]], rel: LogicalPlan, reg: Registered,
-      groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression])
-      : Option[LogicalPlan] =
+  /** Name-level derivability of one aggregate CALL — the zero-cost twin
+    * of `deriveNamed`'s rederive, used to bail before any analysis or MV
+    * read. Must never reject a derivable shape (it gates the real check,
+    * not replaces it). */
+  private def aggDerivableByName(fn: Expression, dfn: MvDef): Boolean =
+    fn match {
+      case Sum(child, _) => sumSource(child).exists(src =>
+        dfn.aggs.exists { case MvSum(c) => c == src; case _ => false })
+      case Min(a: AttributeReference) =>
+        dfn.aggs.exists { case MvMin(c) => c == a.name; case _ => false }
+      case Max(a: AttributeReference) =>
+        dfn.aggs.exists { case MvMax(c) => c == a.name; case _ => false }
+      case Count(Seq(Literal(v, _))) if v != null =>
+        dfn.aggs.contains(MvCountStar)
+      case Count(Seq(a: AttributeReference)) =>
+        dfn.aggs.exists { case MvCount(c) => c == a.name; case _ => false }
+      case _ => false
+    }
+
+  // bindDerived is an ANALYSIS (ofRows + selectExpr) — cache per
+  // (relation-instance, mvPath): attribute exprIds are stable across the
+  // optimizer's repeated invocations within one query, and globally
+  // unique per JVM, so the key never aliases across queries. Bounded by
+  // periodic clear (entries are tiny).
+  private val derivedCache =
+    new ConcurrentHashMap[(Long, String), Option[Seq[(String, Expression)]]]()
+
+  private def bindDerivedCached(rel: LogicalPlan, dfn: MvDef,
+      inline: Expression => Expression): Option[Seq[(String, Expression)]] = {
+    if (dfn.derived.isEmpty) return Some(Nil)
+    val key = (rel.output.head.exprId.id, dfn.mvPath)
+    if (derivedCache.size > 4096) derivedCache.clear()
+    derivedCache.computeIfAbsent(key, _ => bindDerived(rel, dfn, inline))
+  }
+
+  private def rewriteOver(cand: Candidate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
+    val dfn = cand.reg.dfn
+    val inline = inliner(cand.projects)
+    // Cheap gate 1: every grouping key must be a declared stored
+    // attribute, or (only when derived buckets exist) a non-attribute
+    // expression that could still match one — by NAME, no analysis.
+    val inlinedGroups = groupExprs.map(inline)
+    val groupsPlausible = inlinedGroups.forall {
+      case a: AttributeReference => dfn.groupCols.contains(a.name)
+      case _ => dfn.derived.nonEmpty
+    }
+    if (!groupsPlausible) return None
+    // Cheap gate 2: every aggregate CALL must be name-derivable from the
+    // declared partials (DISTINCT/FILTER/unknown functions bail here).
+    val aggsPlausible = aggExprs.forall { ne =>
+      inline(ne).collect {
+        case ae: AggregateExpression =>
+          !ae.isDistinct && ae.filter.isEmpty &&
+            aggDerivableByName(ae.aggregateFunction, dfn)
+      }.forall(identity)
+    }
+    if (!aggsPlausible) return None
+    // Only a plausibly-subsumed query pays the listing compare, the
+    // (cached) derived-expression analysis, and the (cached) MV read.
+    if (!cand.isFresh()) return None
     for {
-      dfn <- Some(reg.dfn)
-      inline = inliner(projects)
-      derived <- bindDerived(rel, dfn, inline)
-      conds = conds0.map(inline)
-      mvScan = spark.read.parquet(dfn.mvPath).queryExecution.analyzed
+      derived <- bindDerivedCached(cand.resolveRel, dfn, inline)
+      conds = cand.conds.map(inline)
+      mvScan = MaterializedView.scanOf(spark, dfn.mvPath): LogicalPlan
       mvAttr = mvScan.output.collect {
         case a: AttributeReference => a.name -> a
       }.toMap
@@ -516,6 +603,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(c => Filter(c, mvScan)).getOrElse(mvScan)
       Aggregate(newGroup, newAggs, filtered)
     }
+  }
 
   private def seqOpt[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
