@@ -33,6 +33,21 @@ object Hll {
     """CASE WHEN (hp >> 12) & 1099511627775 = 0 THEN 41
        ELSE 41 - length(bin((hp >> 12) & 1099511627775)) END"""
 
+  /** Self-contained spellings of [[regExpr]]/[[rhoExpr]] with the `hp`
+    * stage inlined — a single SQL expression over the source column, as a
+    * declaration site (e.g. [[graft.plans.MaterializedView.MvDef]]'s
+    * derived columns) needs. Parsed they yield the SAME trees the staged
+    * query spelling yields after its `hp`/`reg` aliases are inlined back
+    * to scan attributes (`&` is left-associative; the shift is
+    * parenthesized), which is what lets `semanticEquals` match the two. */
+  def regSql(idSql: String): String = s"${hpExpr(idSql)} & 4095"
+
+  def rhoSql(idSql: String): String = {
+    val hp = s"(${hpExpr(idSql)})"
+    s"""CASE WHEN ($hp >> 12) & 1099511627775 = 0 THEN 41
+        ELSE 41 - length(bin(($hp >> 12) & 1099511627775)) END"""
+  }
+
   /** (key..., reg, mrho) register rows → (key..., n_registers,
     * est_distinct): alpha·m²/Σ2^-M with the linear-counting small-range
     * branch, the Σ folded in register order. */

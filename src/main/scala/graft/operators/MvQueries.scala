@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import graft.api.{QueryModule, QuerySpec, Scratch}
 import graft.api.Exact.{davg, dsum, sqlAvg, sqlSum}
 import graft.plans.MaterializedView
-import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMaxD, MvMin, MvSum, MvSumD}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -116,6 +116,63 @@ object MvQueries extends QueryModule {
       mv
     }); ()
   }
+
+  /** Expression rollup: the measure is `l_extendedprice * (1 - l_discount)`
+    * — TPC-H's revenue — declared as SQL ([[MvSumD]]) and matched
+    * semantically at rewrite time, the derived-grouping treatment applied
+    * to the measure side. Fourth registration on the same fact path: the
+    * rule's per-candidate gates route each query to the registration that
+    * subsumes it. */
+  private def revenueDef(path: String) = MvDef(
+    groupCols = Seq("l_returnflag", "l_linestatus"),
+    aggs = Seq(MvSumD("revenue", "l_extendedprice * (1 - l_discount)"),
+      MvCountStar),
+    mvPath = path)
+
+  private val registeredRevenue = new ConcurrentHashMap[String, String]()
+
+  private def ensureRevenueRegistered(s: SparkSession, dir: String): Unit = {
+    registeredRevenue.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_revenue")
+      MaterializedView.register(s, s"$dir/lineitem.parquet", revenueDef(mv))
+      mv
+    }); ()
+  }
+
+  /** Sketch rollup: an MV at (event_type, register) grain whose measure is
+    * the HLL rank expression IS a maintained HyperLogLog
+    * ([[graft.functions.Hll]] — 4096 registers, rank from the portable
+    * `md5_long` hash). Per-register MAX re-aggregation across batch
+    * partitions is exactly sketch union, so the count-distinct dashboard
+    * reads ≤ |types|·4096 register rows however large the fact table, and
+    * incremental maintenance (one delta rollup per append) keeps the
+    * estimate IDENTICAL to the one-shot sketch — MAX is order- and
+    * partition-insensitive. */
+  private def hllDef(path: String) = MvDef(
+    groupCols = Seq("event_type"),
+    aggs = Seq(MvMaxD("mrho", graft.functions.Hll.rhoSql("user_id"))),
+    mvPath = path,
+    derived = Seq("reg" -> graft.functions.Hll.regSql("user_id")))
+
+  // Scratch events copy grown in two steps: register the HLL MV on ~70%,
+  // append the rest, fold with ONE delta rollup — the estimate the query
+  // reads merges the two register batches by MAX.
+  private val hllFact = new ConcurrentHashMap[String, String]()
+
+  private def ensureHllFact(s: SparkSession, dir: String): String =
+    hllFact.computeIfAbsent(dir, _ => {
+      val fact = Scratch.dir("mv_hll_fact") + "/events_fact"
+      val mv = Scratch.dir("mv_hll_rollup")
+      val ev = Tables.load(s, dir, "events")
+      val head = ev.filter(pmod(col("user_id"), lit(10)) < 7)
+      val tail = ev.filter(pmod(col("user_id"), lit(10)) >= 7)
+      head.write.parquet(fact)
+      graft.functions.GraftFunctions.register(s) // md5_long in the partial
+      MaterializedView.register(s, fact, hllDef(mv))
+      tail.write.mode("append").parquet(fact)
+      MaterializedView.appendDelta(s, fact, tail)
+      fact
+    })
 
   // Incremental fixture: a scratch COPY of lineitem built as an
   // append-only fact table — register on the first ~70%, then land the
@@ -310,5 +367,62 @@ object MvQueries extends QueryModule {
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1, 2"""),
-      doc = "Star join x time-bucket rollup served from one composed MV."))
+      doc = "Star join x time-bucket rollup served from one composed MV."),
+
+    // ------------------------------------------------------------------
+    // Derived-MEASURE rollup: the summed value is an EXPRESSION over fact
+    // columns (TPC-H revenue), declared as SQL and matched semantically —
+    // the dashboard spells its own sum(price * (1 - discount)) and reads
+    // a 6-row rollup. Grouping is coarser than the MV's two keys, so the
+    // same re-aggregation that merges batches also rolls the keys up.
+    "rel_mv_revenue" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureRevenueRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag,
+               ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""),
+      doc = "Expression rollup (revenue) served from a derived-measure MV."),
+
+    // ------------------------------------------------------------------
+    // Sketch rollup: the register build of the portable HLL — an
+    // aggregate grouped by (event_type, hash-register) taking MAX of the
+    // rank expression — is itself a subsumed aggregate over a
+    // derived-measure MV, so the rule re-points it at the maintained
+    // register table (two batch partitions here: registered on ~70% of
+    // the copy, one delta rollup folded the rest in; MAX-merge of
+    // register batches IS sketch union). The estimator above runs over
+    // ≤ 5·4096 register rows; the fact table is never rescanned. The
+    // oracle rebuilds the identical sketch over the same rows in DuckDB.
+    "rel_mv_distinct" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        import graft.functions.Hll
+        graft.functions.GraftFunctions.register(s)
+        val fact = ensureHllFact(s, dir)
+        val regs = s.read.parquet(fact)
+          .select($"event_type", expr(Hll.hpExpr("user_id")).as("hp"))
+          .select($"event_type", expr(Hll.regExpr).as("reg"),
+            expr(Hll.rhoExpr).as("rho"))
+          .groupBy($"event_type", $"reg").agg(max($"rho").as("mrho"))
+        Hll.estimate(regs, Seq("event_type"))
+      },
+      oracle = {
+        import graft.functions.Hll
+        Some(s"""
+        WITH ${Hll.oracleRegsCtes("event_type", "user_id", "events")},
+        ${Hll.oracleEstimateCtes("event_type")}
+        SELECT event_type, CAST(n_present AS BIGINT) AS n_registers,
+               est_distinct
+        FROM hllest""")
+      },
+      doc = "Count-distinct served from a maintained HLL register MV."))
 }

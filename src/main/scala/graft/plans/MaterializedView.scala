@@ -65,6 +65,13 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *     aggregate runs over an empty fact table)
   *   - `count(x)` → `coalesce(sum(cnt_x), 0)`
   *   - `min(x)`/`max(x)` → `min(min_x)`/`max(max_x)`
+  *   - derived-MEASURE partials ([[MaterializedView.MvSumD]] /
+  *     [[MaterializedView.MvMinD]] / [[MaterializedView.MvMaxD]]):
+  *     `sum(cast(E as decimal(30,6)))` / `min(E)` / `max(E)` for a
+  *     declared expression `E`, matched semantically the way derived
+  *     grouping buckets are — expression rollups (revenue) and sketch
+  *     rollups (an HLL register table is a grouping-by-register MV with
+  *     a `MvMaxD` rank measure) ride the same machinery.
   *
   * Anything else — avg (its decimal division re-types), DISTINCT,
   * FILTER clauses, expressions over grouping columns, a predicate on a
@@ -103,6 +110,36 @@ object MaterializedView {
   final case class MvMax(col: String) extends MvAgg { def named = s"max_$col" }
   final case class MvCount(col: String) extends MvAgg { def named = s"cnt_$col" }
   case object MvCountStar extends MvAgg { def col = "*"; def named = "cnt_star" }
+
+  /** Derived-MEASURE partials: the aggregate of an EXPRESSION over source
+    * columns, declared as SQL and matched SEMANTICALLY at rewrite time
+    * (the `derived` grouping-column treatment applied to the measure
+    * side). This is what serves
+    *   - expression rollups — `MvSumD("revenue",
+    *     "l_extendedprice * (1 - l_discount)")` answers the classic
+    *     revenue dashboard; the query must spell the exact-decimal sum
+    *     ([[graft.api.Exact.dsum]]'s `sum(cast(e as decimal(30,6)))`),
+    *     which is also what the partial stores, so re-aggregation stays
+    *     bit-identical (a bare float expression sum is never rewritten,
+    *     same as the stored-column rule), and
+    *   - sketch rollups — an MV at (group, register) grain with
+    *     `MvMaxD` over the rank expression IS a maintained HyperLogLog
+    *     ([[graft.functions.Hll]]): per-register MAX re-aggregation
+    *     across batch partitions is exactly sketch union, so a
+    *     count-distinct dashboard reads kilobytes of registers instead
+    *     of the fact table, and stays exact-to-the-sketch under
+    *     incremental maintenance.
+    * MIN/MAX re-add exactly for any type, so `MvMinD`/`MvMaxD` carry no
+    * type restriction. */
+  final case class MvSumD(name: String, sql: String) extends MvAgg {
+    def col: String = sql; def named = s"sum_$name"
+  }
+  final case class MvMinD(name: String, sql: String) extends MvAgg {
+    def col: String = sql; def named = s"min_$name"
+  }
+  final case class MvMaxD(name: String, sql: String) extends MvAgg {
+    def col: String = sql; def named = s"max_$name"
+  }
 
   /** The star-schema extension: the MV's source relation is
     * `fact INNER JOIN parquet(dimPath) ON fact.factKey = dim.dimKey`,
@@ -199,6 +236,9 @@ object MaterializedView {
       case MvMax(c)   => max(col(c)).as(s"max_$c")
       case MvCount(c) => count(col(c)).as(s"cnt_$c")
       case MvCountStar => count(lit(1)).as("cnt_star")
+      case m @ MvSumD(_, sql) => sum(expr(sql).cast(SumDec)).as(m.named)
+      case m @ MvMinD(_, sql) => min(expr(sql)).as(m.named)
+      case m @ MvMaxD(_, sql) => max(expr(sql)).as(m.named)
     }
     val withDerived = dfn.derived.foldLeft(src) {
       case (df, (n, sql)) => df.withColumn(n, expr(sql))
@@ -405,18 +445,35 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     * MVs `rel` is a bare fact⋈dim Join over the query's two scans and the
     * resolved attributes may land on branch-level aliases — `inline`
     * reduces both sides to scan attributes before comparison. */
-  private def bindDerived(rel: LogicalPlan, dfn: MvDef,
+  private def bindDerived(rel: LogicalPlan, pairs: Seq[(String, String)],
       inline: Expression => Expression): Option[Seq[(String, Expression)]] =
-    seqOpt(dfn.derived.map { case (n, sql) =>
+    seqOpt(pairs.map { case (n, sql) =>
       scala.util.Try {
-        val analyzed = org.apache.spark.sql.GraftSqlBridge
+        // OPTIMIZED, not just analyzed: the rule compares against query
+        // expressions captured mid-optimization (after constant folding,
+        // cast simplification, …) — `1 - l_discount` is `(1.0 - …)` with
+        // the int literal folded by then. Running the declared SQL
+        // through the same pipeline normalizes both sides identically.
+        // (The mini-plan is a bare Project — no Aggregate — so this very
+        // rule no-ops on it; no recursion.)
+        val optimized = org.apache.spark.sql.GraftSqlBridge
           .ofRows(spark, rel).selectExpr(s"($sql) AS __mv_derived")
-          .queryExecution.analyzed
-        analyzed.expressions.collectFirst {
+          .queryExecution.optimizedPlan
+        optimized.expressions.collectFirst {
           case al: Alias if al.name == "__mv_derived" => n -> inline(al.child)
         }
       }.toOption.flatten
     })
+
+  /** The declared derived-MEASURE expressions, keyed by their MV column
+    * name (`sum_revenue`, `max_mrho`, …) — bound and matched exactly like
+    * derived grouping columns. */
+  private def measureSqls(dfn: MvDef): Seq[(String, String)] =
+    dfn.aggs.collect {
+      case m @ MvSumD(_, sql) => m.named -> sql
+      case m @ MvMinD(_, sql) => m.named -> sql
+      case m @ MvMaxD(_, sql) => m.named -> sql
+    }
 
   /** Is the scan's CURRENT listing (already cached by the planner's own
     * FileIndex) exactly the fingerprint of the last maintenance run? */
@@ -509,11 +566,23 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
   private def aggDerivableByName(fn: Expression, dfn: MvDef): Boolean =
     fn match {
       case Sum(child, _) => sumSource(child).exists(src =>
-        dfn.aggs.exists { case MvSum(c) => c == src; case _ => false })
+        dfn.aggs.exists { case MvSum(c) => c == src; case _ => false }) ||
+        // A derived-measure sum can't be checked by name — pass to the
+        // semantic match whenever the spelling (exact-decimal cast) and a
+        // declared MvSumD make one possible.
+        (child match {
+          case Cast(_, dt, _, _) if dt == MaterializedView.SumDec =>
+            dfn.aggs.exists(_.isInstanceOf[MvSumD])
+          case _ => false
+        })
       case Min(a: AttributeReference) =>
-        dfn.aggs.exists { case MvMin(c) => c == a.name; case _ => false }
+        dfn.aggs.exists { case MvMin(c) => c == a.name; case _ => false } ||
+          dfn.aggs.exists(_.isInstanceOf[MvMinD])
+      case Min(_) => dfn.aggs.exists(_.isInstanceOf[MvMinD])
       case Max(a: AttributeReference) =>
-        dfn.aggs.exists { case MvMax(c) => c == a.name; case _ => false }
+        dfn.aggs.exists { case MvMax(c) => c == a.name; case _ => false } ||
+          dfn.aggs.exists(_.isInstanceOf[MvMaxD])
+      case Max(_) => dfn.aggs.exists(_.isInstanceOf[MvMaxD])
       case Count(Seq(Literal(v, _))) if v != null =>
         dfn.aggs.contains(MvCountStar)
       case Count(Seq(a: AttributeReference)) =>
@@ -531,10 +600,11 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def bindDerivedCached(rel: LogicalPlan, dfn: MvDef,
       inline: Expression => Expression): Option[Seq[(String, Expression)]] = {
-    if (dfn.derived.isEmpty) return Some(Nil)
+    val pairs = dfn.derived ++ measureSqls(dfn)
+    if (pairs.isEmpty) return Some(Nil)
     val key = (rel.output.head.exprId.id, dfn.mvPath)
     if (derivedCache.size > 4096) derivedCache.clear()
-    derivedCache.computeIfAbsent(key, _ => bindDerived(rel, dfn, inline))
+    derivedCache.computeIfAbsent(key, _ => bindDerived(rel, pairs, inline))
   }
 
   private def rewriteOver(cand: Candidate, groupExprs: Seq[Expression],
@@ -564,7 +634,10 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     // (cached) derived-expression analysis, and the (cached) MV read.
     if (!cand.isFresh()) return None
     for {
-      derived <- bindDerivedCached(cand.resolveRel, dfn, inline)
+      bound <- bindDerivedCached(cand.resolveRel, dfn, inline)
+      groupNames = dfn.derived.map(_._1).toSet
+      derived = bound.filter { case (n, _) => groupNames(n) }
+      measures = bound.collect { case (n, e) if !groupNames(n) => n -> e }.toMap
       conds = cand.conds.map(inline)
       mvScan = MaterializedView.scanOf(spark, dfn.mvPath): LogicalPlan
       mvAttr = mvScan.output.collect {
@@ -597,7 +670,8 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
           else None
         }
       })
-      newAggs <- seqOpt(aggExprs.map(deriveNamed(_, dfn, mvAttr, groupTarget, inline)))
+      newAggs <- seqOpt(aggExprs.map(
+        deriveNamed(_, dfn, mvAttr, groupTarget, measures, inline)))
     } yield {
       val filtered = newConds.reduceOption(And)
         .map(c => Filter(c, mvScan)).getOrElse(mvScan)
@@ -640,20 +714,43 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
   private def deriveNamed(ne: NamedExpression, dfn: MvDef,
       mvAttr: Map[String, AttributeReference],
       groupTarget: Expression => Option[AttributeReference],
+      measures: Map[String, Expression],
       inline: Expression => Expression)
       : Option[NamedExpression] = {
     def derived(f: PartialFunction[MvAgg, MvAgg]): Option[AttributeReference] =
       dfn.aggs.collectFirst(f).flatMap(a => mvAttr.get(a.named))
+    // The declared derived measure (of the given kinds) whose bound
+    // expression is semantically the aggregate's argument, if any.
+    def measureMatch(e: Expression)(kind: PartialFunction[MvAgg, MvAgg])
+        : Option[AttributeReference] =
+      dfn.aggs.collect(kind).collectFirst {
+        case m if measures.get(m.named).exists(_.semanticEquals(e)) => m
+      }.flatMap(m => mvAttr.get(m.named))
     def rederive(fn: Expression): Option[Expression] = fn match {
       case Sum(child, _) =>
         sumSource(child).flatMap { src =>
           derived { case m @ MvSum(c) if c == src => m }
-        }.map(mv => Sum(mv).toAggregateExpression())
+        }.orElse(child match {
+          // Expression sums only in the exact-decimal spelling — the
+          // partial stores sum(cast(e as decimal(30,6))), so the match
+          // must see the same cast or re-addition could re-type.
+          case Cast(e, dt, _, _) if dt == MaterializedView.SumDec =>
+            measureMatch(e) { case m: MvSumD => m }
+          case _ => None
+        }).map(mv => Sum(mv).toAggregateExpression())
       case Min(a: AttributeReference) =>
         derived { case m @ MvMin(c) if c == a.name => m }
+          .orElse(measureMatch(a) { case m: MvMinD => m })
+          .map(mv => Min(mv).toAggregateExpression())
+      case Min(e) =>
+        measureMatch(e) { case m: MvMinD => m }
           .map(mv => Min(mv).toAggregateExpression())
       case Max(a: AttributeReference) =>
         derived { case m @ MvMax(c) if c == a.name => m }
+          .orElse(measureMatch(a) { case m: MvMaxD => m })
+          .map(mv => Max(mv).toAggregateExpression())
+      case Max(e) =>
+        measureMatch(e) { case m: MvMaxD => m }
           .map(mv => Max(mv).toAggregateExpression())
       case Count(Seq(Literal(v, _))) if v != null => // count(*) ≡ count(1)
         dfn.aggs.collectFirst { case MvCountStar => MvCountStar }

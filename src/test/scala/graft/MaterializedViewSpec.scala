@@ -152,6 +152,10 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!scans(filtered).contains("lineitem.parquet"))
     val inc = SparkEntry.specs("rel_mv_incremental").fn(spark, sfDir)
     assert(!scans(inc).contains("lineitem_fact"), "incremental not MV-served")
+    val rev = SparkEntry.specs("rel_mv_revenue").fn(spark, sfDir)
+    assert(!scans(rev).contains("lineitem.parquet"), "revenue not MV-served")
+    val dst = SparkEntry.specs("rel_mv_distinct").fn(spark, sfDir)
+    assert(!scans(dst).contains("events_fact"), "hll distinct not MV-served")
   }
 
   test("derived time-bucket grouping rewrites; wrong bucket / finer key fall through") {
@@ -354,5 +358,73 @@ class MaterializedViewSpec extends SparkSpec {
     val p = scans(spark.read.parquet(fact2).groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n")))
     assert(p.contains(incMv), "incremental MV not consulted")
+  }
+
+  test("derived-measure (revenue) rollup rewrites; other expressions fall through") {
+    import graft.plans.MaterializedView.MvSumD
+    val fact = tempDir("mv_rev_fact") + "/fact"
+    li.write.parquet(fact)
+    val mv = tempDir("mv_rev_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag", "l_linestatus"),
+        Seq(MvSumD("revenue", "l_extendedprice * (1 - l_discount)"), MvCountStar),
+        mv))
+
+    // The query spells its own sum(price * (1 - discount)) in the
+    // exact-decimal form — matched semantically, served, bit-identical.
+    def q = spark.read.parquet(fact)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("rev"),
+        count(lit(1)).as("n"))
+    val p = scans(q)
+    assert(p.contains(mv) && !p.contains(fact), s"revenue agg not rewritten:\n$p")
+    val off = withRewriteOff(q.collect().map(_.toString).sorted)
+    assert(q.collect().map(_.toString).sorted.sameElements(off))
+
+    // A DIFFERENT expression is not semantically equal → direct plan.
+    val other = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(dsum(expr("l_extendedprice * (1 + l_tax)")).as("x"))
+    assert(!scans(other).contains(mv), "wrong expression served from revenue MV")
+
+    // A bare DOUBLE sum of the same expression (no exact-decimal cast)
+    // would re-associate float addition → never rewritten.
+    val bare = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(sum(expr("l_extendedprice * (1 - l_discount)")).as("x"))
+    assert(!scans(bare).contains(mv), "bare double sum wrongly served from MV")
+  }
+
+  test("HLL register MV: register build MV-served; delta fold ≡ one-shot sketch") {
+    import graft.functions.Hll
+    import graft.plans.MaterializedView.MvMaxD
+    graft.functions.GraftFunctions.register(spark)
+    val fact = tempDir("mv_hll_fact") + "/fact"
+    val ev = Tables.load(spark, sfDir, "events")
+    val head = ev.filter(pmod(col("user_id"), lit(10)) < 7)
+    val tail = ev.filter(pmod(col("user_id"), lit(10)) >= 7)
+    head.write.parquet(fact)
+    val mv = tempDir("mv_hll_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("event_type"), Seq(MvMaxD("mrho", Hll.rhoSql("user_id"))),
+        mv, derived = Seq("reg" -> Hll.regSql("user_id"))))
+    tail.write.mode("append").parquet(fact)
+    MaterializedView.appendDelta(spark, fact, tail)
+
+    // The standard register-build spelling (hp → reg/rho → group MAX) is
+    // itself a subsumed aggregate: the rule serves it from the maintained
+    // register table (2 batch partitions MAX-merged = sketch union).
+    def regs = spark.read.parquet(fact)
+      .select(col("event_type"), expr(Hll.hpExpr("user_id")).as("hp"))
+      .select(col("event_type"), expr(Hll.regExpr).as("reg"),
+        expr(Hll.rhoExpr).as("rho"))
+      .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val p = scans(regs)
+    assert(p.contains(mv) && !p.contains(fact), s"register build not MV-served:\n$p")
+
+    // Estimates from the incrementally-maintained sketch are bit-identical
+    // to the direct one-shot computation over the whole corpus.
+    def est = Hll.estimate(regs, Seq("event_type"))
+      .collect().map(_.toString).sorted
+    val direct = withRewriteOff(est)
+    assert(est.sameElements(direct))
   }
 }
