@@ -267,9 +267,21 @@ object MaterializedView {
 
   private[plans] def scanOf(spark: SparkSession, mvPath: String)
       : org.apache.spark.sql.execution.datasources.LogicalRelation = {
-    val gen: Long = mvGen.getOrDefault(mvPath, 0L)
     val hit = mvScanCache.get(mvPath)
-    val base = if (hit != null && hit._1 == gen) hit._2 else {
+    val base = if (hit != null && hit._1 == mvGen.getOrDefault(mvPath, 0L))
+      hit._2
+    else {
+      // Cold read: complete a compaction a DIFFERENT maintainer crashed
+      // mid-swap (one fs.exists when there is nothing to recover). A
+      // same-JVM cache hit over a concurrently-swapped listing fails
+      // LOUDLY (deleted files), never silently wrong — compaction
+      // preserves content, so any listing that still reads fully is a
+      // correct answer.
+      val root = new Path(mvPath)
+      if (finishSwap(
+          root.getFileSystem(spark.sparkContext.hadoopConfiguration), root))
+        mvGen.merge(mvPath, 1L, (a, b) => a + b)
+      val gen: Long = mvGen.getOrDefault(mvPath, 0L)
       val lr = spark.read.parquet(mvPath).queryExecution.analyzed
         .collectFirst {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
@@ -279,6 +291,118 @@ object MaterializedView {
       lr
     }
     base.newInstance()
+  }
+
+  // ---- LSM compaction ------------------------------------------------
+
+  /** Merge of already-partial MV rows: the same re-aggregation the serve
+    * plan runs (sum of sums, min of mins, sum of counts), so compaction
+    * preserves every servable answer bit-for-bit — it only collapses the
+    * per-batch duplication of group rows. Exactness is the [[SumDec]]
+    * discipline again: decimal/integral re-addition and MIN/MAX are
+    * order-insensitive. */
+  private def mergePartials(rows: DataFrame, dfn: MvDef): DataFrame = {
+    val keys = (dfn.groupCols ++ dfn.derived.map(_._1)).map(col)
+    val aggCols = dfn.aggs.map {
+      case a @ (_: MvSum | _: MvSumD | _: MvCount | MvCountStar) =>
+        sum(col(a.named)).as(a.named)
+      case a @ (_: MvMin | _: MvMinD) => min(col(a.named)).as(a.named)
+      case a @ (_: MvMax | _: MvMaxD) => max(col(a.named)).as(a.named)
+    }
+    rows.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Complete (or discard) a crashed compaction swap — the
+    * [[graft.llm.MmFeatures.compactBatches]] manifest-last discipline:
+    * the manifest names exactly the batch dirs a rewrite replaces; its
+    * presence plus the `_merged` marker tells merged output from a
+    * not-yet-deleted original at the same path, so no crash point can
+    * delete the only copy and re-entry is idempotent. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, root: Path): Boolean = {
+    val tmp = new Path(root, ".compact_tmp_batches")
+    val manifest = new Path(root, ".compact_manifest")
+    if (!fs.exists(manifest)) return false
+    val names = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(manifest)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    val destName = names.minBy(_.stripPrefix("batch=").toLong)
+    val dest = new Path(root, destName)
+    if (fs.exists(new Path(dest, "_merged"))) {
+      // Rename already happened: clear straggler originals and tmp.
+      names.filter(_ != destName).foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(new Path(tmp, "_merged"))) {
+      // Merged data still in tmp: delete originals, then swap it in.
+      names.foreach { n =>
+        val p = new Path(root, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      fs.rename(tmp, dest)
+    }
+    // else: aborted before tmp completed — originals untouched.
+    fs.delete(manifest, false) // LAST: commit point
+    true // the table may have changed shape — cached listings must drop
+  }
+
+  /** Compact every rollup registered on `sourcePath`: all but the newest
+    * `keepLast` batch partitions re-aggregate into the lowest-id one.
+    * The serve path re-aggregates anyway, so answers are BIT-IDENTICAL
+    * before and after — what compaction bounds is the read cost a
+    * streamed maintainer accrues (one `batch=` dir per trigger: after a
+    * day of minutely triggers the scan reads 1,440 small files; after
+    * compaction, ~|groups| rows in one).
+    *
+    * `keepLast ≥ 1` preserves streaming replay idempotence: only the
+    * newest batch id can be replayed after a crash ([[streamBatch]]
+    * overwrites its own dir), and that dir is never merged away.
+    * Single-maintainer lease + manifest-last swap; a crashed run
+    * completes on the next [[compact]] or on the next cold [[scanOf]]. */
+  def compact(spark: SparkSession, sourcePath: String, keepLast: Int = 1)
+      : Seq[(String, Int, Int)] = {
+    val key = canon(spark, sourcePath)
+    val regs = Option(registry.get(key)).getOrElse(Nil)
+    require(regs.nonEmpty, s"no MV registered for $key")
+    regs.map { reg =>
+      val (b, a) = compactMv(spark, reg.dfn, keepLast)
+      (reg.dfn.mvPath, b, a)
+    }
+  }
+
+  private def compactMv(spark: SparkSession, dfn: MvDef, keepLast: Int)
+      : (Int, Int) = {
+    val root = new Path(dfn.mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = graft.sources.MaintenanceLease.acquire(
+      fs, root, "MaterializedView.compact")
+    try {
+      // Complete a crashed prior run first; if that changed the table,
+      // cached plan-time listings must drop even when this run then has
+      // nothing of its own to merge.
+      if (finishSwap(fs, root)) mvGen.merge(dfn.mvPath, 1L, (a, b) => a + b)
+      val batches = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName)
+        .sortBy(_.stripPrefix("batch=").toLong)
+      val nBefore = batches.length
+      val toMerge = batches.dropRight(math.max(keepLast, 1))
+      if (toMerge.length <= 1) return (nBefore, nBefore)
+      val tmp = new Path(root, ".compact_tmp_batches")
+      fs.delete(tmp, true)
+      mergePartials(
+        spark.read.parquet(toMerge.map(n => s"${dfn.mvPath}/$n"): _*), dfn)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.create(new Path(tmp, "_merged"), true).close()
+      val out = fs.create(new Path(root, ".compact_manifest"), true)
+      out.write(toMerge.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      finishSwap(fs, root)
+      mvGen.merge(dfn.mvPath, 1L, (a, b) => a + b)
+      (nBefore, nBefore - toMerge.length + 1)
+    } finally graft.sources.MaintenanceLease.release(fs, lease)
   }
 
   /** Build (or rebuild) the rollup from the COMPLETE source at

@@ -360,6 +360,106 @@ class MaterializedViewSpec extends SparkSpec {
     assert(p.contains(incMv), "incremental MV not consulted")
   }
 
+  // Build a registered MV fact in `n` appends (n batch partitions).
+  private def appendedFact(tag: String, n: Int): (String, String) = {
+    val fact = tempDir(s"mv_${tag}_fact") + "/fact"
+    val mv = tempDir(s"mv_${tag}_rollup")
+    li.filter(pmod(col("l_orderkey"), lit(n)) === 0).write.parquet(fact)
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag", "l_linestatus", "l_linenumber"), defaultAggs, mv))
+    (1 until n).foreach { k =>
+      val d = li.filter(pmod(col("l_orderkey"), lit(n)) === k)
+      d.write.mode("append").parquet(fact)
+      MaterializedView.appendDelta(spark, fact, d)
+    }
+    (fact, mv)
+  }
+
+  private def serveOf(fact: String) = spark.read.parquet(fact)
+    .groupBy(col("l_returnflag"))
+    .agg(dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"),
+      min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+
+  test("compaction collapses batch partials; serves bit-identical after") {
+    val (fact, mv) = appendedFact("cmp", 4)
+    assert(scans(serveOf(fact)).contains(mv))
+    val before = serveOf(fact).collect().map(_.toString).sorted
+    val mvRowsBefore = spark.read.parquet(mv).count()
+    val res = MaterializedView.compact(spark, fact) // keepLast = 1
+    assert(res == Seq((mv, 4, 2)), s"unexpected compaction report: $res")
+    val fs = new org.apache.hadoop.fs.Path(mv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(mv))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.sameElements(Array("batch=0", "batch=3")), dirs.mkString(","))
+    assert(spark.read.parquet(mv).count() < mvRowsBefore,
+      "compaction did not collapse duplicated group rows")
+    val after = serveOf(fact).collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    assert(scans(serveOf(fact)).contains(mv), "MV no longer consulted")
+    // Idempotent: nothing left to merge.
+    assert(MaterializedView.compact(spark, fact) == Seq((mv, 2, 2)))
+  }
+
+  test("compaction crash windows recover without loss or double-count") {
+    import org.apache.hadoop.fs.Path
+    val (fact, mv) = appendedFact("crash", 3)
+    val truth = serveOf(fact).collect().map(_.toString).sorted
+    val root = new Path(mv)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The merge a real compaction of batches 0,1 would write (partials
+    // re-aggregate: sum of sums, sum of counts, min of mins, max of maxes).
+    def merged01 = spark.read
+      .parquet(s"$mv/batch=0", s"$mv/batch=1")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(sum(col("sum_l_quantity")).as("sum_l_quantity"),
+        sum(col("cnt_star")).as("cnt_star"),
+        sum(col("cnt_l_quantity")).as("cnt_l_quantity"),
+        min(col("min_l_extendedprice")).as("min_l_extendedprice"),
+        max(col("max_l_extendedprice")).as("max_l_extendedprice"))
+
+    // Window 1: crash AFTER the manifest commit, BEFORE the swap — tmp
+    // complete (_merged), manifest names 0,1, originals intact.
+    merged01.coalesce(1).write.parquet(s"$mv/.compact_tmp_batches")
+    fs.create(new Path(s"$mv/.compact_tmp_batches/_merged"), true).close()
+    val man = fs.create(new Path(root, ".compact_manifest"), true)
+    man.write("batch=0\nbatch=1".getBytes("UTF-8")); man.close()
+    // The next maintenance run completes the swap, then has nothing new.
+    assert(MaterializedView.compact(spark, fact) == Seq((mv, 2, 2)))
+    assert(!fs.exists(new Path(root, ".compact_manifest")))
+    assert(serveOf(fact).collect().map(_.toString).sorted.sameElements(truth))
+
+    // Window 2: crash AFTER the rename, BEFORE straggler deletion — dest
+    // (batch=0) holds merged data + _merged marker, a straggler original
+    // remains, manifest still present. Recreate: re-split batch=0 into a
+    // "straggler" batch=1 and a merged batch=0 (content unchanged).
+    val b0 = spark.read.parquet(s"$mv/batch=0")
+    b0.coalesce(1).write.parquet(s"$mv/batch=1") // straggler double-copy
+    fs.create(new Path(s"$mv/batch=0/_merged"), true).close()
+    val man2 = fs.create(new Path(root, ".compact_manifest"), true)
+    man2.write("batch=0\nbatch=1".getBytes("UTF-8")); man2.close()
+    // Unrecovered, a naive read would double-count batch=1's rows;
+    // recovery deletes exactly the straggler and commits.
+    assert(MaterializedView.compact(spark, fact) == Seq((mv, 2, 2)))
+    assert(!fs.exists(new Path(s"$mv/batch=1")))
+    assert(serveOf(fact).collect().map(_.toString).sorted.sameElements(truth))
+  }
+
+  test("concurrent compaction refused loudly by the maintenance lease") {
+    import org.apache.hadoop.fs.Path
+    val (fact, mv) = appendedFact("lease", 2)
+    val root = new Path(mv)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val held = graft.sources.MaintenanceLease.acquire(fs, root, "spec-holder")
+    try {
+      intercept[graft.sources.MaintenanceLease.ConcurrentMaintenanceException] {
+        MaterializedView.compact(spark, fact)
+      }
+    } finally graft.sources.MaintenanceLease.release(fs, held)
+    // Released: maintenance proceeds.
+    assert(MaterializedView.compact(spark, fact) == Seq((mv, 2, 2)))
+  }
+
   test("derived-measure (revenue) rollup rewrites; other expressions fall through") {
     import graft.plans.MaterializedView.MvSumD
     val fact = tempDir("mv_rev_fact") + "/fact"
