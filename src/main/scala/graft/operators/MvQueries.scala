@@ -393,6 +393,38 @@ object MvQueries extends QueryModule {
       doc = "Expression rollup (revenue) served from a derived-measure MV."),
 
     // ------------------------------------------------------------------
+    // Grouping sets: ROLLUP plans as Aggregate over an Expand that
+    // materializes each grouping set; the rule keeps the Expand and swaps
+    // its input from fact rows to MV partial rows (every set is a
+    // coarsening of the MV grain, so re-aggregating partials per set is
+    // exact). `lvl` spells the grouping markers bit-explicitly so both
+    // engines agree without relying on grouping_id bit order.
+    "rel_mv_grouping_sets" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            (grouping($"l_returnflag").cast("bigint") * 2 +
+              grouping($"l_linestatus").cast("bigint")).as("lvl"),
+            dsum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            min($"l_extendedprice").as("min_price"),
+            max($"l_extendedprice").as("max_price"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+                 CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""),
+      doc = "ROLLUP grouping sets served from the MV through the Expand."),
+
+    // ------------------------------------------------------------------
     // Sketch rollup: the register build of the portable HLL — an
     // aggregate grouped by (event_type, hash-register) taking MAX of the
     // rank expression — is itself a subsumed aggregate over a

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -671,6 +671,10 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    child match {
+      case ex: Expand => return rewriteExpand(groupExprs, aggExprs, ex)
+      case _ =>
+    }
     val candidates: Seq[Candidate] = unwrap(child, Nil, Nil) match {
       case Some((conds, projects, lr, rel)) =>
         lookup(rel.location.rootPaths.head)
@@ -682,6 +686,188 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(c => rewriteOver(c, groupExprs, aggExprs))
       .headOption
   }
+
+  /** Grouping-sets serving: `Aggregate(keys ∪ {gid}, aggs,
+    * Expand(projections, output, …scan(fact)))` — the shape
+    * ROLLUP / CUBE / GROUPING SETS analyze to. The Expand node is KEPT
+    * (it is what materializes each grouping set, null-ing the keys a set
+    * drops and tagging rows with the grouping id); only its INPUT changes
+    * from fact rows to MV partial rows, and each aggregate call
+    * re-derives over partials it now passes through. Sound because every
+    * grouping set's keys must land on MV grouping columns, so each set is
+    * a coarsening of the MV grain and re-aggregating partials per set
+    * equals aggregating fact rows per set — the same algebra that already
+    * serves coarser plain groupings. A measure passthrough referenced by
+    * a grouping key, or a grouping copy referenced inside an aggregate
+    * call (whose per-set nulls the partials cannot reproduce), bails. */
+  private def rewriteExpand(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], ex: Expand): Option[LogicalPlan] = {
+    val (conds, projects, lr, rel) = unwrap(ex.child, Nil, Nil) match {
+      case Some(u) => u
+      case None => return None
+    }
+    val inline = inliner(projects)
+    val groupRefIds = groupExprs.flatMap(_.references).map(_.exprId).toSet
+
+    // Classify each Expand output column by shape + usage (pure, cheap).
+    def isNullLit(e: Expression): Boolean = e match {
+      case Literal(null, _) => true; case _ => false
+    }
+    val cols: Seq[Option[ExCol]] = ex.output.indices.map { i =>
+      val entries = ex.projections.map(_(i))
+      if (groupRefIds(ex.output(i).exprId)) {
+        if (entries.forall(_.isInstanceOf[Literal]) && !entries.exists(isNullLit))
+          Some(ExConst)
+        else {
+          val nonNull = entries.filterNot(isNullLit)
+          if (nonNull.nonEmpty &&
+              nonNull.forall(_.semanticEquals(nonNull.head)) &&
+              !nonNull.head.isInstanceOf[Literal])
+            Some(ExGroup(inline(nonNull.head)))
+          else None
+        }
+      } else if (entries.forall(e => !e.isInstanceOf[Literal] &&
+          e.semanticEquals(entries.head)))
+        Some(ExPass(inline(entries.head)))
+      else None
+    }
+    if (cols.exists(_.isEmpty)) return None
+    val shape = cols.map(_.get)
+    val passSrc: Map[Long, Expression] = ex.output.indices.flatMap { i =>
+      shape(i) match {
+        case ExPass(src) => Some(ex.output(i).exprId.id -> src)
+        case _ => None
+      }
+    }.toMap
+    val keptIdx = ex.output.indices.filterNot(shape(_).isInstanceOf[ExPass])
+    val keptIds = keptIdx.map(ex.output(_).exprId).toSet
+    def substSrc(fn: Expression): Expression = fn.transformUp {
+      case a: AttributeReference if passSrc.contains(a.exprId.id) =>
+        passSrc(a.exprId.id)
+    }
+
+    lookup(rel.location.rootPaths.head).view
+      .filter(_.dfn.join.isEmpty)
+      .flatMap { reg =>
+        val dfn = reg.dfn
+        // Cheap gates: grouping sources plausible by name; every aggregate
+        // call references only passthroughs and is name-derivable after
+        // substituting them by their fact-side sources. Freshness last.
+        val groupsPlausible = shape.forall {
+          case ExGroup(a: AttributeReference) => dfn.groupCols.contains(a.name)
+          case ExGroup(_) => dfn.derived.nonEmpty
+          case _ => true
+        }
+        val aggsPlausible = aggExprs.forall { ne =>
+          ne.collect {
+            case ae: AggregateExpression =>
+              !ae.isDistinct && ae.filter.isEmpty &&
+                ae.aggregateFunction.references.forall(r =>
+                  passSrc.contains(r.exprId.id)) &&
+                aggDerivableByName(substSrc(ae.aggregateFunction), dfn)
+          }.forall(identity)
+        }
+        if (!groupsPlausible || !aggsPlausible || !fresh(rel, reg.sig)) None
+        else serveExpand(reg, conds.map(inline), lr, ex, shape, passSrc,
+          keptIdx, keptIds, groupExprs, aggExprs, inline, substSrc)
+      }.headOption
+  }
+
+  /** The build step of [[rewriteExpand]], after all cheap gates passed. */
+  private def serveExpand(reg: Registered, conds: Seq[Expression],
+      lr: LogicalPlan, ex: Expand, shape: Seq[ExCol],
+      passSrc: Map[Long, Expression], keptIdx: Seq[Int],
+      keptIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      groupExprs: Seq[Expression], aggExprs: Seq[NamedExpression],
+      inline: Expression => Expression,
+      substSrc: Expression => Expression): Option[LogicalPlan] = {
+    val dfn = reg.dfn
+    for {
+      bound <- bindDerivedCached(lr, dfn, inline)
+      groupNames = dfn.derived.map(_._1).toSet
+      derived = bound.filter { case (n, _) => groupNames(n) }
+      measures = bound.collect { case (n, e) if !groupNames(n) => n -> e }.toMap
+      mvScan = MaterializedView.scanOf(spark, dfn.mvPath): LogicalPlan
+      mvAttr = mvScan.output.collect {
+        case a: AttributeReference => a.name -> a
+      }.toMap
+      groupTarget = (e: Expression) => e match {
+        case a: AttributeReference if dfn.groupCols.contains(a.name) =>
+          mvAttr.get(a.name)
+        case e0 => derived.collectFirst {
+          case (n, be) if be.semanticEquals(e0) => n
+        }.flatMap(mvAttr.get)
+      }
+      // Every grouping copy must land on an MV grouping column.
+      groupAttrByIdx <- seqOpt(shape.map {
+        case ExGroup(src) => groupTarget(src).map(Option(_))
+        case _ => Some(None) // ExConst / ExPass: no mapping needed
+      })
+      // Residual predicates re-bind exactly as in the plain path.
+      newConds <- seqOpt(conds.map { c =>
+        if (!rebindable(c)) None
+        else {
+          val mvIds = mvAttr.values.map(_.exprId).toSet
+          val swapped = c.transformDown {
+            case e if groupTarget(e).isDefined => groupTarget(e).get
+          }
+          if (swapped.references.forall(a => mvIds.contains(a.exprId)))
+            Some(swapped)
+          else None
+        }
+      })
+      // Aggregate outputs: grouping/gid attrs survive verbatim; aggregate
+      // calls re-derive over partial columns after substituting
+      // passthrough attrs by their fact-side sources.
+      newAggs <- seqOpt(aggExprs.map { ne =>
+        def go(x: Expression): Option[Expression] = x match {
+          case ae @ AggregateExpression(fn, _, false, None, _)
+              if fn.references.forall(r => passSrc.contains(r.exprId.id)) =>
+            rederiveFn(substSrc(fn), dfn, mvAttr, measures)
+              .map(r => if (r.dataType == ae.dataType) r else Cast(r, ae.dataType))
+          case _: AggregateExpression => None
+          case a: AttributeReference =>
+            if (keptIds(a.exprId)) Some(a) else None
+          case other if other.deterministic && !other.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.PlanExpression[_]] =>
+            seqOpt(other.children.map(go)).map(other.withNewChildren)
+          case _ => None
+        }
+        ne match {
+          case a: AttributeReference if keptIds(a.exprId) => Some(a)
+          case al @ Alias(e, n) => go(e).map(x => Alias(x, n)(exprId = al.exprId))
+          case _ => None
+        }
+      })
+    } yield {
+      // Partial columns the rewritten aggregates read: pass them through
+      // every grouping set unchanged (partials are never null-ed — only
+      // grouping KEYS vary per set).
+      val mvIds = mvScan.output.map(_.exprId).toSet
+      val passMv = newAggs.flatMap(_.references).distinct
+        .collect { case a: AttributeReference if mvIds(a.exprId) => a }
+      val newOutput = keptIdx.map(ex.output) ++ passMv
+      val newProjections = ex.projections.map { row =>
+        keptIdx.map { i =>
+          groupAttrByIdx(i) match {
+            case Some(mvG) =>
+              row(i) match { case l @ Literal(null, _) => l; case _ => mvG }
+            case None => row(i) // constant-per-set (grouping id)
+          }
+        } ++ passMv
+      }
+      val filtered = newConds.reduceOption(And)
+        .map(c => Filter(c, mvScan)).getOrElse(mvScan)
+      Aggregate(groupExprs, newAggs,
+        Expand(newProjections, newOutput, filtered))
+    }
+  }
+
+  /** [[rewriteExpand]]'s column classification. */
+  private sealed trait ExCol
+  private case object ExConst extends ExCol
+  private final case class ExGroup(src: Expression) extends ExCol
+  private final case class ExPass(src: Expression) extends ExCol
 
   /** Name-level derivability of one aggregate CALL — the zero-cost twin
     * of `deriveNamed`'s rederive, used to bail before any analysis or MV
@@ -835,12 +1021,13 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     * `dsum(x) / count(x)`, …): aggregate calls re-derive from the MV's
     * partials, grouping references re-bind to the MV's columns, and the
     * surrounding arithmetic is kept verbatim. */
-  private def deriveNamed(ne: NamedExpression, dfn: MvDef,
+  /** One aggregate CALL (already reduced to scan attributes) re-derived
+    * over the MV's partial columns — the shared core of the plain/star
+    * path ([[deriveNamed]]) and the grouping-sets path
+    * ([[rewriteExpand]]). */
+  private def rederiveFn(fn: Expression, dfn: MvDef,
       mvAttr: Map[String, AttributeReference],
-      groupTarget: Expression => Option[AttributeReference],
-      measures: Map[String, Expression],
-      inline: Expression => Expression)
-      : Option[NamedExpression] = {
+      measures: Map[String, Expression]): Option[Expression] = {
     def derived(f: PartialFunction[MvAgg, MvAgg]): Option[AttributeReference] =
       dfn.aggs.collectFirst(f).flatMap(a => mvAttr.get(a.named))
     // The declared derived measure (of the given kinds) whose bound
@@ -850,7 +1037,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       dfn.aggs.collect(kind).collectFirst {
         case m if measures.get(m.named).exists(_.semanticEquals(e)) => m
       }.flatMap(m => mvAttr.get(m.named))
-    def rederive(fn: Expression): Option[Expression] = fn match {
+    fn match {
       case Sum(child, _) =>
         sumSource(child).flatMap { src =>
           derived { case m @ MvSum(c) if c == src => m }
@@ -885,6 +1072,16 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(mv => Coalesce(Seq(Sum(mv).toAggregateExpression(), Literal(0L))))
       case _ => None
     }
+  }
+
+  private def deriveNamed(ne: NamedExpression, dfn: MvDef,
+      mvAttr: Map[String, AttributeReference],
+      groupTarget: Expression => Option[AttributeReference],
+      measures: Map[String, Expression],
+      inline: Expression => Expression)
+      : Option[NamedExpression] = {
+    def rederive(fn: Expression): Option[Expression] =
+      rederiveFn(fn, dfn, mvAttr, measures)
     // Structural remap: aggregate calls and grouping expressions (stored
     // or derived) swap to their MV derivations; every other node must
     // reconstruct over successfully-remapped children or the whole

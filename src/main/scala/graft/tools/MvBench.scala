@@ -125,6 +125,64 @@ object MvBench {
       val (starServedSec, starServedRows) = runStar(rewrite = true)
       require(starDirectRows == starServedRows, "star MV rows != direct rows")
 
+      // HLL sketch rollup: count-distinct users per event_type served from
+      // the maintained register MV (derived-measure MVs) — the direct plan
+      // hashes every fact row per run; the served plan reads ≤ |types|·4096
+      // register rows.
+      graft.functions.GraftFunctions.register(spark)
+      import graft.functions.Hll
+      val evFact = s"$scratch/ev_fact"
+      spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id")).write.parquet(evFact)
+      val hllDfn = MvDef(
+        groupCols = Seq("event_type"),
+        aggs = Seq(MaterializedView.MvMaxD("mrho", Hll.rhoSql("user_id"))),
+        mvPath = s"$scratch/mv_hll",
+        derived = Seq("reg" -> Hll.regSql("user_id")))
+      val (hllBuildSec, _) = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try timed(MaterializedView.register(spark, evFact, hllDfn))
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      def distinctQuery(): DataFrame = {
+        val regs = spark.read.parquet(evFact)
+          .select(col("event_type"), expr(Hll.hpExpr("user_id")).as("hp"))
+          .select(col("event_type"), expr(Hll.regExpr).as("reg"),
+            expr(Hll.rhoExpr).as("rho"))
+          .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("mrho"))
+        Hll.estimate(regs, Seq("event_type"))
+      }
+      def runDistinct(rewrite: Boolean): (Double, Seq[String]) = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        try {
+          val times = (1 to 2).map(_ => timed(canon(distinctQuery())))
+          (times.map(_._1).min, times.head._2)
+        } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (distDirectSec, distDirect) = runDistinct(rewrite = false)
+      val (distServedSec, distServed) = runDistinct(rewrite = true)
+      require(distDirect == distServed, "HLL MV estimates != direct estimates")
+
+      // Fragmentation + compaction: a streamed maintainer leaves one batch
+      // partition per trigger; compaction re-aggregates them into one and
+      // the serve cost returns to the single-rollup floor. 24 tiny deltas
+      // stand in for a day of hourly triggers.
+      (0 until 24).foreach { k =>
+        val d = li.filter(pmod(col("l_orderkey"), lit(2400)) === (1200 + k))
+        d.write.mode("append").parquet(fact)
+        MaterializedView.appendDelta(spark, fact, d)
+      }
+      val (servedFragSec, fragRows) = run(rewrite = true)
+      // One call compacts every rollup registered on the path (plain, the
+      // post-delta rebuild, star, HLL lives on its own path) — the same
+      // one-call-maintains-all discipline appendDelta has.
+      val (compactSec, compactReport) =
+        timed(MaterializedView.compact(spark, fact, keepLast = 1))
+      val fragBatches = compactReport
+        .collectFirst { case (p, b, _) if p == s"$scratch/mv" => b }.get
+      val (servedCompactSec, compactRows) = run(rewrite = true)
+      require(fragRows == compactRows, "compacted MV rows != fragmented rows")
+
       println(
         s"""{"metric":"mv_bench","sf":"$dir","fact_rows":$nRows,""" +
         s""""build_sec":${f"$buildSec%.2f"},"direct_sec":${f"$directSec%.2f"},""" +
@@ -137,7 +195,15 @@ object MvBench {
         s""""star_build_sec":${f"$starBuildSec%.2f"},""" +
         s""""star_direct_sec":${f"$starDirectSec%.2f"},""" +
         s""""star_served_sec":${f"$starServedSec%.2f"},""" +
-        s""""star_speedup":${f"${starDirectSec / starServedSec}%.1f"}}""")
+        s""""star_speedup":${f"${starDirectSec / starServedSec}%.1f"},""" +
+        s""""hll_build_sec":${f"$hllBuildSec%.2f"},""" +
+        s""""distinct_direct_sec":${f"$distDirectSec%.2f"},""" +
+        s""""distinct_served_sec":${f"$distServedSec%.2f"},""" +
+        s""""distinct_speedup":${f"${distDirectSec / distServedSec}%.1f"},""" +
+        s""""frag_batches":$fragBatches,""" +
+        s""""served_frag_sec":${f"$servedFragSec%.2f"},""" +
+        s""""compact_all_mvs_sec":${f"$compactSec%.2f"},""" +
+        s""""served_compacted_sec":${f"$servedCompactSec%.2f"}}""")
     }
     spark.stop()
   }

@@ -156,6 +156,8 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!scans(rev).contains("lineitem.parquet"), "revenue not MV-served")
     val dst = SparkEntry.specs("rel_mv_distinct").fn(spark, sfDir)
     assert(!scans(dst).contains("events_fact"), "hll distinct not MV-served")
+    val gs = SparkEntry.specs("rel_mv_grouping_sets").fn(spark, sfDir)
+    assert(!scans(gs).contains("lineitem.parquet"), "rollup not MV-served")
   }
 
   test("derived time-bucket grouping rewrites; wrong bucket / finer key fall through") {
@@ -458,6 +460,45 @@ class MaterializedViewSpec extends SparkSpec {
     } finally graft.sources.MaintenanceLease.release(fs, held)
     // Released: maintenance proceeds.
     assert(MaterializedView.compact(spark, fact) == Seq((mv, 2, 2)))
+  }
+
+  test("ROLLUP/CUBE grouping sets served from the MV through the Expand") {
+    val (fact, mv) = freshFact()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+
+    // ROLLUP: every grouping set is a coarsening of the MV grain — the
+    // Expand survives, its input swaps to MV partial rows.
+    val roll = spark.read.parquet(fact)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("mn"))
+    val p = scans(roll)
+    assert(p.contains(mv) && !p.contains(fact), s"rollup not MV-served:\n$p")
+    assert(canon(roll).sameElements(withRewriteOff(canon(roll))))
+
+    // CUBE, with a grouping-column predicate riding along and grouping()
+    // markers over the grouping id.
+    val cube = spark.read.parquet(fact)
+      .filter(col("l_linenumber").isin(1, 2, 3))
+      .cube(col("l_returnflag"), col("l_linenumber"))
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+        dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+    val cp = scans(cube)
+    assert(cp.contains(mv) && !cp.contains(fact), s"cube not MV-served:\n$cp")
+    assert(canon(cube).sameElements(withRewriteOff(canon(cube))))
+
+    // Fall-through: a rollup key outside the MV's grouping set.
+    val bad = spark.read.parquet(fact)
+      .rollup(col("l_returnflag"), col("l_shipdate"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scans(bad).contains(mv), "unsubsumed rollup wrongly MV-served")
+
+    // Fall-through: a non-derivable aggregate inside the grouping sets.
+    val avgQ = spark.read.parquet(fact)
+      .rollup(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+    assert(!scans(avgQ).contains(mv), "bare avg rollup wrongly MV-served")
   }
 
   test("derived-measure (revenue) rollup rewrites; other expressions fall through") {
