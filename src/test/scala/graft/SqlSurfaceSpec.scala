@@ -617,4 +617,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
       s"SQL star aggregate not MV-served:\n$p")
   }
+
+  test("rel_mv_grouping_sets through spark.sql (SQL ROLLUP is MV-served)") {
+    checkSame("rel_mv_grouping_sets", """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+    // checkSame ran the fn → the fixture MV is registered; the SQL text's
+    // own ROLLUP plan (Aggregate over Expand) must then be rollup-served.
+    val p = spark.sql("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem.parquet"),
+      s"SQL ROLLUP aggregate not MV-served:\n$p")
+  }
 }
