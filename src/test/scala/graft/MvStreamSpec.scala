@@ -90,4 +90,41 @@ class MvStreamSpec extends SparkSpec {
       s"star join query not MV-served after drain:\n$p")
     assert(rows(query).sameElements(withRewriteOff(rows(query))))
   }
+
+  test("compaction between drains: batch LSM collapses, stream resumes, serves exact") {
+    val landing = tempDir("mv_cstream_landing") + "/fact"
+    val mv = tempDir("mv_cstream_rollup")
+    val ckpt = tempDir("mv_cstream_ckpt")
+    val dfn = MvDef(Seq("l_returnflag", "l_linestatus"),
+      Seq(MvSum("l_quantity"), MvCountStar, MvMin("l_extendedprice"),
+        MvMax("l_extendedprice")), mv)
+    def query = spark.read.parquet(landing)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+    def batchDirs = new java.io.File(mv).list().count(_.startsWith("batch="))
+
+    // Wave 1: many small files → one batch per trigger (the fragmentation
+    // a long-lived maintainer accrues).
+    li.filter(pmod(col("l_orderkey"), lit(3)) === 0)
+      .repartition(6).write.mode("append").parquet(landing)
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    val truth1 = withRewriteOff(rows(query))
+    assert(batchDirs >= 6)
+    // Compact (keepLast=1 keeps the only replayable batch id); the serve
+    // stays exact and MV-backed.
+    graft.plans.MaterializedView.compact(spark, landing)
+    assert(batchDirs == 2, s"expected merged+kept dirs, got $batchDirs")
+    assert(scans(query).contains(mv) && rows(query).sameElements(truth1))
+
+    // Wave 2 + another drain: the checkpointed stream continues over the
+    // compacted LSM (its batch ids keep rising past the merged range).
+    li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
+      .repartition(2).write.mode("append").parquet(landing)
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    assert(scans(query).contains(mv), "MV not serving after post-compact drain")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+  }
 }
