@@ -499,6 +499,22 @@ class MaterializedViewSpec extends SparkSpec {
       .rollup(col("l_returnflag"))
       .agg(avg(col("l_quantity")).as("a"))
     assert(!scans(avgQ).contains(mv), "bare avg rollup wrongly MV-served")
+
+    // ROLLUP over a DERIVED bucket: the grouping copy's source expression
+    // matches the declared time bucket semantically, through the Expand.
+    val evFact = tempDir("mv_gs_ev") + "/fact"
+    Tables.load(spark, sfDir, "events").write.parquet(evFact)
+    val evMv = tempDir("mv_gs_ev_rollup")
+    MaterializedView.register(spark, evFact,
+      MvDef(Seq("event_type"), Seq(MvSum("value"), MvCountStar), evMv,
+        derived = Seq("bucket" -> "date_trunc('hour', ts)")))
+    val bucketRoll = spark.read.parquet(evFact)
+      .rollup(col("event_type"), date_trunc("hour", col("ts")).as("b"))
+      .agg(dsum(col("value")).as("s"), count(lit(1)).as("n"))
+    val bp = scans(bucketRoll)
+    assert(bp.contains(evMv) && !bp.contains(evFact),
+      s"derived-bucket rollup not MV-served:\n$bp")
+    assert(canon(bucketRoll).sameElements(withRewriteOff(canon(bucketRoll))))
   }
 
   test("derived-measure (revenue) rollup rewrites; other expressions fall through") {
@@ -508,14 +524,19 @@ class MaterializedViewSpec extends SparkSpec {
     val mv = tempDir("mv_rev_rollup")
     MaterializedView.register(spark, fact,
       MvDef(Seq("l_returnflag", "l_linestatus"),
-        Seq(MvSumD("revenue", "l_extendedprice * (1 - l_discount)"), MvCountStar),
+        Seq(MvSumD("revenue", "l_extendedprice * (1 - l_discount)"),
+          graft.plans.MaterializedView.MvMinD(
+            "revenue", "l_extendedprice * (1 - l_discount)"),
+          MvCountStar),
         mv))
 
     // The query spells its own sum(price * (1 - discount)) in the
     // exact-decimal form — matched semantically, served, bit-identical.
+    // min over the same expression serves from the MvMinD partial.
     def q = spark.read.parquet(fact)
       .groupBy(col("l_returnflag"))
       .agg(dsum(expr("l_extendedprice * (1 - l_discount)")).as("rev"),
+        min(expr("l_extendedprice * (1 - l_discount)")).as("min_rev"),
         count(lit(1)).as("n"))
     val p = scans(q)
     assert(p.contains(mv) && !p.contains(fact), s"revenue agg not rewritten:\n$p")
