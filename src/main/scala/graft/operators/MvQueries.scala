@@ -425,6 +425,41 @@ object MvQueries extends QueryModule {
       doc = "ROLLUP grouping sets served from the MV through the Expand."),
 
     // ------------------------------------------------------------------
+    // The composed flagship: ROLLUP over the star join with a derived
+    // time bucket — monthly revenue by order priority WITH subtotal and
+    // grand-total rows, served from the starMonth rollup. The direct plan
+    // is a fact⋈dim shuffle join + a 3× Expand of every joined row; the
+    // served plan Expands ~|priorities|·|months| partial rows.
+    "rel_mv_star_rollup" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureStarMonthRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .rollup($"o_orderpriority",
+            date_trunc("month", $"l_shipdate").as("m"))
+          .agg(
+            dsum($"l_extendedprice").as("revenue"),
+            count(lit(1)).as("n"))
+          // Subtotal rows carry NULL keys on both engines (l_shipdate is
+          // never null in the data, so a NULL month IS the subtotal tag;
+          // the grouping()-marker spelling is exercised by
+          // rel_mv_grouping_sets and the CUBE spec).
+          .select($"o_orderpriority",
+            date_format($"m", "yyyy-MM").as("ship_month"),
+            $"revenue", $"n")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+               strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+               ${sqlSum("l_extendedprice")} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY ROLLUP(o_orderpriority, date_trunc('month', l_shipdate))"""),
+      doc = "ROLLUP over star join + derived month bucket, MV-served."),
+
+    // ------------------------------------------------------------------
     // Sketch rollup: the register build of the portable HLL — an
     // aggregate grouped by (event_type, hash-register) taking MAX of the
     // rank expression — is itself a subsumed aggregate over a

@@ -702,11 +702,24 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     * call (whose per-set nulls the partials cannot reproduce), bails. */
   private def rewriteExpand(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], ex: Expand): Option[LogicalPlan] = {
-    val (conds, projects, lr, rel) = unwrap(ex.child, Nil, Nil) match {
-      case Some(u) => u
-      case None => return None
+    // The same two source shapes the plain path serves: a bare fact scan,
+    // or the registered star join (ROLLUP over fact⋈dim — the rewritten
+    // plan drops the join entirely; the MV rows already carry dim keys).
+    val candidates: Seq[Candidate] = unwrap(ex.child, Nil, Nil) match {
+      case Some((conds, projects, lr, rel)) =>
+        lookup(rel.location.rootPaths.head)
+          .filter(_.dfn.join.isEmpty)
+          .map(r => Candidate(conds, projects, lr, r, () => fresh(rel, r.sig)))
+      case None => starCandidates(ex.child)
     }
-    val inline = inliner(projects)
+    candidates.view
+      .flatMap(c => expandOver(c, groupExprs, aggExprs, ex))
+      .headOption
+  }
+
+  private def expandOver(cand: Candidate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], ex: Expand): Option[LogicalPlan] = {
+    val inline = inliner(cand.projects)
     val groupRefIds = groupExprs.flatMap(_.references).map(_.exprId).toSet
 
     // Classify each Expand output column by shape + usage (pure, cheap).
@@ -746,31 +759,27 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         passSrc(a.exprId.id)
     }
 
-    lookup(rel.location.rootPaths.head).view
-      .filter(_.dfn.join.isEmpty)
-      .flatMap { reg =>
-        val dfn = reg.dfn
-        // Cheap gates: grouping sources plausible by name; every aggregate
-        // call references only passthroughs and is name-derivable after
-        // substituting them by their fact-side sources. Freshness last.
-        val groupsPlausible = shape.forall {
-          case ExGroup(a: AttributeReference) => dfn.groupCols.contains(a.name)
-          case ExGroup(_) => dfn.derived.nonEmpty
-          case _ => true
-        }
-        val aggsPlausible = aggExprs.forall { ne =>
-          ne.collect {
-            case ae: AggregateExpression =>
-              !ae.isDistinct && ae.filter.isEmpty &&
-                ae.aggregateFunction.references.forall(r =>
-                  passSrc.contains(r.exprId.id)) &&
-                aggDerivableByName(substSrc(ae.aggregateFunction), dfn)
-          }.forall(identity)
-        }
-        if (!groupsPlausible || !aggsPlausible || !fresh(rel, reg.sig)) None
-        else serveExpand(reg, conds.map(inline), lr, ex, shape, passSrc,
-          keptIdx, keptIds, groupExprs, aggExprs, inline, substSrc)
-      }.headOption
+    val dfn = cand.reg.dfn
+    // Cheap gates: grouping sources plausible by name; every aggregate
+    // call references only passthroughs and is name-derivable after
+    // substituting them by their fact-side sources. Freshness last.
+    val groupsPlausible = shape.forall {
+      case ExGroup(a: AttributeReference) => dfn.groupCols.contains(a.name)
+      case ExGroup(_) => dfn.derived.nonEmpty
+      case _ => true
+    }
+    val aggsPlausible = aggExprs.forall { ne =>
+      ne.collect {
+        case ae: AggregateExpression =>
+          !ae.isDistinct && ae.filter.isEmpty &&
+            ae.aggregateFunction.references.forall(r =>
+              passSrc.contains(r.exprId.id)) &&
+            aggDerivableByName(substSrc(ae.aggregateFunction), dfn)
+      }.forall(identity)
+    }
+    if (!groupsPlausible || !aggsPlausible || !cand.isFresh()) None
+    else serveExpand(cand.reg, cand.conds.map(inline), cand.resolveRel, ex,
+      shape, passSrc, keptIdx, keptIds, groupExprs, aggExprs, inline, substSrc)
   }
 
   /** The build step of [[rewriteExpand]], after all cheap gates passed. */

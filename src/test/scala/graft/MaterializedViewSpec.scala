@@ -158,6 +158,10 @@ class MaterializedViewSpec extends SparkSpec {
     assert(!scans(dst).contains("events_fact"), "hll distinct not MV-served")
     val gs = SparkEntry.specs("rel_mv_grouping_sets").fn(spark, sfDir)
     assert(!scans(gs).contains("lineitem.parquet"), "rollup not MV-served")
+    val sr = SparkEntry.specs("rel_mv_star_rollup").fn(spark, sfDir)
+    val srp = scans(sr)
+    assert(!srp.contains("lineitem.parquet") && !srp.contains("orders.parquet"),
+      s"star rollup not MV-served:\n$srp")
   }
 
   test("derived time-bucket grouping rewrites; wrong bucket / finer key fall through") {
@@ -515,6 +519,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(bp.contains(evMv) && !bp.contains(evFact),
       s"derived-bucket rollup not MV-served:\n$bp")
     assert(canon(bucketRoll).sameElements(withRewriteOff(canon(bucketRoll))))
+  }
+
+  test("star ROLLUP: grouping sets over fact⋈dim served, join dropped") {
+    val fact = tempDir("mv_gs_star_fact") + "/fact"
+    val dim = tempDir("mv_gs_star_dim") + "/dim"
+    li.write.parquet(fact)
+    Tables.load(spark, sfDir, "orders").write.parquet(dim)
+    val mv = tempDir("mv_gs_star_rollup")
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("o_orderpriority"),
+        Seq(MvSum("l_extendedprice"), MvCountStar), mv,
+        join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+    val roll = spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
+      .rollup(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+    val p = scans(roll)
+    assert(p.contains(mv) && !p.contains(fact) && !p.contains(dim),
+      s"star rollup not MV-served:\n$p")
+    val on = roll.collect().map(_.toString).sorted
+    assert(on.sameElements(withRewriteOff(roll.collect().map(_.toString).sorted)))
   }
 
   test("derived-measure (revenue) rollup rewrites; other expressions fall through") {
