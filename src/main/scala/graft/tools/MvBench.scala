@@ -125,6 +125,22 @@ object MvBench {
       val (starServedSec, starServedRows) = runStar(rewrite = true)
       require(starDirectRows == starServedRows, "star MV rows != direct rows")
 
+      // Grouping sets: ROLLUP triples every fact row through the Expand in
+      // the direct plan; the served plan Expands ~|groups| partial rows.
+      def rollupGs(): DataFrame = spark.read.parquet(fact)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      def runGs(rewrite: Boolean): (Double, Seq[String]) = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        try {
+          val times = (1 to 2).map(_ => timed(canon(rollupGs())))
+          (times.map(_._1).min, times.head._2)
+        } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (gsDirectSec, gsDirect) = runGs(rewrite = false)
+      val (gsServedSec, gsServed) = runGs(rewrite = true)
+      require(gsDirect == gsServed, "rollup grouping sets rows != direct rows")
+
       // HLL sketch rollup: count-distinct users per event_type served from
       // the maintained register MV (derived-measure MVs) — the direct plan
       // hashes every fact row per run; the served plan reads ≤ |types|·4096
@@ -196,6 +212,9 @@ object MvBench {
         s""""star_direct_sec":${f"$starDirectSec%.2f"},""" +
         s""""star_served_sec":${f"$starServedSec%.2f"},""" +
         s""""star_speedup":${f"${starDirectSec / starServedSec}%.1f"},""" +
+        s""""gs_direct_sec":${f"$gsDirectSec%.2f"},""" +
+        s""""gs_served_sec":${f"$gsServedSec%.2f"},""" +
+        s""""gs_speedup":${f"${gsDirectSec / gsServedSec}%.1f"},""" +
         s""""hll_build_sec":${f"$hllBuildSec%.2f"},""" +
         s""""distinct_direct_sec":${f"$distDirectSec%.2f"},""" +
         s""""distinct_served_sec":${f"$distServedSec%.2f"},""" +
