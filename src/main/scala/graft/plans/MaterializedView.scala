@@ -80,8 +80,11 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * yields the correct (just slower) scan-the-fact plan.
   *
   * '''Staleness can disable the rewrite but never corrupt a result.'''
-  * Registration fingerprints the fact scan's file listing (path, size,
-  * mtime per file — the same listing the planner already holds in its
+  * Registration fingerprints the fact scan's file listing as a 32-byte
+  * order-insensitive digest over (path, size, mtime) per file
+  * ([[MaterializedView.ListingDigest]] — O(1) driver residency at any
+  * table size; the freshness probe folds the same listing the planner
+  * already holds in its
   * [[org.apache.spark.sql.execution.datasources.FileIndex]], so the
   * check costs no extra I/O at plan time). A query whose scan listing
   * differs from the fingerprint is NOT rewritten — a compacted,
@@ -168,12 +171,42 @@ object MaterializedView {
       mvPath: String, derived: Seq[(String, String)] = Nil,
       join: Option[MvJoin] = None)
 
-  /** One file of the fingerprinted source listing. */
-  private[plans] final case class FileSig(path: String, len: Long, mtime: Long)
+  /** O(1)-RESIDENCY fingerprint of a source file listing: an
+    * order-insensitive 128-bit multiset hash (XOR of per-file MD5 over
+    * `path|len|mtime`) plus file count and total bytes. Storing the full
+    * listing per registration would be O(files × path-length) of
+    * permanent driver state — ~250 MB per MV at the 1M-file scale of a
+    * 100 TB fact table (the same wrong residency shape the skipping
+    * index had before its 8 KB cap); the digest is 32 bytes whatever the
+    * table size. The freshness probe still folds the planner's own
+    * cached listing (O(files) time, as before — it never re-lists), just
+    * without materializing a second copy of it. A false "fresh" needs an
+    * MD5-XOR multiset collision at equal count AND equal total bytes
+    * between the registered and current listings — not a reachable
+    * failure mode for non-adversarial file churn. */
+  private[plans] final case class ListingDigest(
+      count: Long, bytes: Long, lo: Long, hi: Long)
+
+  private[plans] final class DigestBuilder {
+    private var count = 0L
+    private var bytes = 0L
+    private var lo = 0L
+    private var hi = 0L
+    def add(path: String, len: Long, mtime: Long): Unit = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$path|$len|$mtime"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var l = 0L; var h = 0L; var i = 0
+      while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+      while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      lo ^= l; hi ^= h; count += 1; bytes += len
+    }
+    def result(): ListingDigest = ListingDigest(count, bytes, lo, hi)
+  }
 
   private[plans] final case class Registered(dfn: MvDef,
-      @volatile var sig: Set[FileSig],
-      @volatile var dimSig: Option[Set[FileSig]])
+      @volatile var sig: ListingDigest,
+      @volatile var dimSig: Option[ListingDigest])
 
   // canonical fact root path -> registrations (a fact table can carry
   // several rollups — plain, time-bucketed, star — and one appendDelta
@@ -195,16 +228,16 @@ object MaterializedView {
     fs.makeQualified(p).toUri.getPath
   }
 
-  private def listingOf(spark: SparkSession, path: String): Set[FileSig] = {
+  private def listingOf(spark: SparkSession, path: String): ListingDigest = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
-    val b = Set.newBuilder[FileSig]
+    val b = new DigestBuilder
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
       if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-        b += FileSig(s.getPath.toUri.getPath, s.getLen, s.getModificationTime)
+        b.add(s.getPath.toUri.getPath, s.getLen, s.getModificationTime)
     }
     b.result()
   }
@@ -464,7 +497,7 @@ object MaterializedView {
     * are then outside the fingerprint, so a query after [[adopt]] falls
     * back to the direct plan instead of reading an MV that never saw
     * them. */
-  final class SourceSnapshot private[plans] (private[plans] val sig: Set[FileSig])
+  final class SourceSnapshot private[plans] (private[plans] val sig: ListingDigest)
 
   def snapshot(spark: SparkSession, sourcePath: String): SourceSnapshot =
     new SourceSnapshot(listingOf(spark, sourcePath))
@@ -491,9 +524,12 @@ object MaterializedView {
   private[plans] def lookup(rootPath: Path): List[Registered] =
     Option(registry.get(rootPath.toUri.getPath)).getOrElse(Nil)
 
-  private[plans] def sigOf(files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]): Set[FileSig] =
-    files.map(f => FileSig(f.getPath.toUri.getPath, f.getLen,
-      f.getModificationTime)).toSet
+  private[plans] def sigOf(files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]): ListingDigest = {
+    val b = new DigestBuilder
+    files.foreach(f =>
+      b.add(f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
+    b.result()
+  }
 }
 
 /** The optimizer rule — see [[MaterializedView]]. */
@@ -601,7 +637,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Is the scan's CURRENT listing (already cached by the planner's own
     * FileIndex) exactly the fingerprint of the last maintenance run? */
-  private def fresh(rel: HadoopFsRelation, sig: Set[FileSig]): Boolean =
+  private def fresh(rel: HadoopFsRelation, sig: ListingDigest): Boolean =
     sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == sig
 
   /** Unwrap `[Filter]/[Project]*` down to a JOIN node (the star shape —
