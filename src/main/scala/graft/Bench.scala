@@ -307,18 +307,24 @@ object Bench {
         s""","passes":2,"pass1":$p1,"pass2":$p2,"unstable":$un,"leaks":$lk,"gc1":$g1,"gc2":$g2,"solo":$so,"probe":$pr,"contended":$contended,"prev_ref":${if (prev.isEmpty) "null" else "\"" + esc(prevPath) + "\""}"""
       }
     // Two renditions of the same result. stdout gets the COMPACT line —
-    // headline figure, per-query minima, errors, contention flag — because
-    // the round driver keeps only a bounded tail of captured output and the
-    // full diagnostics payload (~20 KB of pass1/pass2/gc/solo maps) is what
-    // truncated BENCH_r06.json mid-line. The on-disk copy keeps everything.
+    // headline figure, HEADLINE per-query minima, errors, contention flag.
+    // The round driver keeps only a bounded tail (~2 KB) of captured
+    // output: BENCH_r13's tail shows the all-query map (10+ KB) truncated
+    // at its FRONT, which is what left "parsed": null three rounds
+    // running. The compact line therefore carries only the ~11 headline
+    // queries (≈0.7 KB — whole line fits the tail buffer); the full
+    // per-query map, passes, gc, and solo diagnostics live in the on-disk
+    // copy the "full" field points at.
     val pr = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     val sp = {
       import scala.jdk.CollectionConverters._
       obj(spillMb.asScala.toSeq.filter(_._2 >= 1.0).sortBy(_._1)
         .map { case (k, v) => k -> f"$v%.1f" })
     }
+    val qsHead = obj(results.collect {
+      case (k, v, _) if headline(k) => k -> f"$v%.3f" })
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs,"contended":$contended,"probe":$pr,"spill_mb":$sp,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"n_queries":${results.size},"n_ok":${ok.size},"queries":$qsHead,"errors":$errs,"contended":$contended,"probe":$pr,"spill_mb":$sp,"full":"BENCH_LAST.json","sf":"${esc(sfDir)}"}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_all":$totalAll,"queries":$qs,"errors":$errs$extra,"spill_mb":$sp,"sf":"${esc(sfDir)}"}"""
     // Always leave a machine-readable copy on disk: sbt prefixes forked
@@ -334,8 +340,11 @@ object Bench {
         System.err.println(s"[bench] could not write $o: ${e.getMessage}")
       }
     }
-    println(compact)
+    // Print AFTER spark.stop(): shutdown logging otherwise lands between
+    // the JSON and sbt's [success] banner, pushing the line out of the
+    // driver's bounded tail.
     spark.stop()
+    println(compact)
     if (ok.size != results.size) sys.exit(1)
   }
 }

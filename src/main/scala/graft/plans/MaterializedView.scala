@@ -222,10 +222,15 @@ object MaterializedView {
     ()
   }
 
+  /** Registry/digest key: the FULLY QUALIFIED URI (scheme + authority +
+    * path). Keying on the bare path would alias tables on different
+    * filesystems with identical paths into one registry entry, and a
+    * byte-preserving mirror (distcp keeping sizes/mtimes) could then pass
+    * the freshness probe against the wrong registration. */
   private[plans] def canon(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.makeQualified(p).toUri.getPath
+    fs.makeQualified(p).toUri.toString
   }
 
   private def listingOf(spark: SparkSession, path: String): ListingDigest = {
@@ -237,7 +242,7 @@ object MaterializedView {
       val s = it.next()
       val name = s.getPath.getName
       if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-        b.add(s.getPath.toUri.getPath, s.getLen, s.getModificationTime)
+        b.add(s.getPath.toUri.toString, s.getLen, s.getModificationTime)
     }
     b.result()
   }
@@ -262,6 +267,27 @@ object MaterializedView {
       val dim = rows.sparkSession.read.parquet(j.dimPath).alias("__mv_dim")
       rows.alias("__mv_fact").join(dim,
         col(s"__mv_fact.${j.factKey}") === col(s"__mv_dim.${j.dimKey}"), "inner")
+    }
+    // An MvSum partial stores cast(x as decimal(30,6)). For a decimal
+    // source with scale > 6 that cast ROUNDS, and with precision − scale
+    // > 24 it can overflow to null (non-ANSI) and silently drop rows —
+    // the rewritten bare sum(x) would then differ from the direct plan.
+    // Such a declaration can never be served soundly; refuse it loudly
+    // at build time rather than let the rewrite-side guard carry alone.
+    dfn.aggs.foreach {
+      case MvSum(c) => src.schema(c).dataType match {
+        case d: DecimalType if d.scale > SumDec.scale ||
+            d.precision - d.scale > SumDec.precision - SumDec.scale =>
+          throw new IllegalArgumentException(
+            s"MvSum($c): source type $d does not fit the sum partial's " +
+              s"$SumDec (scale > ${SumDec.scale} rounds; integral digits " +
+              s"> ${SumDec.precision - SumDec.scale} can overflow to " +
+              "null) — declare MvSumD(\"" + c + "\", \"" + c + "\") " +
+              "instead: it serves the exact-decimal dsum spelling, the " +
+              "only sum shape the rewrite could soundly serve here anyway")
+        case _ =>
+      }
+      case _ =>
     }
     val aggCols = dfn.aggs.map {
       case MvSum(c)   => sum(col(c).cast(SumDec)).as(s"sum_$c")
@@ -305,14 +331,24 @@ object MaterializedView {
       hit._2
     else {
       // Cold read: complete a compaction a DIFFERENT maintainer crashed
-      // mid-swap (one fs.exists when there is nothing to recover). A
+      // mid-swap — but ONLY when no maintainer holds the lease. The
+      // manifest alone cannot tell a crashed maintainer from a LIVE one:
+      // a cold read racing a live compactor's swap could otherwise run
+      // names.foreach(delete) after the compactor's rename(tmp, dest) and
+      // delete the merged batches' only copy. The compactor holds the
+      // lease for the manifest's whole lifetime, so manifest-present ∧
+      // lease-absent can only mean a crashed-and-broken holder (recovery
+      // safe) — a crashed holder that still HAS the lease defers recovery
+      // to the operator's MaintenanceLease.break, as documented there.
+      // (Cheap: two fs.exists when there is nothing to recover.) A
       // same-JVM cache hit over a concurrently-swapped listing fails
       // LOUDLY (deleted files), never silently wrong — compaction
       // preserves content, so any listing that still reads fully is a
       // correct answer.
       val root = new Path(mvPath)
-      if (finishSwap(
-          root.getFileSystem(spark.sparkContext.hadoopConfiguration), root))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!graft.sources.MaintenanceLease.isHeld(fs, root) &&
+          finishSwap(fs, root))
         mvGen.merge(mvPath, 1L, (a, b) => a + b)
       val gen: Long = mvGen.getOrDefault(mvPath, 0L)
       val lr = spark.read.parquet(mvPath).queryExecution.analyzed
@@ -392,7 +428,10 @@ object MaterializedView {
     * newest batch id can be replayed after a crash ([[streamBatch]]
     * overwrites its own dir), and that dir is never merged away.
     * Single-maintainer lease + manifest-last swap; a crashed run
-    * completes on the next [[compact]] or on the next cold [[scanOf]]. */
+    * completes on the next leased [[compact]], or on the next cold
+    * [[scanOf]] once the dead holder's lease is broken (read-path
+    * recovery gates on lease absence — it cannot tell a crashed
+    * maintainer from a live one otherwise). */
   def compact(spark: SparkSession, sourcePath: String, keepLast: Int = 1)
       : Seq[(String, Int, Int)] = {
     val key = canon(spark, sourcePath)
@@ -428,10 +467,16 @@ object MaterializedView {
         spark.read.parquet(toMerge.map(n => s"${dfn.mvPath}/$n"): _*), dfn)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       fs.create(new Path(tmp, "_merged"), true).close()
-      val out = fs.create(new Path(root, ".compact_manifest"), true)
+      // Manifest committed ATOMICALLY (write-then-rename): a concurrent
+      // cold reader must see either no manifest or the complete name
+      // list — a truncated list would recover a partial swap.
+      val manifestTmp = new Path(root, ".compact_manifest.inprogress")
+      fs.delete(manifestTmp, false)
+      val out = fs.create(manifestTmp, true)
       out.write(toMerge.mkString("\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       out.close()
+      fs.rename(manifestTmp, new Path(root, ".compact_manifest"))
       finishSwap(fs, root)
       mvGen.merge(dfn.mvPath, 1L, (a, b) => a + b)
       (nBefore, nBefore - toMerge.length + 1)
@@ -442,13 +487,81 @@ object MaterializedView {
     * `sourcePath` and register it for automatic rewrite. Reading the
     * source path itself — rather than accepting a caller DataFrame —
     * is what ties the fingerprint to the rows: a registration can
-    * never cover files whose rows it did not aggregate. */
+    * never cover files whose rows it did not aggregate.
+    *
+    * The build is BRACKETED by listings: files landing between the
+    * pre-listing and the scan would be aggregated into batch 0 yet absent
+    * from the digest — covered-but-unfingerprinted, so a later
+    * [[appendDelta]] whose caller treats them as new would re-add their
+    * rows AND advance the fingerprint, silently double-counting. If the
+    * post-build listing differs from the pre-build one, the build retries
+    * against the new listing (bounded), so the adopted digest always
+    * matches exactly the files whose rows were aggregated. */
   def register(spark: SparkSession, sourcePath: String, dfn: MvDef): Unit = {
-    val sig = listingOf(spark, sourcePath) // listing BEFORE the read: a
-    // concurrent writer invalidates (sig mismatch) rather than covers.
-    val dimSig = dfn.join.map(j => listingOf(spark, j.dimPath))
-    writeBatch(spark.read.parquet(sourcePath), dfn, 0L)
-    put(canon(spark, sourcePath), Registered(dfn, sig, dimSig))
+    // Rebuild prologue: drop any prior registration of this mvPath FIRST,
+    // so (a) the rebuild's own partial aggregation cannot be served from
+    // the very MV it is about to clear (same grouping, fresh fingerprint
+    // — it WOULD match), and (b) concurrent queries fall back to the
+    // direct plan during the rebuild window instead of racing a
+    // half-built rollup.
+    registry.computeIfPresent(canon(spark, sourcePath), (_, old) =>
+      old.filterNot(_.dfn.mvPath == dfn.mvPath) match {
+        case Nil => null
+        case l => l
+      })
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val sig = listingOf(spark, sourcePath)
+      val dimSig = dfn.join.map(j => listingOf(spark, j.dimPath))
+      clearBatches(spark, dfn.mvPath) // a REBUILD must not leave stale
+      // batch=n>0 partitions from a prior registration double-counting
+      // under the fresh batch 0.
+      writeBatch(spark.read.parquet(sourcePath), dfn, 0L)
+      if (sig == listingOf(spark, sourcePath) &&
+          dimSig == dfn.join.map(j => listingOf(spark, j.dimPath))) {
+        put(canon(spark, sourcePath), Registered(dfn, sig, dimSig))
+        done = true
+      } else {
+        attempt += 1
+        require(attempt < 3,
+          s"source $sourcePath (or its dimension) changed during every " +
+            "register() attempt — retry during a quieter window, or use " +
+            "the streamed maintainer (MvStream) for a live landing zone")
+      }
+    }
+  }
+
+  /** Drop every `batch=` partition under `mvPath` (rebuild prologue). */
+  private def clearBatches(spark: SparkSession, mvPath: String): Unit = {
+    val root = new Path(mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("batch="))
+          fs.delete(st.getPath, true)
+      }
+      mvGen.merge(mvPath, 1L, (a, b) => a + b); ()
+    }
+  }
+
+  /** XOR-fold of `files`' (path, len, mtime) hashes onto `base`: the
+    * multiset digest the source WOULD have if exactly `files` were added
+    * to the listing `base` fingerprints. O(delta) — the full old file set
+    * is never needed, which is what keeps registrations at 32 bytes. */
+  private def extendDigest(spark: SparkSession, base: ListingDigest,
+      files: Seq[String]): ListingDigest = {
+    val b = new DigestBuilder
+    files.foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      b.add(fs.makeQualified(p).toUri.toString, st.getLen,
+        st.getModificationTime)
+    }
+    val d = b.result()
+    ListingDigest(base.count + d.count, base.bytes + d.bytes,
+      base.lo ^ d.lo, base.hi ^ d.hi)
   }
 
   /** Fold an append-only delta in: ONE partial rollup of `deltaRows`
@@ -458,14 +571,38 @@ object MaterializedView {
     * [[graft.streaming.Medallion]]'s layers, [[graft.llm.TextFeatures]]
     * batches): `deltaRows` are exactly the rows of the files added
     * since the last register/appendDelta, and the source is
-    * append-only between maintenance runs. */
+    * append-only between maintenance runs.
+    *
+    * '''The contract is VERIFIED whenever it is checkable.''' When
+    * `deltaRows` scans files under `sourcePath` itself, the digest's
+    * XOR-multiset structure proves or refutes coverage exactly: folding
+    * the delta files' hashes onto the registered digest must reproduce
+    * the current listing's digest. A mismatch — the caller's delta is
+    * not exactly the files added since the last maintenance (a file
+    * landed in the caller's compute-to-call gap, or the caller re-sent
+    * already-folded files) — refuses BEFORE anything is written, since
+    * folding a wrong delta would over- or under-count served answers
+    * forever. When the delta was materialized from elsewhere (a caller
+    * that appended rows it already held), provenance is unverifiable
+    * and the fingerprint advance falls back to trusting the contract. */
   def appendDelta(spark: SparkSession, sourcePath: String,
       deltaRows: DataFrame): Unit = {
     val key = canon(spark, sourcePath)
     val regs = registry.get(key)
     require(regs != null && regs.nonEmpty, s"no MV registered for $key")
     val sig = listingOf(spark, sourcePath)
+    val inputs = deltaRows.inputFiles.toSeq
+    val srcPrefix = canon(spark, sourcePath).stripSuffix("/") + "/"
+    val verifiable = inputs.nonEmpty && inputs.forall(_.startsWith(srcPrefix))
     regs.foreach { reg =>
+      if (verifiable)
+        require(extendDigest(spark, reg.sig, inputs) == sig,
+          s"deltaRows scans ${inputs.length} file(s) under $sourcePath " +
+            s"that are NOT exactly the files added since the last " +
+            s"maintenance of ${reg.dfn.mvPath} — refusing to fold (a " +
+            "wrong delta would permanently over- or under-count served " +
+            "answers). Pass exactly the new files' rows, or rebuild " +
+            "with register().")
       // A star MV's delta rollup joins the CURRENT dimension; folding it
       // under a dim version the earlier batches never saw would mix the
       // two silently. Refuse loudly — a changed dim needs register().
@@ -490,14 +627,25 @@ object MaterializedView {
     registry.remove(canon(spark, sourcePath)); ()
   }
 
+  /** Test seam: force the next [[scanOf]] for `mvPath` onto the cold path
+    * (a generation bump — the same effect every maintenance write has).
+    * Lets specs exercise cold-read recovery without a fresh JVM. */
+  private[graft] def invalidateCache(mvPath: String): Unit = {
+    mvGen.merge(mvPath, 1L, (a, b) => a + b); ()
+  }
+
   // ---- streamed maintenance ([[graft.streaming.MvStream]]) ----------
 
-  /** An opaque point-in-time listing of a source directory. Take it
-    * BEFORE a streaming drain starts: files that land DURING the drain
-    * are then outside the fingerprint, so a query after [[adopt]] falls
-    * back to the direct plan instead of reading an MV that never saw
-    * them. */
-  final class SourceSnapshot private[plans] (private[plans] val sig: ListingDigest)
+  /** An opaque point-in-time listing of a source directory. Take one
+    * BEFORE a streaming drain starts and one AFTER it ends: when the two
+    * [[SourceSnapshot.matches match]], the drain's frozen listing (which
+    * sits between them in time) is exactly the snapshot, so the adopted
+    * fingerprint covers precisely the drained files — see
+    * [[graft.streaming.MvStream.runAvailableNow]]'s bracket loop. */
+  final class SourceSnapshot private[plans] (private[plans] val sig: ListingDigest) {
+    /** Same listing? (count, bytes, and XOR-multiset hash all equal) */
+    def matches(other: SourceSnapshot): Boolean = sig == other.sig
+  }
 
   def snapshot(spark: SparkSession, sourcePath: String): SourceSnapshot =
     new SourceSnapshot(listingOf(spark, sourcePath))
@@ -520,14 +668,15 @@ object MaterializedView {
     put(canon(spark, sourcePath),
       Registered(dfn, snap.sig, dfn.join.map(j => listingOf(spark, j.dimPath))))
 
-  /** The registrations covering a scan rooted at `rootPath`. */
+  /** The registrations covering a scan rooted at `rootPath` (the planner
+    * hands qualified root paths, so the URI string matches [[canon]]). */
   private[plans] def lookup(rootPath: Path): List[Registered] =
-    Option(registry.get(rootPath.toUri.getPath)).getOrElse(Nil)
+    Option(registry.get(rootPath.toUri.toString)).getOrElse(Nil)
 
   private[plans] def sigOf(files: Seq[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]): ListingDigest = {
     val b = new DigestBuilder
     files.foreach(f =>
-      b.add(f.getPath.toUri.getPath, f.getLen, f.getModificationTime))
+      b.add(f.getPath.toUri.toString, f.getLen, f.getModificationTime))
     b.result()
   }
 }
@@ -696,7 +845,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         (lrL, relL, lrR, relR), (lrR, relR, lrL, relL))
       reg <- lookup(factRel.location.rootPaths.head)
       mj <- reg.dfn.join.toSeq
-      if dimRel.location.rootPaths.head.toUri.getPath ==
+      if dimRel.location.rootPaths.head.toUri.toString ==
         MaterializedView.canon(spark, mj.dimPath)
       inline = inliner(projT ++ projL ++ projR)
       cond <- j.condition.toSeq
@@ -1041,9 +1190,27 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     * same bits; a BARE float sum does not and is never rewritten. The
     * engine's own sum spelling ([[graft.api.Exact.dsum]]) casts to
     * decimal(30,6) first — that shape is exact for any source type and
-    * is what the MV's partials store. */
+    * is what the MV's partials store.
+    *
+    * Decimals must FIT the stored partial's decimal(30,6): scale > 6
+    * would round at the partial's cast and integral digits > 24 could
+    * overflow it to null (dropping rows from the partial) — either way
+    * the rewritten bare sum(x) would differ from the direct plan, so
+    * such sources are never rewritten (and [[MaterializedView]] refuses
+    * the MvSum declaration at build time).
+    *
+    * Declared edge divergence for bare INTEGRAL sums: under non-ANSI
+    * mode a direct sum(long) that exceeds 2^63 wraps, while the
+    * rewritten exact-decimal re-aggregation casts back to long as null —
+    * no silent wrong number, and under ANSI mode both plans raise. The
+    * exact-decimal answer is retained deliberately (the dsum spelling
+    * shares the decimal lattice on both plans and has no edge at all). */
   private def exactSum(a: AttributeReference): Boolean = a.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType =>
+      d.scale <= MaterializedView.SumDec.scale &&
+        d.precision - d.scale <=
+          MaterializedView.SumDec.precision - MaterializedView.SumDec.scale
     case _ => false
   }
 

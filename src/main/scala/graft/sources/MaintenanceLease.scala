@@ -72,4 +72,14 @@ object MaintenanceLease {
   /** Operator intervention: remove a dead maintainer's lease. */
   def break(fs: FileSystem, root: Path): Boolean =
     fs.delete(new Path(root, LeaseName), false)
+
+  /** Is a maintainer (live or crashed) currently holding `root`?
+    * Read-path recovery of a half-finished swap must gate on this: a
+    * reader that cannot tell a crashed maintainer from a LIVE one mid-swap
+    * would race the live one's rename and delete the merged batches' only
+    * copy. A crashed holder leaves the lease behind, so recovery then
+    * waits for the operator's [[break]] — the next cold read (or the next
+    * leased compaction) completes the swap. */
+  def isHeld(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, LeaseName))
 }

@@ -32,26 +32,50 @@ object MvStream {
     * and register the MV for automatic rewrite over exactly the files
     * the drain covered. Restarts resume from the checkpoint: only new
     * files are rolled up, replayed batches overwrite their own
-    * `batch=` dir. */
+    * `batch=` dir.
+    *
+    * The adopted fingerprint must be EXACTLY the drained file set. A
+    * pre-drain snapshot alone cannot guarantee that: a file landing
+    * between the snapshot and the stream's own start listing IS drained
+    * yet absent from the digest — covered-but-unfingerprinted, which a
+    * later appendDelta caller could double-count. So each drain is
+    * BRACKETED by listings (the stream's frozen start listing sits
+    * between them): when both agree, the bracket is the frozen set and
+    * the adoption is exact; when they differ, another drain runs — the
+    * checkpoint makes re-drains incremental, covering precisely the
+    * stragglers — until one drain is bracketed by identical listings.
+    * Refuses loudly (nothing adopted; queries keep the direct plan) if
+    * the landing zone churns through every attempt. */
   def runAvailableNow(spark: SparkSession, landingDir: String,
       schema: StructType, dfn: MvDef, checkpointDir: String,
-      maxFilesPerTrigger: Int = 10): Unit = {
-    // Snapshot BEFORE the drain: AvailableNow freezes its file listing
-    // at start, so the snapshot is exactly the covered set.
-    val snap = MaterializedView.snapshot(spark, landingDir)
-    val q: StreamingQuery = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(landingDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        MaterializedView.streamBatch(b, dfn, id)
+      maxFilesPerTrigger: Int = 10, maxDrains: Int = 5): Unit = {
+    var attempt = 0
+    var adopted = false
+    while (!adopted) {
+      val snap = MaterializedView.snapshot(spark, landingDir)
+      val q: StreamingQuery = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(landingDir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          MaterializedView.streamBatch(b, dfn, id)
+        }
+        .start()
+      q.awaitTermination()
+      if (MaterializedView.snapshot(spark, landingDir).matches(snap)) {
+        MaterializedView.adopt(spark, landingDir, dfn, snap)
+        adopted = true
+      } else {
+        attempt += 1
+        require(attempt < maxDrains,
+          s"$landingDir gained files during every one of $maxDrains " +
+            "drain attempts — nothing adopted (queries keep the direct " +
+            "plan); run the maintainer again during a quieter window")
       }
-      .start()
-    q.awaitTermination()
-    MaterializedView.adopt(spark, landingDir, dfn, snap)
+    }
     if (spark.streams.active.isEmpty)
       scala.util.Try(
         org.apache.spark.sql.execution.streaming.state.StateStore.stop())

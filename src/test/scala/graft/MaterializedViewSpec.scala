@@ -2,7 +2,9 @@ package graft
 
 import graft.api.Exact.dsum
 import graft.plans.MaterializedView
-import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum}
+import graft.plans.MaterializedView.{MvCount, MvCountStar, MvDef, MvMax, MvMin, MvSum, MvSumD}
+import graft.sources.MaintenanceLease
+import org.apache.hadoop.fs.Path
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -613,5 +615,131 @@ class MaterializedViewSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     val direct = withRewriteOff(est)
     assert(est.sameElements(direct))
+  }
+
+  // ---- round-14 hardening (the five ADVICE items) ----------------------
+
+  test("lossy-decimal MvSum refused at build; bare lossy sum never served; dsum rides MvSumD") {
+    val fact = tempDir("mv_dec_fact") + "/fact"
+    li.select(col("l_returnflag"),
+      col("l_quantity").cast("decimal(38,10)").as("q10")).write.parquet(fact)
+    val mv = tempDir("mv_dec_rollup")
+    // decimal(38,10): scale 10 > 6 — the partial's cast to decimal(30,6)
+    // would ROUND, so the declaration is unsound and must refuse loudly.
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.register(spark, fact,
+        MvDef(Seq("l_returnflag"), Seq(MvSum("q10")), mv))
+    }
+    assert(e.getMessage.contains("MvSumD"), s"wrong refusal: ${e.getMessage}")
+    // The sound declaration for such a type: the exact-decimal measure.
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag"), Seq(MvSumD("q10", "q10"), MvCountStar), mv))
+    // A bare sum(q10) keeps the source's (38,10) lattice — the rewrite
+    // would re-type it; must fall through.
+    val bare = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(sum(col("q10")).as("s"), count(lit(1)).as("n"))
+    assert(!scans(bare).contains(mv), "lossy bare decimal sum wrongly served")
+    // The dsum spelling casts to decimal(30,6) on BOTH plans — identical
+    // per-row rounding, so the MvSumD partial serves it bit-identically.
+    val exact = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(dsum(col("q10")).as("s"), count(lit(1)).as("n"))
+    assert(scans(exact).contains(mv), "dsum spelling not served by MvSumD")
+    val off = withRewriteOff(exact.collect().map(_.toString).sorted)
+    assert(exact.collect().map(_.toString).sorted.sameElements(off))
+  }
+
+  test("re-register on the same mvPath clears stale batch partitions") {
+    val (fact, mv) = freshFact()
+    val delta = li.filter(col("l_orderkey") % 7 === 0).limit(25)
+    delta.write.mode("append").parquet(fact)
+    MaterializedView.appendDelta(spark, fact, delta)
+    val fs = new Path(mv).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batches(): Int =
+      fs.listStatus(new Path(mv)).count(_.getPath.getName.startsWith("batch="))
+    assert(batches() == 2)
+    // Full rebuild reuses the SAME mv path: the stale batch=1 must not
+    // survive to double-count under the fresh batch 0.
+    MaterializedView.register(spark, fact,
+      MvDef(Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        defaultAggs, mv))
+    assert(batches() == 1, "rebuild left stale batch partitions behind")
+    assert(scans(query(fact)).contains(mv))
+    val off = withRewriteOff(query(fact).collect().map(_.toString).sorted)
+    assert(query(fact).collect().map(_.toString).sorted.sameElements(off))
+  }
+
+  test("appendDelta proves a source-scanned delta against the XOR digest") {
+    val (fact, mv) = freshFact()
+    val fs = new Path(fact).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Set[String] = fs.listStatus(new Path(fact)).toSeq
+      .map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map(_.toString).toSet
+    val before = files()
+    li.filter(col("l_orderkey") % 5 === 0).limit(30)
+      .write.mode("append").parquet(fact)
+    val freshFiles = (files() -- before).toSeq
+    def batches(): Int =
+      fs.listStatus(new Path(mv)).count(_.getPath.getName.startsWith("batch="))
+    val n0 = batches()
+    // WRONG delta: scans every file under the source — it would re-add
+    // the registered rows. The XOR-multiset digest detects it exactly and
+    // the fold refuses BEFORE writing anything.
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.appendDelta(spark, fact, spark.read.parquet(fact))
+    }
+    assert(e.getMessage.contains("refusing to fold"))
+    assert(batches() == n0, "wrong delta was folded anyway")
+    // Registration is merely stale: direct plan, right answer.
+    assert(!scans(query(fact)).contains(mv))
+    // RIGHT delta: exactly the new files — the digest extends to the
+    // current listing, so the fold proceeds and serving resumes.
+    MaterializedView.appendDelta(spark, fact,
+      spark.read.parquet(freshFiles: _*))
+    assert(scans(query(fact)).contains(mv), "verified delta did not resume serving")
+    val off = withRewriteOff(query(fact).collect().map(_.toString).sorted)
+    assert(query(fact).collect().map(_.toString).sorted.sameElements(off))
+  }
+
+  test("cold-read swap recovery gates on the maintenance lease") {
+    val (fact, mv) = freshFact()
+    val delta = li.filter(col("l_orderkey") % 3 === 0).limit(40)
+    delta.write.mode("append").parquet(fact)
+    MaterializedView.appendDelta(spark, fact, delta) // two batch dirs
+    val direct = withRewriteOff(query(fact).collect().map(_.toString).sorted)
+    // Hand-craft a compactor crashed AFTER the manifest commit, BEFORE
+    // the deletes — the window where a concurrent reader's recovery
+    // racing a LIVE compactor could delete the merged batches' only copy.
+    val fs = new Path(mv).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$mv/batch=0", s"$mv/batch=1")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(sum(col("sum_l_quantity")).as("sum_l_quantity"),
+        sum(col("cnt_star")).as("cnt_star"),
+        sum(col("cnt_l_quantity")).as("cnt_l_quantity"),
+        min(col("min_l_extendedprice")).as("min_l_extendedprice"),
+        max(col("max_l_extendedprice")).as("max_l_extendedprice"))
+      .coalesce(1).write.parquet(s"$mv/.compact_tmp_batches")
+    fs.create(new Path(s"$mv/.compact_tmp_batches/_merged"), true).close()
+    val mOut = fs.create(new Path(s"$mv/.compact_manifest"), true)
+    mOut.write("batch=0\nbatch=1".getBytes("UTF-8")); mOut.close()
+    MaintenanceLease.acquire(fs, new Path(mv), "test-crashed-compactor")
+    // Lease present ⇒ the cold read must NOT recover (a live maintainer
+    // is indistinguishable from a crashed one) — and still serves the
+    // correct answer from the untouched original batches.
+    MaterializedView.invalidateCache(mv)
+    assert(query(fact).collect().map(_.toString).sorted.sameElements(direct))
+    assert(fs.exists(new Path(s"$mv/.compact_manifest")), "recovered under a held lease")
+    assert(fs.exists(new Path(s"$mv/batch=1")), "originals deleted under a held lease")
+    // A second maintainer is refused while the dead holder's lease stands.
+    intercept[MaintenanceLease.ConcurrentMaintenanceException] {
+      MaterializedView.compact(spark, fact)
+    }
+    // Operator breaks the dead lease ⇒ the next cold read completes the
+    // swap (manifest gone, originals cleared) and serving is unchanged.
+    MaintenanceLease.break(fs, new Path(mv))
+    MaterializedView.invalidateCache(mv)
+    assert(query(fact).collect().map(_.toString).sorted.sameElements(direct))
+    assert(!fs.exists(new Path(s"$mv/.compact_manifest")), "swap not completed")
+    assert(!fs.exists(new Path(s"$mv/batch=1")), "originals not cleared")
   }
 }
