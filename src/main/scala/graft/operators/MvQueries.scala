@@ -37,7 +37,12 @@ object MvQueries extends QueryModule {
   private def lineitemDef(path: String) = MvDef(
     groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
     aggs = Seq(MvSum("l_quantity"), MvSum("l_extendedprice"), MvCountStar,
-      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice")),
+      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice"),
+      // The MvSum+MvCount pair over the integral line number serves bare
+      // avg(l_linenumber) (a sum partial over a column that is ALSO a
+      // grouping key is perfectly legal — it just sums a constant per MV
+      // row).
+      MvSum("l_linenumber"), MvCount("l_linenumber")),
     mvPath = path)
 
   // dir -> registered, once per JVM (the TextFeatures build-once shape).
@@ -83,7 +88,7 @@ object MvQueries extends QueryModule {
     aggs = Seq(MvSum("l_extendedprice"), MvSum("l_quantity"), MvCountStar,
       MvMax("l_extendedprice")),
     mvPath = path,
-    join = Some(MaterializedView.MvJoin(
+    joins = Seq(MaterializedView.MvJoin(
       s"$dir/orders.parquet", "l_orderkey", "o_orderkey")))
 
   private val registeredStar = new ConcurrentHashMap[String, String]()
@@ -96,6 +101,28 @@ object MvQueries extends QueryModule {
     }); ()
   }
 
+  /** The MULTI-dimension star: lineitem ⋈ orders ⋈ customer — the
+    * TPC-H Q3/Q10 shape, a snowflake chain whose second link keys on the
+    * FIRST dimension (o_custkey). Grouped by market segment: the whole
+    * two-join aggregate over the corpus collapses to a ~5-row read. */
+  private def star2Def(dir: String, path: String) = MvDef(
+    groupCols = Seq("c_mktsegment"),
+    aggs = Seq(MvSum("l_extendedprice"), MvSum("l_quantity"), MvCountStar),
+    mvPath = path,
+    joins = Seq(
+      MaterializedView.MvJoin(s"$dir/orders.parquet", "l_orderkey", "o_orderkey"),
+      MaterializedView.MvJoin(s"$dir/customer.parquet", "o_custkey", "c_custkey")))
+
+  private val registeredStar2 = new ConcurrentHashMap[String, String]()
+
+  private def ensureStar2Registered(s: SparkSession, dir: String): Unit = {
+    registeredStar2.computeIfAbsent(dir, _ => {
+      val mv = Scratch.dir("mv_star2")
+      MaterializedView.register(s, s"$dir/lineitem.parquet", star2Def(dir, mv))
+      mv
+    }); ()
+  }
+
   /** Star × derived composed: monthly revenue by order priority — a dim
     * grouping attribute AND a time bucket computed from a fact column,
     * over the fact⋈dim join. Third registration on the same fact path. */
@@ -104,7 +131,7 @@ object MvQueries extends QueryModule {
     aggs = Seq(MvSum("l_extendedprice"), MvCountStar),
     mvPath = path,
     derived = Seq("ship_month" -> "date_trunc('month', l_shipdate)"),
-    join = Some(MaterializedView.MvJoin(
+    joins = Seq(MaterializedView.MvJoin(
       s"$dir/orders.parquet", "l_orderkey", "o_orderkey")))
 
   private val registeredStarMonth = new ConcurrentHashMap[String, String]()
@@ -341,6 +368,39 @@ object MvQueries extends QueryModule {
       doc = "Fact⋈dim rollup served from a star MV (plan pinned by spec)."),
 
     // ------------------------------------------------------------------
+    // Multi-dimension star: the query spells its own two inner equi-joins
+    // (fact ⋈ orders ⋈ customer) and groups by a second-hop dimension
+    // attribute; the rule flattens the join tree, matches both declared
+    // key pairs (any join order/associativity), and re-points the whole
+    // thing at the ~5-row rollup — both joins dropped. A dim-attribute
+    // predicate rides onto the MV's grouping column.
+    "rel_mv_star2" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureStar2Registered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(Tables.load(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .filter($"c_mktsegment" =!= "MACHINERY")
+          .groupBy($"c_mktsegment")
+          .agg(
+            dsum($"l_extendedprice").as("revenue"),
+            dsum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT c_mktsegment,
+               ${sqlSum("l_extendedprice")} AS revenue,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment <> 'MACHINERY'
+        GROUP BY c_mktsegment"""),
+      doc = "Two-dimension star (Q3/Q10 shape) served from one rollup; both joins dropped."),
+
+    // ------------------------------------------------------------------
     // Star × derived composed: the query joins fact⋈dim AND buckets a
     // fact timestamp — monthly revenue by priority, the classic finance
     // dashboard — served from a rollup of ~|priorities|·|months| rows.
@@ -458,6 +518,63 @@ object MvQueries extends QueryModule {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY ROLLUP(o_orderpriority, date_trunc('month', l_shipdate))"""),
       doc = "ROLLUP over star join + derived month bucket, MV-served."),
+
+    // ------------------------------------------------------------------
+    // Bare avg over an integral column: served as the re-derived
+    // sum/count substituted into Spark's own Average division (see
+    // [[graft.plans.MaterializedView]]) — the one aggregate kind that
+    // previously always fell through. The davg spelling rides alongside
+    // to pin that both avg forms coexist in one served aggregate.
+    "rel_mv_avg" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        ensureRegistered(s, dir)
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            avg($"l_linenumber").as("avg_ln"),
+            davg($"l_quantity").as("avg_qty"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag,
+               AVG(l_linenumber) AS avg_ln,
+               ${sqlAvg("l_quantity")} AS avg_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag"""),
+      doc = "Bare avg served from the MvSum+MvCount pair (plan pinned by spec)."),
+
+    // ------------------------------------------------------------------
+    // HAVING rides above the rewrite untouched: the filter references the
+    // rewritten Aggregate's preserved output ids, and its scalar-subquery
+    // clause (a global count over the same fact) is itself a subsumed
+    // aggregate. The second clause genuinely filters at every SF — the
+    // fixture is uniform, so a count-proportion threshold cannot, but
+    // 2·SUM(l_linenumber) > 9·COUNT(*) ⟺ the group's line number > 4.5,
+    // exactly and scale-independently (keeps 5,6,7; integer arithmetic on
+    // both engines).
+    "rel_mv_having" -> QuerySpec(
+      fn = (s, dir) => {
+        ensureRegistered(s, dir)
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("mv_having_li")
+        s.sql(s"""
+          SELECT l_linenumber,
+                 COUNT(*) AS n,
+                 ${sqlSum("l_quantity")} AS sum_qty
+          FROM mv_having_li
+          GROUP BY l_linenumber
+          HAVING COUNT(*) > 0.12 * (SELECT COUNT(*) FROM mv_having_li)
+             AND 2 * SUM(l_linenumber) > 9 * COUNT(*)""")
+      },
+      oracle = Some(s"""
+        SELECT l_linenumber,
+               COUNT(*) AS n,
+               ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY l_linenumber
+        HAVING COUNT(*) > 0.12 * (SELECT COUNT(*) FROM lineitem)
+           AND 2 * SUM(l_linenumber) > 9 * COUNT(*)"""),
+      doc = "HAVING (scalar-subquery + aggregate clauses) over an MV-served aggregate."),
 
     // ------------------------------------------------------------------
     // Sketch rollup: the register build of the portable HLL — an

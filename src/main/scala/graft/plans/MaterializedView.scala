@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -73,11 +73,22 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *     rollups (an HLL register table is a grouping-by-register MV with
   *     a `MvMaxD` rank measure) ride the same machinery.
   *
-  * Anything else — avg (its decimal division re-types), DISTINCT,
-  * FILTER clauses, expressions over grouping columns, a predicate on a
-  * non-grouping column — leaves the plan untouched: the rewrite is an
-  * optimization, never a semantics change, and falling through always
-  * yields the correct (just slower) scan-the-fact plan.
+  *   - bare `avg(x)` (x integral/fitting-decimal) → the re-derived sum
+  *     and count substituted into the Average's OWN `evaluateExpression`
+  *     (so the final division's type algebra is Spark's verbatim);
+  *     requires BOTH `MvSum(x)` and `MvCount(x)` partials. The davg
+  *     spelling (`dsum(x)/count(x)`) rides the structural path.
+  *
+  * A HAVING clause needs no special casing: it analyzes to a Filter
+  * ABOVE the Aggregate, the rule rewrites the Aggregate underneath it,
+  * and the filter's references resolve against the rewritten aggregate's
+  * preserved output exprIds — `rel_mv_having` + the spec pin it.
+  *
+  * Anything else — a bare FLOAT sum/avg (re-association drifts),
+  * DISTINCT, FILTER clauses, expressions over grouping columns, a
+  * predicate on a non-grouping column — leaves the plan untouched: the
+  * rewrite is an optimization, never a semantics change, and falling
+  * through always yields the correct (just slower) scan-the-fact plan.
   *
   * '''Staleness can disable the rewrite but never corrupt a result.'''
   * Registration fingerprints the fact scan's file listing as a 32-byte
@@ -144,16 +155,21 @@ object MaterializedView {
     def col: String = sql; def named = s"max_$name"
   }
 
-  /** The star-schema extension: the MV's source relation is
-    * `fact INNER JOIN parquet(dimPath) ON fact.factKey = dim.dimKey`,
-    * and `groupCols`/`derived` may then name DIMENSION columns — the
-    * Calcite-`MaterializedViewRule` shape (rollup by order priority,
-    * by customer nation, …) that answers a dashboard's fact⋈dim
-    * aggregate without touching either table. The rewrite matches the
-    * query's OWN inner equi-join on the same key pair; the dimension is
-    * fingerprinted alongside the fact, and a changed dimension refuses
-    * incremental maintenance (a delta folded under a different dim
-    * version would be inconsistent) — rebuild with [[register]]. */
+  /** One link of the star/snowflake extension: the MV's source relation
+    * gains `INNER JOIN parquet(dimPath) ON leftKey = dimKey`, where
+    * `leftKey` may live on the fact table OR on any earlier-declared
+    * dimension (the snowflake chain: lineitem ⋈ orders by l_orderkey,
+    * then orders ⋈ customer by o_custkey). `groupCols`/`derived` may
+    * then name columns of ANY joined table — the Calcite-
+    * `MaterializedViewRule` shape (rollup by order priority, by customer
+    * nation, …) that answers a dashboard's multi-dimension aggregate
+    * without touching any table. The rewrite matches the query's OWN
+    * inner equi-join tree on the same key pairs (any join order/shape);
+    * every dimension is fingerprinted alongside the fact, and a changed
+    * dimension refuses incremental maintenance (a delta folded under a
+    * different dim version would be inconsistent) — rebuild with
+    * [[register]]. `factKey` is the left-side key name, kept as-named
+    * because the single-dim case reads naturally. */
   final case class MvJoin(dimPath: String, factKey: String, dimKey: String)
 
   /** A registered rollup: partial aggregates `aggs` grouped by
@@ -164,12 +180,12 @@ object MaterializedView {
     * SEMANTICALLY at rewrite time (the declared SQL is resolved against
     * the query's own scan, analyzer-normalized timezone and all, then
     * compared by `semanticEquals`), so the query spells the bucket
-    * however it likes. With `join` set the source relation is the
-    * fact⋈dim star join ([[MvJoin]]). Stored as batch partitions under
-    * `mvPath`. */
+    * however it likes. With `joins` declared the source relation is the
+    * fact ⋈ dim₁ ⋈ … star/snowflake join ([[MvJoin]], in declaration
+    * order). Stored as batch partitions under `mvPath`. */
   final case class MvDef(groupCols: Seq[String], aggs: Seq[MvAgg],
       mvPath: String, derived: Seq[(String, String)] = Nil,
-      join: Option[MvJoin] = None)
+      joins: Seq[MvJoin] = Nil)
 
   /** O(1)-RESIDENCY fingerprint of a source file listing: an
     * order-insensitive 128-bit multiset hash (XOR of per-file MD5 over
@@ -206,7 +222,7 @@ object MaterializedView {
 
   private[plans] final case class Registered(dfn: MvDef,
       @volatile var sig: ListingDigest,
-      @volatile var dimSig: Option[ListingDigest])
+      @volatile var dimSigs: Seq[ListingDigest]) // aligned with dfn.joins
 
   // canonical fact root path -> registrations (a fact table can carry
   // several rollups — plain, time-bucketed, star — and one appendDelta
@@ -258,15 +274,18 @@ object MaterializedView {
     * maintenance paths run (refresh over the full source, appendDelta
     * over the increment). */
   private def partial(rows: DataFrame, dfn: MvDef): DataFrame = {
-    // Star MV: the source relation is the fact⋈dim join. Aliases keep the
-    // key equality unambiguous; every other referenced column must be
-    // unambiguous by name across the two schemas or this build fails
+    // Star/snowflake MV: the source relation is the declared join chain.
+    // Each link's left key resolves against the ACCUMULATED join (fact or
+    // any earlier dim — the snowflake shape); aliases keep the dim-side
+    // key unambiguous, and every other referenced column must be
+    // unambiguous by name across the joined schemas or this build fails
     // loudly at register time (which is what makes name-keyed matching
     // in the rewrite safe: an ambiguous declaration cannot register).
-    val src = dfn.join.fold(rows) { j =>
-      val dim = rows.sparkSession.read.parquet(j.dimPath).alias("__mv_dim")
-      rows.alias("__mv_fact").join(dim,
-        col(s"__mv_fact.${j.factKey}") === col(s"__mv_dim.${j.dimKey}"), "inner")
+    val src = dfn.joins.zipWithIndex.foldLeft(rows.alias("__mv_fact")) {
+      case (acc, (j, i)) =>
+        val dim = rows.sparkSession.read.parquet(j.dimPath).alias(s"__mv_dim$i")
+        acc.join(dim,
+          acc(j.factKey) === col(s"__mv_dim$i.${j.dimKey}"), "inner")
     }
     // An MvSum partial stores cast(x as decimal(30,6)). For a decimal
     // source with scale > 6 that cast ROUNDS, and with precision − scale
@@ -513,14 +532,14 @@ object MaterializedView {
     var done = false
     while (!done) {
       val sig = listingOf(spark, sourcePath)
-      val dimSig = dfn.join.map(j => listingOf(spark, j.dimPath))
+      val dimSigs = dfn.joins.map(j => listingOf(spark, j.dimPath))
       clearBatches(spark, dfn.mvPath) // a REBUILD must not leave stale
       // batch=n>0 partitions from a prior registration double-counting
       // under the fresh batch 0.
       writeBatch(spark.read.parquet(sourcePath), dfn, 0L)
       if (sig == listingOf(spark, sourcePath) &&
-          dimSig == dfn.join.map(j => listingOf(spark, j.dimPath))) {
-        put(canon(spark, sourcePath), Registered(dfn, sig, dimSig))
+          dimSigs == dfn.joins.map(j => listingOf(spark, j.dimPath))) {
+        put(canon(spark, sourcePath), Registered(dfn, sig, dimSigs))
         done = true
       } else {
         attempt += 1
@@ -603,11 +622,11 @@ object MaterializedView {
             "wrong delta would permanently over- or under-count served " +
             "answers). Pass exactly the new files' rows, or rebuild " +
             "with register().")
-      // A star MV's delta rollup joins the CURRENT dimension; folding it
+      // A star MV's delta rollup joins the CURRENT dimensions; folding it
       // under a dim version the earlier batches never saw would mix the
       // two silently. Refuse loudly — a changed dim needs register().
-      reg.dfn.join.foreach { j =>
-        require(reg.dimSig.contains(listingOf(spark, j.dimPath)),
+      reg.dfn.joins.zip(reg.dimSigs).foreach { case (j, ds) =>
+        require(ds == listingOf(spark, j.dimPath),
           s"dimension ${j.dimPath} changed since registration of " +
           s"${reg.dfn.mvPath}; incremental maintenance would mix dim " +
           "versions — rebuild with register()")
@@ -666,7 +685,7 @@ object MaterializedView {
   def adopt(spark: SparkSession, sourcePath: String, dfn: MvDef,
       snap: SourceSnapshot): Unit =
     put(canon(spark, sourcePath),
-      Registered(dfn, snap.sig, dfn.join.map(j => listingOf(spark, j.dimPath))))
+      Registered(dfn, snap.sig, dfn.joins.map(j => listingOf(spark, j.dimPath))))
 
   /** The registrations covering a scan rooted at `rootPath` (the planner
     * hands qualified root paths, so the URI string matches [[canon]]). */
@@ -789,36 +808,59 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
   private def fresh(rel: HadoopFsRelation, sig: ListingDigest): Boolean =
     sigOf(rel.location.listFiles(Nil, Nil).flatMap(_.files)) == sig
 
-  /** Unwrap `[Filter]/[Project]*` down to a JOIN node (the star shape —
-    * grouping-pullout Projects and HAVING-ish Filters ride above it). */
-  private def unwrapToJoin(p: LogicalPlan, conds: Seq[Expression],
+  /** Flatten an INNER equi-join tree down to its leaf scans: recursing
+    * through Filters, rebindable Projects, and Inner Joins, collect the
+    * residual predicates, the project lists, the leaf
+    * (LogicalRelation, HadoopFsRelation) pairs, and the individual join
+    * conjuncts. None when any node is something else — the star matcher
+    * only serves trees built purely of inner joins over file scans
+    * (any join order/associativity: the flattened multiset is
+    * shape-insensitive, which is what lets Catalyst reorder the query's
+    * joins without breaking the match). */
+  private def flattenJoins(p: LogicalPlan, conds: Seq[Expression],
       projects: Seq[Seq[NamedExpression]])
-      : Option[(Seq[Expression], Seq[Seq[NamedExpression]], Join)] =
+      : Option[(Seq[Expression], Seq[Seq[NamedExpression]],
+        Seq[(LogicalRelation, HadoopFsRelation)], Seq[Expression])] =
     p match {
-      case Filter(c, ch) => unwrapToJoin(ch, conds :+ c, projects)
+      case Filter(c, ch) => flattenJoins(ch, conds :+ c, projects)
       case Project(pl, ch) if pl.forall {
           case _: AttributeReference => true
           case al: Alias => rebindable(al.child)
           case _ => false
-        } => unwrapToJoin(ch, conds, projects :+ pl)
-      case j: Join => Some((conds, projects, j))
+        } => flattenJoins(ch, conds, projects :+ pl)
+      case j: Join if j.joinType == Inner =>
+        for {
+          (condsL, projL, leavesL, jcondsL) <- flattenJoins(j.left, Nil, Nil)
+          (condsR, projR, leavesR, jcondsR) <- flattenJoins(j.right, Nil, Nil)
+        } yield (conds ++ condsL ++ condsR, projects ++ projL ++ projR,
+          leavesL ++ leavesR,
+          jcondsL ++ jcondsR ++
+            j.condition.toSeq.flatMap(splitConjuncts))
+      case lr @ LogicalRelation(r: HadoopFsRelation, _, _, _, _)
+          if r.location.rootPaths.length == 1 =>
+        Some((conds, projects, Seq((lr, r)), Nil))
       case _ => None
     }
 
-  /** Exactly the declared key equality `fact.factKey = dim.dimKey`
-    * (either operand order), between the two scans' own attributes. */
-  private def isKeyEquality(c: Expression, factLr: LogicalRelation,
-      dimLr: LogicalRelation, mj: MvJoin): Boolean = {
-    val fIds = factLr.output.map(_.exprId).toSet
-    val dIds = dimLr.output.map(_.exprId).toSet
-    c match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (a.name == mj.factKey && fIds(a.exprId) &&
-          b.name == mj.dimKey && dIds(b.exprId)) ||
-        (b.name == mj.factKey && fIds(b.exprId) &&
-          a.name == mj.dimKey && dIds(a.exprId))
-      case _ => false
-    }
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Is `c` the declared key equality `leftKey = dim.dimKey` (either
+    * operand order): one side the dim leaf's own `dimKey` attribute, the
+    * other a `leftKey` attribute owned by ANY other leaf of the flattened
+    * join (the fact, or an earlier dim in a snowflake chain). */
+  private def isKeyEquality(c: Expression, mj: MvJoin,
+      dimIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      otherIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Boolean = c match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      (a.name == mj.factKey && otherIds(a.exprId) &&
+        b.name == mj.dimKey && dimIds(b.exprId)) ||
+      (b.name == mj.factKey && otherIds(b.exprId) &&
+        a.name == mj.dimKey && dimIds(a.exprId))
+    case _ => false
   }
 
   /** One rewrite candidate: the conjoined residual predicates, the
@@ -831,28 +873,54 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       projects: Seq[Seq[NamedExpression]], resolveRel: LogicalPlan,
       reg: Registered, isFresh: () => Boolean)
 
-  /** Star-shape candidates: `Aggregate → …(Join(fact, dim))` where the
-    * join is the registered INNER equi-join on the declared key pair (in
-    * either child order) and residual predicates from above the join and
-    * both branches are pooled for grouping-column re-binding. */
+  /** Star/snowflake candidates: `Aggregate → …(fact ⋈ dim₁ ⋈ … ⋈ dimₙ)`
+    * where the flattened inner-join tree has exactly one leaf per
+    * registered table, each declared dim leaf matched by canonical path,
+    * and the join conjuncts are exactly the declared key equalities (one
+    * per link, each between the dim's key and a key on any OTHER leaf —
+    * so both join orders and any associativity match). Residual
+    * predicates from everywhere in the tree pool for grouping-column
+    * re-binding; freshness checks the fact and every dim. */
   private def starCandidates(child: LogicalPlan): Seq[Candidate] =
     for {
-      (condsT, projT, j) <- unwrapToJoin(child, Nil, Nil).toSeq
-      if j.joinType == Inner
-      (condsL, projL, lrL, relL) <- unwrap(j.left, Nil, Nil).toSeq
-      (condsR, projR, lrR, relR) <- unwrap(j.right, Nil, Nil).toSeq
-      (factLr, factRel, dimLr, dimRel) <- Seq(
-        (lrL, relL, lrR, relR), (lrR, relR, lrL, relL))
+      (conds, projects, leaves, jconds) <- flattenJoins(child, Nil, Nil).toSeq
+      if leaves.length >= 2
+      (factLr, factRel) <- leaves
       reg <- lookup(factRel.location.rootPaths.head)
-      mj <- reg.dfn.join.toSeq
-      if dimRel.location.rootPaths.head.toUri.toString ==
-        MaterializedView.canon(spark, mj.dimPath)
-      inline = inliner(projT ++ projL ++ projR)
-      cond <- j.condition.toSeq
-      if isKeyEquality(inline(cond), factLr, dimLr, mj)
-    } yield Candidate(condsT ++ condsL ++ condsR, projT ++ projL ++ projR,
-      Join(factLr, dimLr, Inner, None, JoinHint.NONE), reg,
-      () => fresh(factRel, reg.sig) && reg.dimSig.exists(s => fresh(dimRel, s)))
+      js = reg.dfn.joins
+      if js.nonEmpty && leaves.length == js.length + 1 &&
+        jconds.length == js.length
+      // Each declared dim matched to a DISTINCT leaf by canonical path.
+      dimLeaves = js.map(mj => leaves.filter { case (_, r) =>
+        r.location.rootPaths.head.toUri.toString ==
+          MaterializedView.canon(spark, mj.dimPath)
+      })
+      if dimLeaves.forall(_.length == 1) &&
+        dimLeaves.map(_.head._1).distinct.length == js.length &&
+        !dimLeaves.exists(_.head._1 eq factLr)
+      inline = inliner(projects)
+      // Every declared key pair appears among the join conjuncts, and
+      // (counts equal, pairs distinct) the conjuncts are EXACTLY the
+      // declared equalities — an extra or different predicate would make
+      // the query's join a different relation than the MV's source.
+      matched = js.zip(dimLeaves.map(_.head)).map { case (mj, (dimLr, _)) =>
+        val dimIds = dimLr.output.map(_.exprId).toSet
+        val otherIds = leaves.collect {
+          case (lr, _) if lr ne dimLr => lr.output.map(_.exprId)
+        }.flatten.toSet
+        jconds.indexWhere(c => isKeyEquality(inline(c), mj, dimIds, otherIds))
+      }
+      if !matched.contains(-1) && matched.distinct.length == js.length
+    } yield {
+      val resolveRel = dimLeaves.map(_.head._1).foldLeft(factLr: LogicalPlan) {
+        (acc, dimLr) => Join(acc, dimLr, Inner, None, JoinHint.NONE)
+      }
+      Candidate(conds, projects, resolveRel, reg,
+        () => fresh(factRel, reg.sig) &&
+          reg.dimSigs.zip(dimLeaves.map(_.head._2)).forall {
+            case (s, dimRel) => fresh(dimRel, s)
+          })
+    }
 
   private def rewrite(orig: Aggregate, groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
@@ -863,7 +931,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     val candidates: Seq[Candidate] = unwrap(child, Nil, Nil) match {
       case Some((conds, projects, lr, rel)) =>
         lookup(rel.location.rootPaths.head)
-          .filter(_.dfn.join.isEmpty)
+          .filter(_.dfn.joins.isEmpty)
           .map(r => Candidate(conds, projects, lr, r, () => fresh(rel, r.sig)))
       case None => starCandidates(child)
     }
@@ -893,7 +961,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     val candidates: Seq[Candidate] = unwrap(ex.child, Nil, Nil) match {
       case Some((conds, projects, lr, rel)) =>
         lookup(rel.location.rootPaths.head)
-          .filter(_.dfn.join.isEmpty)
+          .filter(_.dfn.joins.isEmpty)
           .map(r => Candidate(conds, projects, lr, r, () => fresh(rel, r.sig)))
       case None => starCandidates(ex.child)
     }
@@ -1091,6 +1159,9 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         dfn.aggs.contains(MvCountStar)
       case Count(Seq(a: AttributeReference)) =>
         dfn.aggs.exists { case MvCount(c) => c == a.name; case _ => false }
+      case Average(a: AttributeReference, _) =>
+        dfn.aggs.exists { case MvSum(c) => c == a.name; case _ => false } &&
+          dfn.aggs.exists { case MvCount(c) => c == a.name; case _ => false }
       case _ => false
     }
 
@@ -1282,6 +1353,35 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(a: AttributeReference)) =>
         derived { case m @ MvCount(c) if c == a.name => m }
           .map(mv => Coalesce(Seq(Sum(mv).toAggregateExpression(), Literal(0L))))
+      // Bare avg(x) over an exact-sum source, served from the MvSum +
+      // MvCount pair. The final division is NOT re-implemented: the
+      // re-derived sum and count are substituted into THIS Average
+      // instance's own evaluateExpression (public buffer attributes), so
+      // the result-type algebra — double division for integral sources,
+      // the decimal precision/scale lattice for decimal ones — is
+      // Spark's verbatim. Value-identity of the inputs: the exact-decimal
+      // partial re-adds to the true sum, which equals the direct buffer's
+      // accumulation for integral sources (double addition of integers is
+      // exact below 2^53 — beyond it, the same documented edge as the
+      // bare integral sum) and for fitting decimals (scale ≤ 6 means the
+      // partial's cast is value-exact). The Coalesce mirrors the
+      // buffer's never-null initialization so an empty/all-null group
+      // divides 0/0 → null on both plans. A bare float avg re-associates
+      // and is never rewritten, same as the bare float sum.
+      case avgFn @ Average(a: AttributeReference, _) if exactSum(a) =>
+        for {
+          sumMv <- derived { case m @ MvSum(c) if c == a.name => m }
+          cntMv <- derived { case m @ MvCount(c) if c == a.name => m }
+        } yield {
+          val sumAgg = Sum(sumMv).toAggregateExpression()
+          val cntAgg = Sum(cntMv).toAggregateExpression()
+          avgFn.evaluateExpression.transformUp {
+            case at: AttributeReference if at.exprId == avgFn.sum.exprId =>
+              Coalesce(Seq(Cast(sumAgg, at.dataType), Literal.default(at.dataType)))
+            case at: AttributeReference if at.exprId == avgFn.count.exprId =>
+              Coalesce(Seq(cntAgg, Literal(0L)))
+          }
+        }
       case _ => None
     }
   }

@@ -104,7 +104,7 @@ object MvBench {
         groupCols = Seq("o_orderpriority"),
         aggs = Seq(MvSum("l_extendedprice"), MvCountStar),
         mvPath = s"$scratch/mv_star",
-        join = Some(MaterializedView.MvJoin(dimSrc, "l_orderkey", "o_orderkey")))
+        joins = Seq(MaterializedView.MvJoin(dimSrc, "l_orderkey", "o_orderkey")))
       def starQuery(): DataFrame = spark.read.parquet(fact)
         .join(spark.read.parquet(dimSrc), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -164,6 +164,10 @@ class MaterializedViewSpec extends SparkSpec {
     val srp = scans(sr)
     assert(!srp.contains("lineitem.parquet") && !srp.contains("orders.parquet"),
       s"star rollup not MV-served:\n$srp")
+    val av = SparkEntry.specs("rel_mv_avg").fn(spark, sfDir)
+    assert(!scans(av).contains("lineitem.parquet"), "avg not MV-served")
+    val hv = SparkEntry.specs("rel_mv_having").fn(spark, sfDir)
+    assert(!scans(hv).contains("lineitem.parquet"), "having not MV-served")
   }
 
   test("derived time-bucket grouping rewrites; wrong bucket / finer key fall through") {
@@ -229,7 +233,7 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedView.register(spark, fact,
       MvDef(Seq("o_orderpriority"),
         Seq(MvSum("l_extendedprice"), MvCountStar, MvMin("l_extendedprice")),
-        mv, join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+        mv, joins = Seq(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
 
     def q(left: String, right: String) = spark.read.parquet(left)
       .join(spark.read.parquet(right), col("l_orderkey") === col("o_orderkey"))
@@ -288,7 +292,7 @@ class MaterializedViewSpec extends SparkSpec {
     val mv = tempDir("mv_star2_rollup")
     MaterializedView.register(spark, fact,
       MvDef(Seq("o_orderpriority"), Seq(MvSum("l_quantity"), MvCountStar),
-        mv, join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+        mv, joins = Seq(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
 
     def q() = spark.read.parquet(fact)
       .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
@@ -532,7 +536,7 @@ class MaterializedViewSpec extends SparkSpec {
     MaterializedView.register(spark, fact,
       MvDef(Seq("o_orderpriority"),
         Seq(MvSum("l_extendedprice"), MvCountStar), mv,
-        join = Some(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
+        joins = Seq(MaterializedView.MvJoin(dim, "l_orderkey", "o_orderkey"))))
     val roll = spark.read.parquet(fact)
       .join(spark.read.parquet(dim), col("l_orderkey") === col("o_orderkey"))
       .rollup(col("o_orderpriority"))
@@ -615,6 +619,150 @@ class MaterializedViewSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     val direct = withRewriteOff(est)
     assert(est.sameElements(direct))
+  }
+
+  // ---- round-14: multi-dimension star ------------------------------------
+
+  test("two-dimension star (snowflake chain) serves; wrong/partial shapes fall through") {
+    val base = tempDir("mv_star2")
+    val fact = base + "/fact"
+    val dimO = base + "/orders"
+    val dimC = base + "/customer"
+    li.write.parquet(fact)
+    Tables.load(spark, sfDir, "orders").write.parquet(dimO)
+    Tables.load(spark, sfDir, "customer").write.parquet(dimC)
+    val mv = tempDir("mv_star2_rollup")
+    MaterializedView.register(spark, fact, MvDef(
+      Seq("c_mktsegment"),
+      Seq(MvSum("l_extendedprice"), MvCountStar),
+      mv,
+      joins = Seq(
+        MaterializedView.MvJoin(dimO, "l_orderkey", "o_orderkey"),
+        MaterializedView.MvJoin(dimC, "o_custkey", "c_custkey"))))
+    def q = spark.read.parquet(fact)
+      .join(spark.read.parquet(dimO), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(dimC), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+    val p = scans(q)
+    assert(p.contains(mv), s"star2 not MV-served:\n$p")
+    assert(!p.contains(fact) && !p.contains(dimO) && !p.contains(dimC),
+      s"a joined table still scanned:\n$p")
+    val off = withRewriteOff(q.collect().map(_.toString).sorted)
+    assert(q.collect().map(_.toString).sorted.sameElements(off))
+
+    // The OTHER join order (customer joined to orders first, fact last)
+    // flattens to the same multiset and still serves.
+    val q2 = spark.read.parquet(dimC)
+      .join(spark.read.parquet(dimO), col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(fact), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(scans(q2).contains(mv), "reassociated join order not served")
+    val off2 = withRewriteOff(q2.collect().map(_.toString).sorted)
+    assert(q2.collect().map(_.toString).sorted.sameElements(off2))
+
+    // PARTIAL join (fact⋈orders only): a different relation — never served
+    // by the two-dim registration.
+    val partial = spark.read.parquet(fact)
+      .join(spark.read.parquet(dimO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scans(partial).contains(mv), "partial join wrongly served")
+
+    // WRONG key pair on the second hop: a different relation.
+    val wrongKey = spark.read.parquet(fact)
+      .join(spark.read.parquet(dimO), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(dimC), col("o_orderkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(!scans(wrongKey).contains(mv), "wrong key pair wrongly served")
+
+    // EXTRA join predicate: a strictly smaller relation than the MV's.
+    val extraPred = spark.read.parquet(fact)
+      .join(spark.read.parquet(dimO),
+        col("l_orderkey") === col("o_orderkey") && col("o_totalprice") > 10)
+      .join(spark.read.parquet(dimC), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(!scans(extraPred).contains(mv), "extra join predicate wrongly served")
+
+    // A changed SECOND dimension refuses incremental maintenance.
+    Tables.load(spark, sfDir, "customer").limit(10)
+      .write.mode("append").parquet(dimC)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.appendDelta(spark, fact,
+        li.filter(col("l_orderkey") % 2 === 0).limit(10))
+    }
+    assert(e.getMessage.contains("dimension"), e.getMessage)
+  }
+
+  test("declared rel_mv_star2 is actually MV-served (not vacuous)") {
+    val st2 = SparkEntry.specs("rel_mv_star2").fn(spark, sfDir)
+    val p = scans(st2)
+    assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet") &&
+      !p.contains("customer.parquet"), s"star2 not MV-served:\n$p")
+  }
+
+  // ---- round-14: avg + HAVING ------------------------------------------
+
+  test("bare avg over exact-sum sources is served; float avg and missing-count fall through") {
+    // The fixture's integral column: avg(l_linenumber) needs MvSum +
+    // MvCount over it.
+    val fact = tempDir("mv_avg_fact") + "/fact"
+    li.write.parquet(fact)
+    val mv = tempDir("mv_avg_rollup")
+    MaterializedView.register(spark, fact, MvDef(
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(MvSum("l_linenumber"), MvCount("l_linenumber"),
+        MvSum("l_orderkey"), MvCountStar), mv))
+    val served = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(avg(col("l_linenumber")).as("a"), count(lit(1)).as("n"))
+    assert(scans(served).contains(mv), "integral avg not MV-served")
+    val off = withRewriteOff(served.collect().map(_.toString).sorted)
+    assert(served.collect().map(_.toString).sorted.sameElements(off))
+    // avg over a raw DOUBLE re-associates — never rewritten.
+    val dbl = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+    assert(!scans(dbl).contains(mv), "float avg wrongly served")
+    // avg whose MvCount partial is missing — sum alone cannot serve it.
+    val noCnt = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(avg(col("l_orderkey")).as("a"))
+    assert(!scans(noCnt).contains(mv), "avg without MvCount wrongly served")
+  }
+
+  test("decimal avg served bit-identically through Spark's own division lattice") {
+    val fact = tempDir("mv_avg_dec_fact") + "/fact"
+    li.select(col("l_returnflag"),
+      col("l_extendedprice").cast("decimal(12,2)").as("p2")).write.parquet(fact)
+    val mv = tempDir("mv_avg_dec_rollup")
+    MaterializedView.register(spark, fact, MvDef(
+      Seq("l_returnflag"), Seq(MvSum("p2"), MvCount("p2"), MvCountStar), mv))
+    // avg(decimal(12,2)) → decimal(16,6) via Average's own precision
+    // lattice — the substituted evaluateExpression must reproduce it
+    // exactly (value AND schema).
+    val served = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(avg(col("p2")).as("a"), count(lit(1)).as("n"))
+    assert(scans(served).contains(mv), "decimal avg not MV-served")
+    assert(served.schema("a").dataType ==
+      withRewriteOff(served.schema("a").dataType))
+    val off = withRewriteOff(served.collect().map(_.toString).sorted)
+    assert(served.collect().map(_.toString).sorted.sameElements(off))
+  }
+
+  test("HAVING rides above the rewrite; its subquery threshold is MV-served too") {
+    val (fact, mv) = freshFact(defaultAggs :+ MvSum("l_linenumber"))
+    spark.read.parquet(fact).createOrReplaceTempView("mv_spec_having")
+    val df = spark.sql("""
+      SELECT l_linenumber, COUNT(*) AS n
+      FROM mv_spec_having
+      GROUP BY l_linenumber
+      HAVING COUNT(*) > 0.12 * (SELECT COUNT(*) FROM mv_spec_having)
+         AND 2 * SUM(l_linenumber) > 9 * COUNT(*)""")
+    val p = scans(df)
+    assert(p.contains(mv), s"HAVING aggregate not MV-served:\n$p")
+    assert(!p.contains(fact), s"fact still scanned under HAVING:\n$p")
+    val off = withRewriteOff(df.collect().map(_.toString).sorted)
+    val on = df.collect().map(_.toString).sorted
+    assert(on.sameElements(off))
+    // The aggregate clause genuinely filters: line numbers 5, 6, 7 only.
+    assert(on.length == 3, s"HAVING did not filter: ${on.mkString(";")}")
   }
 
   // ---- round-14 hardening (the five ADVICE items) ----------------------

@@ -73,7 +73,7 @@ class MvStreamSpec extends SparkSpec {
     Tables.load(spark, sfDir, "orders").write.parquet(dim)
     val dfn = MvDef(Seq("o_orderpriority"),
       Seq(MvSum("l_extendedprice"), MvCountStar), mv,
-      join = Some(graft.plans.MaterializedView.MvJoin(
+      joins = Seq(graft.plans.MaterializedView.MvJoin(
         dim, "l_orderkey", "o_orderkey")))
 
     def query = spark.read.parquet(landing)
@@ -88,6 +88,47 @@ class MvStreamSpec extends SparkSpec {
     val p = scans(query)
     assert(p.contains(mv) && !p.contains(landing) && !p.contains(dim),
       s"star join query not MV-served after drain:\n$p")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+  }
+
+  test("streamed TWO-dim star maintenance: chain partials per batch; growth stales; second drain re-serves") {
+    val landing = tempDir("mv_s2star_landing") + "/fact"
+    val dimO = tempDir("mv_s2star_dimo") + "/orders"
+    val dimC = tempDir("mv_s2star_dimc") + "/customer"
+    val mv = tempDir("mv_s2star_rollup")
+    val ckpt = tempDir("mv_s2star_ckpt")
+    Tables.load(spark, sfDir, "orders").write.parquet(dimO)
+    Tables.load(spark, sfDir, "customer").write.parquet(dimC)
+    val dfn = MvDef(Seq("c_mktsegment"),
+      Seq(MvSum("l_extendedprice"), MvCountStar), mv,
+      joins = Seq(
+        graft.plans.MaterializedView.MvJoin(dimO, "l_orderkey", "o_orderkey"),
+        graft.plans.MaterializedView.MvJoin(dimC, "o_custkey", "c_custkey")))
+
+    def query = spark.read.parquet(landing)
+      .join(spark.read.parquet(dimO), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.read.parquet(dimC), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted
+
+    li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      .repartition(2).write.mode("append").parquet(landing)
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    val p = scans(query)
+    assert(p.contains(mv) && !p.contains(landing) && !p.contains(dimO) &&
+      !p.contains(dimC), s"two-dim star query not MV-served after drain:\n$p")
+    assert(rows(query).sameElements(withRewriteOff(rows(query))))
+
+    // Growth stales; the next drain covers only the new files and
+    // re-serves bit-identically (each delta partial re-joins BOTH dims).
+    li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      .repartition(1).write.mode("append").parquet(landing)
+    assert(!scans(query).contains(mv), "stale two-dim MV wrongly served")
+    MvStream.runAvailableNow(spark, landing, li.schema, dfn, ckpt,
+      maxFilesPerTrigger = 1)
+    assert(scans(query).contains(mv), "not re-served after second drain")
     assert(rows(query).sameElements(withRewriteOff(rows(query))))
   }
 
