@@ -232,6 +232,101 @@ object KmvSketch extends QueryModule {
       doc = "Join-free corpus-overlap (contamination) estimate from two KMV sketches."),
 
     // ------------------------------------------------------------------
+    // The |sources|² daily report from summaries alone: ONE pass computes
+    // a KMV sketch of every source's 5-gram set (the same element
+    // universe `llm_source_overlap` intersects EXACTLY by joining
+    // gram→source postings), then the full pairwise overlap matrix —
+    // distinct-gram estimates, union, Jaccard, overlap cardinality — is
+    // set algebra over the 20 sketch rows. No distinct, no self-join of
+    // postings: the sketch is duplicate-insensitive, so raw gram rows
+    // feed groupBy(source) directly with map-side combine, shuffle volume
+    // |sources|·k whatever the corpus size. The pair join below is a
+    // nested-loop over the ~|sources|-row AGGREGATED sketches — bounded
+    // by construction, never by the corpus. The oracle rebuilds every
+    // per-source bottom-k and every pair's union sketch row-wise; all
+    // estimates hash-match exactly.
+    "llm_kmv_matrix" -> QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val sk = udaf(agg)
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(lower($"text"), "\\s+"))
+          .select($"source", explode(expr(
+            """transform(sequence(1, greatest(size(toks) - 4, 1)),
+                 i -> md5_long(concat_ws(' ', slice(toks, i, 5)))
+                      & 9223372036854775807)""")).as("h"))
+        val sketches = grams.groupBy($"source").agg(sk($"h").as("s"))
+        val a = sketches.select($"source".as("src_a"), $"s".as("sa"))
+        val b = sketches.select($"source".as("src_b"), $"s".as("sb"))
+        val u = unionSketch($"sa", $"sb")
+        val jac = interCount(u, $"sa", $"sb").cast("double") /
+          size(u).cast("double")
+        a.join(b, $"src_a" < $"src_b")
+          .select($"src_a", $"src_b",
+            estDistinct($"sa").as("est_a"),
+            estDistinct($"sb").as("est_b"),
+            estDistinct(u).as("est_union"),
+            jac.as("jaccard_est"),
+            (jac * estDistinct(u)).as("est_overlap"))
+      },
+      oracle = Some(s"""
+        WITH sh AS (
+          SELECT source,
+                 unnest([md5_number_upper(array_to_string(toks[i:i+4], ' '))
+                           & 9223372036854775807
+                         for i in generate_series(1, greatest(len(toks) - 4, 1))])
+                   AS h
+          FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents)),
+        d AS (SELECT DISTINCT source, h FROM sh),
+        r AS (SELECT source, h,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM d),
+        kv AS (SELECT source, h FROM r WHERE rn <= $k),
+        st AS (SELECT source, COUNT(*) AS n, MAX(h) AS hk
+               FROM kv GROUP BY source),
+        pairs AS (SELECT a.source AS src_a, b.source AS src_b
+                  FROM st a JOIN st b ON a.source < b.source),
+        u0 AS (SELECT p.src_a, p.src_b, kv.h
+               FROM pairs p JOIN kv ON kv.source IN (p.src_a, p.src_b)
+               GROUP BY 1, 2, 3),
+        ur AS (SELECT src_a, src_b, h,
+                      ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+                                         ORDER BY h) AS rn
+               FROM u0),
+        uk AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $k),
+        us AS (SELECT src_a, src_b, COUNT(*) AS nu, MAX(h) AS mu
+               FROM uk GROUP BY 1, 2),
+        inter AS (
+          SELECT uk.src_a, uk.src_b, COUNT(*) AS ni
+          FROM uk
+          JOIN kv ka ON ka.source = uk.src_a AND ka.h = uk.h
+          JOIN kv kb ON kb.source = uk.src_b AND kb.h = uk.h
+          GROUP BY 1, 2)
+        SELECT us.src_a, us.src_b,
+          CASE WHEN sa.n < $k THEN CAST(sa.n AS DOUBLE)
+               ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
+                    / CAST(sa.hk AS DOUBLE) END AS est_a,
+          CASE WHEN sb.n < $k THEN CAST(sb.n AS DOUBLE)
+               ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
+                    / CAST(sb.hk AS DOUBLE) END AS est_b,
+          CASE WHEN us.nu < $k THEN CAST(us.nu AS DOUBLE)
+               ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
+                    / CAST(us.mu AS DOUBLE) END AS est_union,
+          CAST(COALESCE(inter.ni, 0) AS DOUBLE) / CAST(us.nu AS DOUBLE)
+            AS jaccard_est,
+          (CAST(COALESCE(inter.ni, 0) AS DOUBLE) / CAST(us.nu AS DOUBLE)) *
+            (CASE WHEN us.nu < $k THEN CAST(us.nu AS DOUBLE)
+                  ELSE (${k - 1}.0 * CAST(9223372036854775807 AS DOUBLE))
+                       / CAST(us.mu AS DOUBLE) END) AS est_overlap
+        FROM us
+        JOIN st sa ON sa.source = us.src_a
+        JOIN st sb ON sb.source = us.src_b
+        LEFT JOIN inter ON inter.src_a = us.src_a AND inter.src_b = us.src_b"""),
+      doc = "Full |sources|² overlap matrix estimated from one sketch per source."),
+
+    // ------------------------------------------------------------------
     // The streamed maintainer end-to-end: three waves of events land and
     // drain ([[graft.streaming.KmvStream]] — per-batch bottom-k deltas,
     // checkpointed AvailableNow), the accumulated sketch folds from the

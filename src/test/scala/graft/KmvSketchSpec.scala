@@ -115,6 +115,54 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("pairwise merge is associative and commutative (the matrix estimator's algebra)") {
+    // Three shards; every parenthesization and order of the pairwise
+    // union-sketch merge must produce the same bits as sketching the
+    // whole — what licenses estimating an n-way matrix from per-source
+    // sketches alone (any reduction tree a 1000-executor combine picks).
+    val all = spark.range(0, 90000).toDF("id")
+    def shard(r: Int): DataFrame = all.filter(col("id") % 3 === r)
+    val Seq(sa, sb, sc) = (0 to 2).map(r => sketchOf(shard(r), 3))
+    def mergeArr(x: Array[Long], y: Array[Long]): Array[Long] =
+      (x ++ y).distinct.sorted.take(k)
+    val abC = mergeArr(mergeArr(sa, sb), sc)
+    val aBC = mergeArr(sa, mergeArr(sb, sc))
+    val cab = mergeArr(mergeArr(sc, sa), sb)
+    val whole = sketchOf(all, 9)
+    assert(abC.sameElements(aBC) && abC.sameElements(cab),
+      "pairwise merge is not associative/commutative")
+    assert(abC.sameElements(whole), "merged shards != whole-corpus sketch")
+    // The Aggregator's own merge agrees with the column-algebra merge.
+    val viaAgg = {
+      import KmvSketch.Buf
+      def buf(a: Array[Long]) =
+        Buf(java.util.Arrays.copyOf(a, k), a.length)
+      val m = KmvSketch.agg.merge(KmvSketch.agg.merge(buf(sa), buf(sb)), buf(sc))
+      KmvSketch.agg.finish(m)
+    }
+    assert(viaAgg.sameElements(whole), "Aggregator merge != column algebra")
+  }
+
+  test("declared llm_kmv_matrix estimates track the exact overlap matrix") {
+    // The oracle row proves the ESTIMATES are deterministic; this pins
+    // that they are also close to truth: for each pair, the sketch
+    // Jaccard must sit within the analytic envelope of the exact gram
+    // Jaccard (k=1024 → ~3/sqrt(k) ≈ 0.094 absolute, plus truth's own
+    // scale) — computed here over the same 5-gram universe.
+    val est = SparkEntry.specs("llm_kmv_matrix").fn(spark, sfDir)
+      .select(col("src_a"), col("src_b"), col("jaccard_est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.specs("llm_source_overlap").fn(spark, sfDir)
+      .select(col("src_a"), col("src_b"), col("jaccard"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty && exact.keySet.subsetOf(est.keySet))
+    exact.foreach { case (pair, j) =>
+      val e = est(pair)
+      assert(math.abs(e - j) <= 0.094 + 0.25 * j,
+        s"$pair: sketch jaccard $e vs exact $j outside envelope")
+    }
+  }
+
   test("SQL door: kmv_sketch(h) via spark.sql matches the DataFrame path") {
     KmvSketch.register(spark)
     val ids = spark.range(0, 5000).toDF("id")
