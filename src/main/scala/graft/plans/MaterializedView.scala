@@ -750,6 +750,35 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Semantic equality modulo spellings Spark itself treats as
+    * case-insensitive: `date_trunc('HOUR', ts)` and `date_trunc('hour',
+    * ts)` are the same computation, but their format LITERALS differ and
+    * plain `semanticEquals` would refuse the match (found via the SQL
+    * door, which conventionally spells units uppercase). Only the
+    * trunc-family format literal is normalized — `date_format` patterns
+    * are genuinely case-sensitive and stay untouched. */
+  private def semEq(a: Expression, b: Expression): Boolean = {
+    def norm(e: Expression): Expression = e.transformUp {
+      case t: org.apache.spark.sql.catalyst.expressions.TruncTimestamp =>
+        t.format match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, dt) =>
+            t.copy(format = Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                s.toString.toLowerCase(java.util.Locale.ROOT)), dt))
+          case _ => t
+        }
+      case t: org.apache.spark.sql.catalyst.expressions.TruncDate =>
+        t.format match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, dt) =>
+            t.copy(format = Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                s.toString.toLowerCase(java.util.Locale.ROOT)), dt))
+          case _ => t
+        }
+    }
+    norm(a).semanticEquals(norm(b))
+  }
+
   /** A predicate safe to re-bind onto the MV: deterministic (a random
     * filter selects fact ROWS; re-bound it would select GROUPS — a
     * different computation) and subquery-free (a subquery's own plan
@@ -1057,7 +1086,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if dfn.groupCols.contains(a.name) =>
           mvAttr.get(a.name)
         case e0 => derived.collectFirst {
-          case (n, be) if be.semanticEquals(e0) => n
+          case (n, be) if semEq(be, e0) => n
         }.flatMap(mvAttr.get)
       }
       // Every grouping copy must land on an MV grouping column.
@@ -1225,7 +1254,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if dfn.groupCols.contains(a.name) =>
           mvAttr.get(a.name)
         case e0 => derived.collectFirst {
-          case (n, be) if be.semanticEquals(e0) => n
+          case (n, be) if semEq(be, e0) => n
         }.flatMap(mvAttr.get)
       }
       // Subsumption: every grouping key lands on an MV grouping column.
@@ -1318,7 +1347,7 @@ case class RewriteToMv(spark: SparkSession) extends Rule[LogicalPlan] {
     def measureMatch(e: Expression)(kind: PartialFunction[MvAgg, MvAgg])
         : Option[AttributeReference] =
       dfn.aggs.collect(kind).collectFirst {
-        case m if measures.get(m.named).exists(_.semanticEquals(e)) => m
+        case m if measures.get(m.named).exists(semEq(_, e)) => m
       }.flatMap(m => mvAttr.get(m.named))
     fn match {
       case Sum(child, _) =>

@@ -618,6 +618,113 @@ class SqlSurfaceSpec extends SparkSpec {
       s"SQL star aggregate not MV-served:\n$p")
   }
 
+  test("rel_kmv_distinct through spark.sql (KMV estimator door)") {
+    registerViews()
+    graft.operators.KmvSketch.register(spark)
+    checkSame("rel_kmv_distinct", """
+      WITH sk AS (
+        SELECT event_type,
+               kmv_sketch(md5_long(CAST(user_id AS STRING))
+                 & 9223372036854775807) AS s
+        FROM events GROUP BY event_type),
+      est AS (
+        SELECT event_type, CAST(size(s) AS BIGINT) AS sketch_size,
+               CASE WHEN size(s) < 1024 THEN CAST(size(s) AS DOUBLE)
+                    ELSE 1023.0D * CAST(9223372036854775807 AS DOUBLE)
+                         / CAST(element_at(s, 1024) AS DOUBLE)
+               END AS est_distinct
+        FROM sk),
+      e AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type)
+      SELECT est.event_type, sketch_size, est_distinct, exact_distinct,
+             abs(est_distinct - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+      FROM est JOIN e ON est.event_type = e.event_type""")
+  }
+
+  test("ts_rsi_chunked through spark.sql (halo-chunked finance door)") {
+    // The chunked plan is bit-identical to the global window by
+    // construction (HaloChunkSpec + the shared oracle); this door proves
+    // the same rows are reachable through plain SQL text.
+    checkSame("ts_rsi_chunked", """
+      WITH d AS (
+        SELECT event_type, event_id, ts,
+               CAST(value AS DECIMAL(30,6)) -
+                 lag(CAST(value AS DECIMAL(30,6)), 1) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id) AS delta,
+               row_number() OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        FROM events),
+      g AS (
+        SELECT event_type, event_id, rn,
+               SUM(CASE WHEN delta > 0 THEN delta
+                        ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gsum,
+               SUM(CASE WHEN delta < 0 THEN -delta
+                        ELSE CAST(0 AS DECIMAL(30,6)) END) OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lsum
+        FROM d)
+      SELECT event_type, event_id,
+             CASE WHEN lsum = 0 THEN 100.0D
+                  ELSE 100.0D - 100.0D /
+                    (1.0D + CAST(gsum AS DOUBLE) / CAST(lsum AS DOUBLE))
+             END AS rsi
+      FROM g WHERE rn >= 15""")
+  }
+
+  test("llm_dedup_minhash through spark.sql (TextFeatures-fed dedup door)") {
+    registerViews()
+    graft.llm.TextFeatures.features(spark, sfDir, "near")
+      .createOrReplaceTempView("textfeat")
+    // Bands slice the STORED 256-perm signature (r=4, b=32 — the same
+    // prefix the library query reads); verification reads the stored
+    // shingle keys. The whole minhash dedup, from SQL over one table.
+    checkSame("llm_dedup_minhash", """
+      WITH bands AS (
+        SELECT doc_id, band, bh
+        FROM textfeat
+        LATERAL VIEW posexplode(transform(sequence(0, 31),
+          bb -> xxhash64(element_at(sig, bb * 4 + 1),
+                         element_at(sig, bb * 4 + 2),
+                         element_at(sig, bb * 4 + 3),
+                         element_at(sig, bb * 4 + 4)))) t AS band, bh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id),
+      v AS (
+        SELECT doc_a, doc_b,
+               size(array_intersect(fa.sh, fb.sh)) AS i,
+               fa.n AS na, fb.n AS nb
+        FROM cand
+        JOIN textfeat fa ON fa.doc_id = doc_a
+        JOIN textfeat fb ON fb.doc_id = doc_b)
+      SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.8D""")
+  }
+
+  test("rel_mv_time_bucket through spark.sql (derived-bucket MV door)") {
+    checkSame("rel_mv_time_bucket", """
+      SELECT event_type,
+             date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss')
+               AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+             COUNT(*) AS n,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events
+      GROUP BY event_type, date_trunc('HOUR', ts)""")
+    // checkSame ran the fn → the hourly rollup is registered; the SQL
+    // text's own derived-bucket GROUP BY must then be MV-served.
+    val p = spark.sql("""
+      SELECT event_type, date_trunc('HOUR', ts) AS b, COUNT(*) AS n
+      FROM events GROUP BY 1, 2""").queryExecution.executedPlan.toString
+    assert(!p.contains("events.parquet"),
+      s"SQL derived-bucket aggregate not MV-served:\n$p")
+  }
+
   test("rel_mv_grouping_sets through spark.sql (SQL ROLLUP is MV-served)") {
     checkSame("rel_mv_grouping_sets", """
       SELECT l_returnflag, l_linestatus,
