@@ -28,7 +28,9 @@ object MvBench {
   private def dfn(mvPath: String) = MvDef(
     groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
     aggs = Seq(MvSum("l_quantity"), MvSum("l_extendedprice"), MvCountStar,
-      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice")),
+      MvCount("l_quantity"), MvMin("l_extendedprice"), MvMax("l_extendedprice"),
+      // round 14: the pair that serves bare avg(l_linenumber).
+      MvSum("l_linenumber"), MvCount("l_linenumber")),
     mvPath = mvPath)
 
   private def rollupQuery(spark: SparkSession, fact: String): DataFrame =
@@ -141,6 +143,58 @@ object MvBench {
       val (gsServedSec, gsServed) = runGs(rewrite = true)
       require(gsDirect == gsServed, "rollup grouping sets rows != direct rows")
 
+      // Round-14 shapes. Bare avg: the MvSum+MvCount pair substituted into
+      // Spark's own Average division — previously always fell through.
+      def avgQuery(): DataFrame = spark.read.parquet(fact)
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_linenumber")).as("a"), count(lit(1)).as("n"))
+      def runGeneric(q: () => DataFrame, rewrite: Boolean): (Double, Seq[String]) = {
+        spark.conf.set("spark.graft.mv.rewrite", rewrite.toString)
+        try {
+          val times = (1 to 2).map(_ => timed(canon(q())))
+          (times.map(_._1).min, times.head._2)
+        } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      val (avgDirectSec, avgDirect) = runGeneric(avgQuery _, rewrite = false)
+      val (avgServedSec, avgServed) = runGeneric(avgQuery _, rewrite = true)
+      require(avgDirect == avgServed, "avg MV rows != direct rows")
+
+      // HAVING (a Filter above the served Aggregate, referencing its
+      // aggregate outputs): served cost stays at the rollup floor.
+      def havingQuery(): DataFrame = spark.read.parquet(fact)
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sl"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sl") * 2 > col("n") * 9)
+      val (havDirectSec, havDirect) = runGeneric(havingQuery _, rewrite = false)
+      val (havServedSec, havServed) = runGeneric(havingQuery _, rewrite = true)
+      require(havDirect == havServed, "having MV rows != direct rows")
+
+      // TWO-dimension star chain (fact ⋈ orders ⋈ customer, grouped by a
+      // second-hop dim attribute): the direct plan pays two shuffle joins
+      // over the corpus per run; the served plan reads ~5 rollup rows.
+      val custSrc = s"$dir/customer.parquet"
+      val star2Dfn = MvDef(
+        groupCols = Seq("c_mktsegment"),
+        aggs = Seq(MvSum("l_extendedprice"), MvCountStar),
+        mvPath = s"$scratch/mv_star2",
+        joins = Seq(
+          MaterializedView.MvJoin(dimSrc, "l_orderkey", "o_orderkey"),
+          MaterializedView.MvJoin(custSrc, "o_custkey", "c_custkey")))
+      val (star2BuildSec, _) = {
+        spark.conf.set("spark.graft.mv.rewrite", "false")
+        try timed(MaterializedView.register(spark, fact, star2Dfn))
+        finally spark.conf.set("spark.graft.mv.rewrite", "true")
+      }
+      def star2Query(): DataFrame = spark.read.parquet(fact)
+        .join(spark.read.parquet(dimSrc), col("l_orderkey") === col("o_orderkey"))
+        .join(spark.read.parquet(custSrc), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice")).as("rev"), count(lit(1)).as("n"))
+      val (star2DirectSec, star2Direct) = runGeneric(star2Query _, rewrite = false)
+      val (star2ServedSec, star2Served) = runGeneric(star2Query _, rewrite = true)
+      require(star2Direct == star2Served, "star2 MV rows != direct rows")
+
       // HLL sketch rollup: count-distinct users per event_type served from
       // the maintained register MV (derived-measure MVs) — the direct plan
       // hashes every fact row per run; the served plan reads ≤ |types|·4096
@@ -215,6 +269,16 @@ object MvBench {
         s""""gs_direct_sec":${f"$gsDirectSec%.2f"},""" +
         s""""gs_served_sec":${f"$gsServedSec%.2f"},""" +
         s""""gs_speedup":${f"${gsDirectSec / gsServedSec}%.1f"},""" +
+        s""""avg_direct_sec":${f"$avgDirectSec%.2f"},""" +
+        s""""avg_served_sec":${f"$avgServedSec%.2f"},""" +
+        s""""avg_speedup":${f"${avgDirectSec / avgServedSec}%.1f"},""" +
+        s""""having_direct_sec":${f"$havDirectSec%.2f"},""" +
+        s""""having_served_sec":${f"$havServedSec%.2f"},""" +
+        s""""having_speedup":${f"${havDirectSec / havServedSec}%.1f"},""" +
+        s""""star2_build_sec":${f"$star2BuildSec%.2f"},""" +
+        s""""star2_direct_sec":${f"$star2DirectSec%.2f"},""" +
+        s""""star2_served_sec":${f"$star2ServedSec%.2f"},""" +
+        s""""star2_speedup":${f"${star2DirectSec / star2ServedSec}%.1f"},""" +
         s""""hll_build_sec":${f"$hllBuildSec%.2f"},""" +
         s""""distinct_direct_sec":${f"$distDirectSec%.2f"},""" +
         s""""distinct_served_sec":${f"$distServedSec%.2f"},""" +

@@ -74,7 +74,16 @@ object StreamThroughput {
     }
 
     val ((bronzeBatches, quarBatches), bronzeSec) = timed {
-      val (bv, bq) = Medallion.startBronze(spark, dirs, t)
+      // Replay admission for bronze, matching the silver/gold treatment
+      // below: the 14th point paid 99 admission triggers (155 s of fixed
+      // cost) at 3,200 input files because the FILE cap governed. A
+      // replay's admission should scale with VOLUME, so the file cap is
+      // effectively lifted and the 10 GiB byte cap (the Auto-Loader
+      // analog the DSv2 source implements) becomes the governing knob —
+      // triggers ∝ bytes, not file count. Live deployments keep the
+      // default dual caps.
+      val (bv, bq) = Medallion.startBronze(spark, dirs, t,
+        maxFilesPerTrigger = 1000000)
       (drain(bv, "bronze-valid"), drain(bq, "bronze-quarantine"))
     }
     // Silver must drain its whole backlog in ONE admission batch here: this

@@ -57,8 +57,15 @@ object TextFamilyBench {
     }
     val total = nearBuildSec + plainBuildSec + perQuery.map(_._2).sum
     val q = perQuery.map { case (n, s) => s""""$n":${f"$s%.2f"}""" }.mkString(",")
+    // Self-describing conf: the static width plus the AQE initial width
+    // (the knob that lets reducer counts scale with the data — see
+    // GraftSession) so artifact lines are a config ledger, not bare
+    // numbers.
+    val conf = s"shuffle=${spark.conf.get("spark.sql.shuffle.partitions")};" +
+      s"initial=${spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "-")}"
     val json =
-      s"""{"metric":"text_family_e2e","near_build_sec":${f"$nearBuildSec%.2f"},""" +
+      s"""{"metric":"text_family_e2e","conf":"$conf","near_build_sec":${f"$nearBuildSec%.2f"},""" +
         s""""plain_build_sec":${f"$plainBuildSec%.2f"},$q,""" +
         s""""total_sec":${f"$total%.2f"},"sf":"$dir"}"""
     // scalastyle:off println
