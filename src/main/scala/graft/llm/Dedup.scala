@@ -40,7 +40,10 @@ object Dedup extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** documents ∪ exact copies (ids offset by 1e6). */
+  /** documents ∪ exact copies (ids offset by 1e6). Deliberately NOT
+    * widened: its consumers only digest each text once (~µs/row), and the
+    * round-14 measurement showed the repartition costing more than the
+    * parallelism bought back (0.36 s → 0.94 s; reverted). */
   private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.select(col("doc_id"), col("text"))
@@ -56,10 +59,14 @@ object Dedup extends QueryModule {
   /** documents ∪ near-duplicate variants (first word dropped, lowercased). */
   private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    d.select(col("doc_id"), lower(col("text")).as("text"))
-      .unionAll(d.select(
-        (col("doc_id") + 1000000).as("doc_id"),
-        regexp_replace(lower(col("text")), "^\\S+\\s+", "").as("text")))
+    // Widened (guide §2.5): every consumer shingles/hashes per doc and the
+    // fixture scan is one row group — the from-text dedup family's shingle
+    // stages measured 0.7 s on 2 tasks at sf0.1 (no-op at cluster scale).
+    graft.api.Fanout.widen(
+      d.select(col("doc_id"), lower(col("text")).as("text"))
+        .unionAll(d.select(
+          (col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(lower(col("text")), "^\\S+\\s+", "").as("text"))))
   }
 
   private val nearCorpusSql = """

@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
 object Knn extends QueryModule {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .withColumn("ve", VectorOps.asDouble("embedding"))
-      .select(col("vec_id"), col("ve"))
+    // Fanout (guide §2.5): every consumer does per-vector CPU (cosine
+    // folds, quantizer assignment, PQ encoding) and the fixture scan is
+    // one row group — llm_knn_ivfpq's assignment stage measured 1.5 s on
+    // ONE task at sf0.1. Widen the narrow projection (no-op at scale).
+    graft.api.Fanout.widen(
+      Tables.load(s, dir, "embeddings")
+        .withColumn("ve", VectorOps.asDouble("embedding"))
+        .select(col("vec_id"), col("ve")))
 
   /** Exact top-k for queries (vec_id < 20) over the full corpus. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -266,20 +266,29 @@ object SftOps extends QueryModule {
           s"""aggregate(turnbpe, CAST(0 AS BIGINT),
                 (acc2, t) -> acc2 + CASE WHEN $filterSql
                   THEN t.ntok ELSE CAST(0 AS BIGINT) END)"""
-        docs(s, dir)
+        // Fanout: the parse→tokenize→apply chain is pure per-doc CPU behind
+        // a single-row-group scan — widen first (no-op at cluster scale;
+        // column pruning still projects below the round-robin exchange).
+        graft.api.Fanout.widen(docs(s, dir))
           .withColumn("convo", expr(sftWrapSql("doc_id", "text")))
           .withColumn("turns", expr(turnsExpr))
           .withColumn("n_turns", expr("CAST(size(turns) AS INT)"))
           // Each turn tokenized ONCE into (role, BPE-token count): words
           // split as the trainer splits them, each word merged and its
           // post-merge symbol count folded — never materializing symbols.
+          // The replace-chain is staged through a transform so each word's
+          // serialize→replace program runs ONCE (the inlined spelling
+          // evaluated `$applied` twice per word; HOF lambdas get no
+          // codegen CSE). Same values.
           .withColumn("turnbpe", expr(
             s"""transform(turns, t -> named_struct('role', t.role, 'ntok',
                   aggregate(
-                    filter(split(lower(t.content), '\\\\s+'), w -> length(w) >= 1),
+                    transform(
+                      filter(split(lower(t.content), '\\\\s+'), w -> length(w) >= 1),
+                      w -> $applied),
                     CAST(0 AS BIGINT),
-                    (acc, w) -> acc + CAST(size(split(
-                      substring($applied, 2, length($applied) - 2),
+                    (acc, r) -> acc + CAST(size(split(
+                      substring(r, 2, length(r) - 2),
                       '\\\\|\\\\|')) AS BIGINT))))"""))
           .withColumn("assistant_bpe", expr(sumBpe("t.role = 'assistant'")))
           .withColumn("total_bpe", expr(sumBpe("true")))

@@ -66,7 +66,9 @@ object TextAnalysis extends QueryModule {
     * rounds over the vocab-sized table, each reliably checkpointed. */
   def bpeTrainDf(s: SparkSession, dir: String): DataFrame = {
     graft.api.Checkpoints.ensureDir(s)
-    var vocab = docs(s, dir)
+    // Fanout: the tokenize/explode corpus pass is single-task behind the
+    // one-row-group fixture scan — widen the text column (no-op at scale).
+    var vocab = graft.api.Fanout.widen(docs(s, dir).select(col("text")))
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1420,15 +1422,22 @@ object TextAnalysis extends QueryModule {
           s"replace($acc, '|' || ${lit_(a)} || '||' || ${lit_(b)} || '|', " +
             s"'|' || ${lit_(a)} || ${lit_(b)} || '|')"
         }
-        docs(s, dir)
+        // Fanout: the serialize→replace×3→count apply program ran 1.25 s
+        // single-task at sf0.1 (one-row-group scan) — widen first.
+        graft.api.Fanout.widen(docs(s, dir).select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             expr("filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1)").as("ws"))
           .filter(size(col("ws")) > 0)
           .select(col("doc_id"),
             expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
               .as("n_chars"),
-            expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
-                acc + CAST(size(split(substring($applied, 2, length($applied) - 2),
+            // Stage the replace-chain through a transform so each word's
+            // serialize→replace program runs ONCE (the inlined spelling
+            // evaluated `$applied` twice per word — substring + length
+            // args; HOF lambdas get no codegen CSE). Same values.
+            expr(s"""aggregate(transform(ws, w -> $applied),
+                CAST(0 AS BIGINT), (acc, r) ->
+                acc + CAST(size(split(substring(r, 2, length(r) - 2),
                                       '\\\\|\\\\|')) AS BIGINT))""")
               .as("n_tokens"))
       },
@@ -1476,15 +1485,20 @@ object TextAnalysis extends QueryModule {
           s"replace($acc, '|' || ${lit_(a)} || '||' || ${lit_(b)} || '|', " +
             s"'|' || ${lit_(a)} || ${lit_(b)} || '|')"
         }
-        docs(s, dir)
+        // Fanout: same single-task apply pass as llm_bpe_apply — widen.
+        graft.api.Fanout.widen(
+            docs(s, dir).select(col("doc_id"), col("lang"), col("text")))
           .select(col("doc_id"), col("lang"),
             expr("filter(split(lower(text), '\\\\s+'), w -> length(w) >= 1)").as("ws"))
           .filter(size(col("ws")) > 0)
           .select(col("lang"),
             expr("aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))")
               .as("nc"),
-            expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, w) ->
-                acc + CAST(size(split(substring($applied, 2, length($applied) - 2),
+            // Same staged-transform spelling as llm_bpe_apply: the chain
+            // runs once per word instead of twice. Same values.
+            expr(s"""aggregate(transform(ws, w -> $applied),
+                CAST(0 AS BIGINT), (acc, r) ->
+                acc + CAST(size(split(substring(r, 2, length(r) - 2),
                                       '\\\\|\\\\|')) AS BIGINT))""")
               .as("nt"))
           .groupBy(col("lang"))

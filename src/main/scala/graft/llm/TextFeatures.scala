@@ -172,7 +172,13 @@ object TextFeatures {
       out: String): Unit = {
     val corpus = corpusOf(spark, dir, kind)
     (0L to 2L).foreach { b =>
-      appendBatch(out, b, corpus.filter(pmod(col("doc_id"), lit(3)) === b))
+      // Fanout: the build is the family's heaviest per-doc CPU pass
+      // (shingle + 256-perm MinHash) and each id-slice of the fixture scan
+      // is one task — widen so the derivation parallelizes AND the written
+      // batch has enough files for downstream scan parallelism (no-op at
+      // cluster scale).
+      appendBatch(out, b, graft.api.Fanout.widen(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === b)))
     }
   }
 }

@@ -98,8 +98,13 @@ object CountMin extends QueryModule {
         graft.functions.GraftFunctions.register(s)
         val sketchUdaf = udaf(agg)
         val li = Tables.load(s, dir, "lineitem")
-        val sk = li.agg(
-          sketchUdaf($"l_partkey".cast("string")).as("sk"))
+        // Fanout (keyed — no round-robin pre-sort; l_partkey is 20k-distinct
+        // at sf0.1, far above the 32-partition collision floor): 4 md5
+        // slots per row inside the aggregator behind a single-row-group
+        // scan — widen so partial sketches build in parallel (no-op at
+        // cluster scale).
+        val sk = graft.api.Fanout.widenBy(li.select($"l_partkey"), $"l_partkey")
+          .agg(sketchUdaf($"l_partkey".cast("string")).as("sk"))
         val probe = Tables.load(s, dir, "part")
           .filter($"p_size" <= 2).select($"p_partkey")
         val est = probe.crossJoin(broadcast(sk))
@@ -149,7 +154,13 @@ object CountMin extends QueryModule {
         graft.functions.GraftFunctions.register(s)
         val li = Tables.load(s, dir, "lineitem")
         val seeds = expr("explode(sequence(0, 3))").as("i")
-        val grid = li.select($"l_partkey", seeds)
+        // Fanout (keyed — no round-robin pre-sort): the explode×4 md5 grid
+        // build was 2.3 s of this query's 2.7 s on ONE task at sf0.1
+        // (single-row-group scan) — widen the one-column projection first
+        // (no-op at cluster scale).
+        val grid = graft.api.Fanout
+          .widenBy(li.select($"l_partkey"), $"l_partkey")
+          .select($"l_partkey", seeds)
           .select($"i", expr(
             "md5_long(concat('cms', CAST(i AS STRING), ':', CAST(l_partkey AS STRING))) & 8191")
             .as("b"))
